@@ -1,0 +1,26 @@
+"""Ray Data execution-context knobs for the engine.
+
+The engine's wide stages (band grouping, pair dedup, verification joins,
+union-find exchange) are built on key-colocating hash shuffles
+(``Dataset.repartition(num_blocks, keys=[...])``), which require the
+HASH_SHUFFLE strategy in Ray 2.49. ``ensure_hash_shuffle`` flips it once
+per process. Never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+
+def ensure_hash_shuffle() -> None:
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
+def target_block_size(bytes_: int | None = None) -> None:
+    """Optionally tune target block size for wide-text datasets."""
+    from ray.data.context import DataContext
+
+    if bytes_ is not None:
+        DataContext.get_current().target_max_block_size = bytes_
