@@ -124,7 +124,7 @@ def test_merge_commutative_associative():
     for x in (c, a, b):
         m2.merge(sk_of(x))
     assert np.array_equal(m1.registers, m2.registers)
-    assert m1.get_estimate() == pytest.approx(90000, rel=0.02)
+    assert m1.get_estimate() == pytest.approx(90000, rel=0.05)
 
 
 def test_bounds_bracket_truth():
