@@ -1,0 +1,41 @@
+"""Engine configuration.
+
+All dedup stages derive determinism from this config: murmur3 seed 9001
+(internal/utils.go:33), seeded permutation keys, fixed shingle size and
+band layout. The same config run single-process (oracle) or distributed
+must produce identical clusters — the mergeability discipline the reference
+pins with its isomorphism tests (hll/hll_sketch_isomomorphism_test.go).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # shingling
+    shingle_k: int = 3            # k-gram token shingles
+    # MinHash signature (the KMV/coupon analogue: 128 independent minima)
+    num_perms: int = 128
+    perm_seed: int = 9001         # DEFAULT_UPDATE_SEED
+    # LSH banding: bands * rows_per_band <= num_perms
+    num_bands: int = 42
+    rows_per_band: int = 3
+    # verification
+    jaccard_threshold: float = 0.5
+    containment_threshold: float = 0.8
+    # suffix-array containment pass: min shared-substring fraction of the
+    # smaller document's text
+    substring_frac: float = 0.5
+    # skew handling
+    max_band_group: int = 64      # cap pair generation per band bucket
+    hot_key_salt: int = 8         # fan-out for hot band keys
+    # shuffle sizing
+    num_partitions: int = 64
+
+    def __post_init__(self):
+        assert self.num_bands * self.rows_per_band <= self.num_perms
+
+    def to_dict(self) -> dict:
+        return asdict(self)

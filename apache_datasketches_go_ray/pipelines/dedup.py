@@ -1,0 +1,157 @@
+"""End-to-end transcript dedup pipeline with checkpoints, lineage and
+resume.
+
+Stages (each checkpointed as partitioned Parquet + a manifest entry):
+  read -> assemble (shuffle on conv_id) -> sign (actor pool) ->
+  candidate pairs (shuffle on band key, pair-dedup shuffle) ->
+  verify (broadcast semi-join + 2 hash joins) ->
+  cluster (iterative hash-partitioned min-label exchange).
+
+Resume: each stage's manifest entry records an input fingerprint
+(config + upstream fingerprint + row count); a re-run with an intact
+checkpoint directory skips every stage whose entry is complete and
+fingerprint-matching, re-reading its Parquet output instead. Union-find
+rounds checkpoint individually, and the final clusters table is
+deterministic (min-conv_id labels), so resumed and fresh runs are
+byte-identical after canonical sorting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import pyarrow as pa
+import ray.data
+
+from ..config import DedupConfig
+from ..stages.context import ensure_hash_shuffle
+from ..stages.assemble import assemble
+from ..stages.signature import sign
+from ..stages.lsh import candidate_pairs
+from ..stages.verify import verify_pairs
+from ..stages.cluster import cluster_edges
+
+
+class DedupPipeline:
+    def __init__(self, config: DedupConfig, checkpoint_dir: str | None = None):
+        self.cfg = config
+        self.ckpt = checkpoint_dir
+        self.metrics: dict = {"stages": {}, "config": config.to_dict()}
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+        ensure_hash_shuffle()
+
+    # ---- manifest helpers -------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.ckpt, "manifest.json")
+
+    def _load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"stages": {}}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, self._manifest_path())
+
+    def _fingerprint(self, stage: str, upstream_fp: str) -> str:
+        h = hashlib.sha256()
+        h.update(json.dumps(self.cfg.to_dict(), sort_keys=True).encode())
+        h.update(stage.encode())
+        h.update(upstream_fp.encode())
+        return h.hexdigest()[:16]
+
+    def _stage(self, name: str, upstream_fp: str, build, schema_cols=None):
+        """Run or resume one checkpointed stage; returns (ds, fingerprint)."""
+        fp = self._fingerprint(name, upstream_fp)
+        t0 = time.time()
+        if self.ckpt:
+            man = self._load_manifest()
+            ent = man["stages"].get(name)
+            out_dir = os.path.join(self.ckpt, name)
+            if ent and ent.get("complete") and ent.get("fingerprint") == fp \
+                    and os.path.isdir(out_dir):
+                ds = ray.data.read_parquet(out_dir)
+                self.metrics["stages"][name] = {
+                    "resumed": True, "rows": ent.get("rows"), "sec": 0.0,
+                }
+                return ds, fp
+            ds = build()
+            ds.write_parquet(out_dir)
+            ds = ray.data.read_parquet(out_dir)
+            rows = ds.count()
+            man = self._load_manifest()
+            man["stages"][name] = {
+                "complete": True, "fingerprint": fp, "rows": rows,
+                "sec": round(time.time() - t0, 3),
+            }
+            self._save_manifest(man)
+        else:
+            ds = build().materialize()
+            rows = ds.count()
+        self.metrics["stages"][name] = {
+            "resumed": False, "rows": rows, "sec": round(time.time() - t0, 3),
+        }
+        return ds, fp
+
+    # ---- pipeline ---------------------------------------------------------
+    def run(self, transcripts_ds, *, input_fingerprint: str = "",
+            signer_concurrency=None):
+        cfg = self.cfg
+        t_start = time.time()
+
+        assembled, fp = self._stage(
+            "assembled", input_fingerprint,
+            lambda: assemble(transcripts_ds, cfg.num_partitions),
+        )
+        signatures, fp = self._stage(
+            "signatures", fp,
+            lambda: sign(assembled, cfg, concurrency=signer_concurrency),
+        )
+        pairs, fp = self._stage(
+            "pairs", fp, lambda: candidate_pairs(signatures, cfg),
+        )
+        verified, fp = self._stage(
+            "verified", fp, lambda: verify_pairs(pairs, signatures, cfg),
+        )
+        edges = verified.filter(expr="is_dup == True").select_columns(["a", "b"])
+
+        def ckpt_round(rnd, labels_ds):
+            if self.ckpt:
+                d = os.path.join(self.ckpt, f"unionfind_round_{rnd}")
+                labels_ds.write_parquet(d)
+
+        clusters, fp = self._stage(
+            "clusters", fp,
+            lambda: cluster_edges(edges, cfg.num_partitions,
+                                  checkpoint_cb=ckpt_round),
+        )
+        self.metrics["total_sec"] = round(time.time() - t_start, 3)
+        if self.ckpt:
+            with open(os.path.join(self.ckpt, "metrics.json"), "w") as f:
+                json.dump(self.metrics, f, indent=2)
+        return {
+            "assembled": assembled,
+            "signatures": signatures,
+            "pairs": pairs,
+            "verified": verified,
+            "clusters": clusters,
+            "metrics": self.metrics,
+        }
+
+
+def run_dedup(
+    transcripts_ds,
+    config: DedupConfig | None = None,
+    checkpoint_dir: str | None = None,
+    **kwargs,
+):
+    cfg = config or DedupConfig()
+    return DedupPipeline(cfg, checkpoint_dir).run(transcripts_ds, **kwargs)

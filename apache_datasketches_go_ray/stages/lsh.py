@@ -1,0 +1,106 @@
+"""LSH banding -> candidate pairs.
+
+Shuffle #2 (band key) and #3 (pair dedup). Band rows are exploded as
+(band_hash, conv_id) — band index is already folded into the hash
+(functions/minhash.band_keys) so a single uint64 key carries both.
+Hash-partitioning by band_hash co-locates each bucket in one block; pair
+emission is then a vectorized in-block group scan, not per-group Python.
+
+Skew handling (SURVEY §7.8): identical boilerplate produces mega-buckets
+whose naive pair count is g·(g-1)/2. Buckets larger than
+``max_band_group`` emit a sorted consecutive chain (g-1 pairs) instead of
+the quadratic set: connectivity within the bucket (what union-find needs)
+is preserved while the pair count stays linear. The same rule runs in the
+single-process oracle, so clusters stay identical. Bucket membership is
+global (independent of partitioning), so the emitted pair set is
+deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+
+
+def explode_bands(batch: pa.Table) -> pa.Table:
+    """signature rows -> (band_hash, conv_id) rows."""
+    from .arrow_util import as_array
+
+    bands = as_array(batch.column("bands"))
+    flat = bands.flatten().to_numpy(zero_copy_only=False)
+    n_bands = len(flat) // max(len(batch), 1) if len(batch) else 0
+    conv = batch.column("conv_id")
+    conv_rep = conv.take(pa.array(np.repeat(np.arange(len(batch)), n_bands)))
+    return pa.table({"band_hash": pa.array(flat, type=pa.uint64()),
+                     "conv_id": conv_rep})
+
+
+def pairs_in_block(batch: pa.Table, max_group: int) -> pa.Table:
+    """Emit candidate pairs for every band bucket in this block."""
+    bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+    conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+    order = np.lexsort((conv, bh))
+    bh_s = bh[order]
+    conv_s = conv[order]
+    # bucket boundaries
+    newgrp = np.ones(len(bh_s), dtype=bool)
+    if len(bh_s) > 1:
+        newgrp[1:] = bh_s[1:] != bh_s[:-1]
+    starts = np.flatnonzero(newgrp)
+    ends = np.concatenate([starts[1:], [len(bh_s)]])
+    a_out: list = []
+    b_out: list = []
+    for s, e in zip(starts, ends):
+        g = e - s
+        if g < 2:
+            continue
+        members = conv_s[s:e]
+        # dedup identical conv within one bucket (can't happen per band, but
+        # multiple bands may collide into one hash — keep it safe)
+        members = np.unique(members)
+        g = len(members)
+        if g < 2:
+            continue
+        if g <= max_group:
+            ia, ib = np.triu_indices(g, k=1)
+            a_out.append(members[ia])
+            b_out.append(members[ib])
+        else:
+            # skew cap: sorted consecutive chain preserves connectivity
+            a_out.append(members[:-1])
+            b_out.append(members[1:])
+    if a_out:
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+    else:
+        a = np.empty(0, dtype=object)
+        b = np.empty(0, dtype=object)
+    return pa.table({"a": pa.array(a, type=pa.string()),
+                     "b": pa.array(b, type=pa.string())})
+
+
+def dedup_pairs_block(batch: pa.Table) -> pa.Table:
+    """Per-block pair dedup (pairs were hash-partitioned on (a, b))."""
+    if len(batch) == 0:
+        return batch
+    import pyarrow.compute as pc
+    return batch.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+
+
+def candidate_pairs(sig_ds, config: DedupConfig):
+    """signature table -> deduplicated candidate pair table (a < b)."""
+    P = config.num_partitions
+    return (
+        sig_ds.map_batches(explode_bands, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(P, keys=["band_hash"])
+        .map_batches(
+            lambda b: pairs_in_block(b, config.max_band_group),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        .repartition(P, keys=["a", "b"])
+        .map_batches(dedup_pairs_block, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+    )

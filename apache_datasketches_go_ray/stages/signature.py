@@ -1,0 +1,85 @@
+"""MinHash signer stage: the stateful actor-pool map_batches.
+
+``MinHashSigner`` is a callable class passed to ``map_batches(...,
+concurrency=N)``: the permutation key table is built once per actor in
+``__init__`` (the reference's analogue: ``ItemSketchOp`` handed to a
+sketch at construction, kll/items_sketch.go:71-84), and each ``__call__``
+processes one zero-copy Arrow batch fully vectorized.
+
+Output schema per conversation row:
+  conv_id: string, n_turns: int32, n_shingles: int32,
+  shingles: large_list<uint64> (sorted unique),
+  sig: list<uint64, num_perms>, bands: list<uint64, num_bands>,
+  text: string (carried for the suffix-array containment pass; drop with
+  keep_text=False when containment verification is disabled).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..functions.shingle import tokenize_column, shingle_hashes
+from ..functions.minhash import perm_keys, signatures, band_keys
+
+
+class MinHashSigner:
+    def __init__(self, config: DedupConfig, keep_text: bool = True):
+        self.cfg = config
+        self.keys = perm_keys(config.num_perms, config.perm_seed)
+        self.keep_text = keep_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch.column("text")
+        tok, tok_off = tokenize_column(texts)
+        flat, off = shingle_hashes(tok, tok_off, cfg.shingle_k)
+        sigs = signatures(flat, off, self.keys)
+        bands = band_keys(sigs, cfg.num_bands, cfg.rows_per_band)
+        n = len(batch)
+        cols = {
+            "conv_id": batch.column("conv_id"),
+            "n_turns": batch.column("n_turns"),
+            "n_shingles": pa.array(np.diff(off).astype(np.int32)),
+            # large_binary (LE uint64 words): joins can carry binary
+            # payloads but not list payloads (Arrow acero limitation)
+            "shingles": pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), n,
+                [None, pa.py_buffer((off * 8).astype(np.int64).tobytes()),
+                 pa.py_buffer(np.ascontiguousarray(flat).tobytes())],
+            ),
+            "sig": _fixed_list(sigs, n),
+            "bands": _fixed_list(bands, n),
+        }
+        if self.keep_text:
+            cols["text"] = texts
+        return pa.table(cols)
+
+
+def _fixed_list(mat: np.ndarray, n_rows: int) -> pa.ListArray:
+    width = mat.shape[1] if n_rows else 0
+    offsets = np.arange(0, (n_rows + 1) * width, width, dtype=np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(mat.reshape(-1), type=pa.uint64())
+    )
+
+
+def sign(ds, config: DedupConfig, *, concurrency=None, batch_size: int = 512,
+         keep_text: bool = True):
+    """assembled conversations -> signature table (actor pool stage)."""
+    if concurrency is None:
+        # actor pool sized to the session CPUs; scales with the cluster
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, n))
+    kwargs = {"concurrency": concurrency}
+    return ds.map_batches(
+        MinHashSigner,
+        fn_constructor_args=(config, keep_text),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **kwargs,
+    )
