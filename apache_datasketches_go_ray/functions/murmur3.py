@@ -157,6 +157,8 @@ def murmur3_128_mat(mat: np.ndarray, lengths: np.ndarray, seed: int = DEFAULT_UP
     row. Vectorizes the block loop across rows with masks. Returns (h1, h2).
     """
     n, padded = mat.shape
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
     lengths = np.asarray(lengths, dtype=np.int64)
     h1 = np.full(n, np.uint64(seed), dtype=np.uint64)
     h2 = np.full(n, np.uint64(seed), dtype=np.uint64)

@@ -1,0 +1,181 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), every block computes a vectorized partial top-k (numpy
+matmul over the zero-copy Arrow batch), and only k rows per (query,
+block) travel to the driver for the final fold. Scale path: LSH-bucketed
+variant (random-hyperplane signs partition the corpus; only same-bucket
+blocks are scanned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .arrow_util import as_array
+from ..functions.murmur3 import fmix64
+
+
+def _embeddings_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    emb = as_array(batch.column(col))
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    dim = len(flat) // max(len(batch), 1) if len(batch) else 0
+    return flat.reshape(len(batch), dim) if len(batch) else np.zeros((0, 0))
+
+
+class _BruteForcePartial:
+    """Actor-pool stage: holds the broadcast query matrix; emits per-block
+    partial top-k rows (query_id, vec_id, score)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        qm = q["matrix"].astype(np.float64)
+        self.qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = as_array(batch.column(self.id_col)).to_numpy(zero_copy_only=False)
+        m = _embeddings_matrix(batch, self.emb_col).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        scores = self.qn @ mn.T  # (nq, nblock)
+        k = min(self.k, scores.shape[1])
+        # partial top-k per query within this block
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        q_out, v_out, s_out = [], [], []
+        for qi in range(scores.shape[0]):
+            for j in part[qi]:
+                q_out.append(int(self.q_ids[qi]))
+                v_out.append(int(ids[j]))
+                s_out.append(float(scores[qi, j]))
+        return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
+                         "vec_id": pa.array(v_out, type=pa.int64()),
+                         "score": pa.array(s_out, type=pa.float64())})
+
+
+def brute_force_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     round_to: int = 6) -> pa.Table:
+    """Exact cosine top-k for each query vector. Deterministic tie-break
+    (score desc, vec_id asc); scores rounded to ``round_to``."""
+    ref = ray.put({"ids": np.asarray(query_ids),
+                   "matrix": np.asarray(query_matrix)})
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    parts = ds.map_batches(
+        _BruteForcePartial, fn_constructor_args=(ref, k, id_col, emb_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, max(2, n_cpu)),
+    ).take_all()
+    rows: dict[int, list] = {}
+    for r in parts:
+        rows.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
+    q_out, v_out, s_out, rank_out = [], [], [], []
+    for qid in sorted(rows):
+        cand = sorted(rows[qid], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (s, v) in enumerate(cand):
+            q_out.append(qid)
+            v_out.append(v)
+            s_out.append(round(s, round_to))
+            rank_out.append(rank + 1)
+    return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
+                     "vec_id": pa.array(v_out, type=pa.int64()),
+                     "score": pa.array(s_out, type=pa.float64()),
+                     "rank": pa.array(rank_out, type=pa.int64())})
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 9001) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from the hash substrate."""
+    raw = fmix64(np.arange(dim * n_planes, dtype=np.uint64)
+                 + np.uint64(seed * 1000003))
+    # map uint64 -> (-1, 1) floats
+    vals = (raw.astype(np.float64) / 2**63) - 1.0
+    return vals.reshape(n_planes, dim)
+
+
+def lsh_bucket_embeddings(ds, n_planes: int = 12,
+                          id_col: str = "vec_id", emb_col: str = "embedding",
+                          seed: int = 9001):
+    """Append an LSH bucket id (random-hyperplane sign bits) — the scale
+    path for ANN / embedding near-dup: co-locate buckets with
+    repartition(keys=['bucket']) and scan only within buckets."""
+    state = {"planes": None}
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        m = _embeddings_matrix(batch, emb_col)
+        if m.size == 0:
+            return batch.append_column(
+                "bucket", pa.array([], type=pa.uint64()))
+        if state["planes"] is None or state["planes"].shape[1] != m.shape[1]:
+            state["planes"] = _hyperplanes(m.shape[1], n_planes, seed)
+        signs = (m.astype(np.float64) @ state["planes"].T) > 0
+        powers = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        bucket = (signs.astype(np.uint64) * powers).sum(axis=1,
+                                                        dtype=np.uint64)
+        return batch.append_column("bucket", pa.array(bucket,
+                                                      type=pa.uint64()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             num_partitions: int = 32,
+                             round_to: int = 6):
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: vectors in
+    the same hyperplane-sign bucket are compared exactly (vectorized
+    matmul per bucket); pairs with cosine >= threshold are emitted.
+    Recall is bucket-limited (the documented LSH tradeoff)."""
+    bucketed = lsh_bucket_embeddings(ds, n_planes, id_col, emb_col)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        if len(batch):
+            ids = as_array(batch.column(id_col)).to_numpy(zero_copy_only=False)
+            bucket = as_array(batch.column("bucket")).to_numpy(zero_copy_only=False)
+            m = _embeddings_matrix(batch, emb_col).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mn = m / norms
+            order = np.argsort(bucket, kind="stable")
+            b_s = bucket[order]
+            newgrp = np.ones(len(b_s), dtype=bool)
+            if len(b_s) > 1:
+                newgrp[1:] = b_s[1:] != b_s[:-1]
+            starts = np.flatnonzero(newgrp)
+            ends = np.concatenate([starts[1:], [len(b_s)]])
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                idx = order[s:e]
+                sub = mn[idx]
+                sc = sub @ sub.T
+                ii, jj = np.triu_indices(len(idx), k=1)
+                hits = sc[ii, jj] >= threshold
+                for x, y, v in zip(ii[hits], jj[hits], sc[ii, jj][hits]):
+                    a, b = int(ids[idx[x]]), int(ids[idx[y]])
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(round(float(v), round_to))
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64()),
+                         "cosine": pa.array(out_s, type=pa.float64())})
+
+    return (
+        bucketed.repartition(num_partitions, keys=["bucket"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

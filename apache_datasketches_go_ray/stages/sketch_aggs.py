@@ -1,0 +1,158 @@
+"""Distributed approximate aggregates on the sketch substrate.
+
+The canonical partial+combine+finalize shape (SURVEY §3.1): every block
+builds a small mergeable partial sketch inside ``map_batches`` (bounded
+state, vectorized update), partials are merged — per group via a
+key-colocating hash shuffle, or on the driver for global aggregates
+(partials are KB-sized, so the driver combine is O(num_blocks · K),
+exactly how the reference's Union is meant to be used across threads) —
+and the estimate is finalized once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .arrow_util import as_array
+from ..state.hll import HllSketch, coupons_from_strings, coupons_from_u64s
+from ..state.kll import KllSketch
+from ..state.frequencies import FrequentItemsSketch
+
+
+def _col_coupons(col: pa.Array) -> np.ndarray:
+    t = col.type
+    if pa.types.is_integer(t):
+        vals = col.cast(pa.uint64()).to_numpy(zero_copy_only=False)
+        return coupons_from_u64s(vals)
+    return coupons_from_strings([s for s in col.to_pylist() if s is not None])
+
+
+def approx_distinct(ds, column: str, lg_k: int = 12) -> dict:
+    """HLL distinct count of a column. Returns estimate + 2-sigma bounds."""
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = HllSketch(lg_k)
+        sk.update_coupons_bulk(_col_coupons(as_array(batch.column(column))))
+        return pa.table({"sk": pa.array([sk.to_bytes()], type=pa.large_binary())})
+
+    merged = HllSketch(lg_k)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        merged.merge(HllSketch.from_bytes(row["sk"]))
+    return {
+        "estimate": merged.get_estimate(),
+        "lower_bound": merged.get_lower_bound(2),
+        "upper_bound": merged.get_upper_bound(2),
+    }
+
+
+def approx_distinct_by(ds, key: str, column: str, lg_k: int = 12,
+                       num_partitions: int = 32):
+    """Grouped HLL distinct count: (key, estimate). Fully distributed:
+    per-block partials keyed by group, hash shuffle on key, per-block
+    merge+finalize."""
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = as_array(batch.column(key)).to_pylist()
+        col = as_array(batch.column(column))
+        cs = _col_coupons(col)
+        out_k, out_s = [], []
+        keys_np = np.asarray(keys, dtype=object)
+        order = np.argsort(keys_np, kind="stable")
+        ks = keys_np[order]
+        cs = cs[order]
+        newgrp = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            newgrp[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(newgrp)
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        for s, e in zip(starts, ends):
+            sk = HllSketch(lg_k)
+            sk.update_coupons_bulk(cs[s:e])
+            out_k.append(ks[s])
+            out_s.append(sk.to_bytes())
+        return pa.table({key: pa.array(out_k, type=pa.string()),
+                         "sk": pa.array(out_s, type=pa.large_binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(as_array(batch.column(key)).to_pylist(), dtype=object)
+        sks = as_array(batch.column("sk")).to_pylist()
+        order = np.argsort(ks, kind="stable")
+        out_k, out_e = [], []
+        i = 0
+        while i < len(order):
+            j = i
+            sk = HllSketch.from_bytes(sks[order[i]])
+            while j + 1 < len(order) and ks[order[j + 1]] == ks[order[i]]:
+                j += 1
+                sk.merge(HllSketch.from_bytes(sks[order[j]]))
+            out_k.append(ks[order[i]])
+            out_e.append(sk.get_estimate())
+            i = j + 1
+        return pa.table({key: pa.array(out_k, type=pa.string()),
+                         "estimate": pa.array(out_e, type=pa.float64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions, keys=[key])
+        .map_batches(combine, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def approx_quantiles(ds, column: str, ranks, k: int = 200) -> dict:
+    """KLL quantiles of a numeric column at the given normalized ranks."""
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = KllSketch(k)
+        vals = as_array(batch.column(column)).to_numpy(zero_copy_only=False)
+        sk.update_many(vals.astype(np.float64))
+        return pa.table({"sk": pa.array([sk.to_bytes()], type=pa.large_binary())})
+
+    merged = KllSketch(k)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        merged.merge(KllSketch.from_bytes(row["sk"]))
+    return {
+        "n": merged.n,
+        "min": merged.min_item,
+        "max": merged.max_item,
+        "quantiles": {float(r): merged.get_quantile(float(r)) for r in ranks},
+    }
+
+
+def approx_top_k(ds, column: str, k: int = 20, lg_max_map_size: int = 12,
+                 tokenize: bool = False):
+    """Frequent-items top-k over a column (optionally over whitespace
+    tokens of a text column). In-block pre-aggregation via value_counts
+    (the reference's UpdateMany path, frequencies/longs_sketch.go:412-443).
+    Returns rows (item, estimate, lower_bound, upper_bound)."""
+    import pyarrow.compute as pc
+
+    import json
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = as_array(batch.column(column))
+        if tokenize:
+            col = pc.list_flatten(pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(col.cast(pa.string())), r"\s+"))
+        vc = col.value_counts()
+        sk = FrequentItemsSketch(lg_max_map_size)
+        for rec in vc.to_pylist():
+            if rec["values"] is not None and rec["values"] != "":
+                sk.update(str(rec["values"]), int(rec["counts"]))
+        items, counts = sk.to_items()
+        blob = json.dumps({"items": [str(i) for i in items],
+                           "counts": counts, "offset": sk.offset,
+                           "weight": sk.stream_weight})
+        return pa.table({"sk": pa.array([blob], type=pa.string())})
+
+    merged = FrequentItemsSketch(lg_max_map_size)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        d = json.loads(row["sk"])
+        part = FrequentItemsSketch(lg_max_map_size)
+        part.counts = dict(zip(d["items"], d["counts"]))
+        part.offset = d["offset"]
+        part.stream_weight = d["weight"]
+        merged.merge(part)
+    rows = merged.get_frequent_items("no_false_negatives")
+    return rows[:k]

@@ -1,0 +1,167 @@
+"""Text-analysis stages for training-data pipelines, over Arrow batches.
+
+All stages are stateless vectorized ``map_batches`` transforms (pyarrow
+compute / numpy) or cheap per-row kernels on pre-tokenized arrays:
+  * token_count — whitespace token counts
+  * text_stats / quality score — length, punctuation/stopword/digit ratios
+  * language id — stopword-hit heuristic over small built-in lists
+  * simhash — 64-bit document fingerprint from token hashes
+  * winnowing fingerprints — rolling-hash document fingerprint set
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .arrow_util import as_array
+from ..functions.murmur3 import fmix64
+from ..functions.shingle import tokenize_column
+
+STOPWORDS = {
+    "en": {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+           "that", "for", "on", "with", "as", "was", "at", "by", "be"},
+    "de": {"der", "die", "das", "und", "oder", "von", "zu", "im", "ist",
+           "es", "dass", "für", "auf", "mit", "als", "war", "bei", "ein"},
+    "fr": {"le", "la", "les", "et", "ou", "de", "à", "en", "est", "il",
+           "que", "pour", "sur", "avec", "comme", "était", "par", "un"},
+    "es": {"el", "la", "los", "las", "y", "o", "de", "a", "en", "es",
+           "que", "para", "sobre", "con", "como", "era", "por", "un"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_tokens (whitespace tokens) — fully vectorized."""
+    texts = as_array(batch.column(text_col))
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    counts = pc.list_value_length(toks)
+    # empty strings split to one empty token; correct to 0
+    empty = pc.equal(pc.utf8_trim_whitespace(texts), "")
+    counts = pc.if_else(empty, pa.scalar(0, type=pa.int32()), counts)
+    return batch.append_column("n_tokens", counts)
+
+
+def quality_stats_batch(batch: pa.Table, text_col: str = "text",
+                        round_to: int = 4) -> pa.Table:
+    """Append quality-signal columns: n_chars, n_tokens, mean_token_len,
+    stopword_ratio (en), digit_ratio, quality_score."""
+    texts = as_array(batch.column(text_col))
+    n = len(texts)
+    n_chars = pc.utf8_length(texts).cast(pa.int64())
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    empty = pc.equal(pc.utf8_trim_whitespace(texts), "")
+    n_tokens = pc.if_else(empty, pa.scalar(0, type=pa.int64()), n_tokens)
+
+    tok_lists = toks.to_pylist()
+    sw = STOPWORDS["en"]
+    sw_ratio = np.zeros(n)
+    digit_ratio = np.zeros(n)
+    mean_tok = np.zeros(n)
+    for i, tl in enumerate(tok_lists):
+        if not tl or tl == [""]:
+            continue
+        lower = [t.lower() for t in tl]
+        sw_ratio[i] = sum(t in sw for t in lower) / len(lower)
+        digits = sum(c.isdigit() for t in tl for c in t)
+        total = sum(len(t) for t in tl)
+        digit_ratio[i] = digits / total if total else 0.0
+        mean_tok[i] = total / len(tl)
+    # simple composite score in [0,1]: long-enough, low digits, some
+    # stopwords, sane token length
+    nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    score = (
+        np.clip(nt / 50.0, 0, 1) * 0.4
+        + np.clip(1.0 - digit_ratio * 4, 0, 1) * 0.2
+        + np.clip(sw_ratio * 5, 0, 1) * 0.2
+        + np.clip(1.0 - np.abs(mean_tok - 5.0) / 10.0, 0, 1) * 0.2
+    )
+    r = round_to
+    return (
+        batch.append_column("n_chars", n_chars)
+        .append_column("n_tokens", n_tokens)
+        .append_column("mean_token_len", pa.array(np.round(mean_tok, r)))
+        .append_column("stopword_ratio", pa.array(np.round(sw_ratio, r)))
+        .append_column("digit_ratio", pa.array(np.round(digit_ratio, r)))
+        .append_column("quality_score", pa.array(np.round(score, r)))
+    )
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append lang_pred: argmax stopword-hit rate across built-in lists
+    ('unknown' when nothing matches)."""
+    texts = as_array(batch.column(text_col))
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    langs = sorted(STOPWORDS)
+    preds = []
+    for tl in toks.to_pylist():
+        if not tl or tl == [""]:
+            preds.append("unknown")
+            continue
+        lower = [t.lower().strip(".,;:!?\"'()") for t in tl]
+        best, best_hits = "unknown", 0
+        for lg in langs:
+            hits = sum(t in STOPWORDS[lg] for t in lower)
+            if hits > best_hits:
+                best, best_hits = lg, hits
+        preds.append(best)
+    return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a 64-bit SimHash fingerprint (sign of per-bit sums of token
+    hashes) — vectorized via bit-unpacking."""
+    texts = as_array(batch.column(text_col))
+    tok_hashes, offsets = tokenize_column(texts)
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.diff(offsets)
+    nonempty = lens > 0
+    if len(tok_hashes) and nonempty.any():
+        bits = np.unpackbits(
+            tok_hashes.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
+        ).astype(np.int32)  # (total_tokens, 64), MSB first
+        contrib = bits * 2 - 1
+        starts = offsets[:-1][nonempty]
+        sums = np.add.reduceat(contrib, starts, axis=0)
+        weights = (sums > 0).astype(np.uint64)
+        powers = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+        out[nonempty] = (weights * powers).sum(axis=1, dtype=np.uint64)
+    return batch.append_column("simhash", pa.array(out, type=pa.uint64()))
+
+
+def winnowing_fingerprints(tok_hashes: np.ndarray, window: int = 4) -> np.ndarray:
+    """Winnowing (local-minimum) fingerprint set of a token-hash sequence
+    — the rolling-hash document fingerprint. Deterministic, sorted
+    unique."""
+    n = len(tok_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    h = fmix64(tok_hashes)
+    if n <= window:
+        return np.unique(h.min(keepdims=True))
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(win.min(axis=1))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      window: int = 4) -> pa.Table:
+    """Append doc_fingerprint: uint64 = fmix64-fold of the winnowing
+    fingerprint set (order-independent document identity for near-exact
+    matching)."""
+    texts = as_array(batch.column(text_col))
+    tok_hashes, offsets = tokenize_column(texts)
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        fp = winnowing_fingerprints(tok_hashes[offsets[i]:offsets[i + 1]], window)
+        if len(fp):
+            with np.errstate(over="ignore"):
+                out[i] = np.bitwise_xor.reduce(fmix64(fp))
+    return batch.append_column("doc_fingerprint", pa.array(out, type=pa.uint64()))
+
+
+def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a ^ b).view(np.uint8).reshape(len(a), 8)
+    return np.unpackbits(x, axis=1).sum(axis=1)

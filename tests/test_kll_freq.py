@@ -1,0 +1,136 @@
+"""KLL quantiles + frequent-items sketch tests (reference invariants)."""
+
+import numpy as np
+import pytest
+
+from apache_datasketches_go_ray.state.kll import (
+    KllSketch, normalized_rank_error,
+)
+from apache_datasketches_go_ray.state.frequencies import FrequentItemsSketch
+
+
+def test_kll_exact_when_small():
+    sk = KllSketch(200)
+    vals = np.arange(100, dtype=np.float64)
+    sk.update_many(vals)
+    assert sk.min_item == 0 and sk.max_item == 99
+    assert sk.n == 100
+    assert sk.get_quantile(0.0) == 0
+    assert sk.get_quantile(1.0) == 99
+
+
+@pytest.mark.parametrize("n", [1000, 100000])
+def test_kll_rank_error_within_bound(n):
+    """Rank error <= normalized bound (kll/utils.go:137-142); min/max exact
+    and total weight exact, mirroring the reference's serde checks
+    (kll/items_sletch_serialization_test.go:48-95)."""
+    sk = KllSketch(200)
+    sk.update_many(np.arange(n, dtype=np.float64))
+    assert sk.min_item == 0.0 and sk.max_item == n - 1
+    assert sum(int(cw if i == 0 else cw - pcw)
+               for i, (cw, pcw) in enumerate(
+                   zip(sk._sorted_view()[1], [0] + list(sk._sorted_view()[1][:-1])))
+               ) == n
+    eps = normalized_rank_error(200, pmf=False)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = sk.get_quantile(q)
+        true_rank = est / n
+        assert abs(true_rank - q) <= 3 * eps + 1.0 / n
+
+
+def test_kll_merge_matches_whole_distribution():
+    whole = KllSketch(200)
+    merged = KllSketch(200)
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=50000)
+    whole.update_many(data)
+    for chunk in np.array_split(data, 9):
+        part = KllSketch(200)
+        part.update_many(chunk)
+        merged.merge(part)
+    assert merged.n == whole.n == 50000
+    assert merged.min_item == whole.min_item
+    assert merged.max_item == whole.max_item
+    eps = normalized_rank_error(200, pmf=False)
+    for q in (0.1, 0.5, 0.9):
+        r_w = np.mean(data <= whole.get_quantile(q))
+        r_m = np.mean(data <= merged.get_quantile(q))
+        assert abs(r_w - q) <= 3 * eps
+        assert abs(r_m - q) <= 3 * eps
+
+
+def test_kll_deterministic():
+    a, b = KllSketch(100), KllSketch(100)
+    data = np.arange(10000, dtype=np.float64)
+    a.update_many(data)
+    b.update_many(data)
+    assert all(np.array_equal(x, y) for x, y in zip(a.levels, b.levels))
+
+
+def test_kll_pmf_cdf_and_boundaries():
+    sk = KllSketch(200)
+    sk.update_many(np.arange(10000, dtype=np.float64))
+    pmf = sk.get_pmf(np.array([2500.0, 5000.0, 7500.0]))
+    assert pmf.sum() == pytest.approx(1.0)
+    assert all(p == pytest.approx(0.25, abs=0.03) for p in pmf)
+    cdf = sk.get_cdf(np.array([5000.0]))
+    assert cdf[-1] == 1.0
+    bounds = sk.get_partition_boundaries(4)
+    assert bounds[0] == 0.0 and bounds[-1] == 9999.0
+    assert (np.diff(bounds) > 0).all()
+
+
+def test_kll_serde_roundtrip():
+    sk = KllSketch(200)
+    sk.update_many(np.arange(5000, dtype=np.float64))
+    rt = KllSketch.from_bytes(sk.to_bytes())
+    assert rt.n == sk.n
+    assert rt.get_quantile(0.5) == sk.get_quantile(0.5)
+
+
+def test_freq_exact_before_purge():
+    sk = FrequentItemsSketch(10)
+    for i in range(100):
+        sk.update(i % 7)
+    assert sk.get_maximum_error() == 0
+    assert sk.get_estimate(0) == 15  # 0 appears ceil(100/7) = 15 times
+    assert sk.get_estimate(6) == 14
+
+
+def test_freq_heavy_hitter_guarantees():
+    """lb <= true <= ub and ub - lb <= offset; epsilon = 3.5/maxMapSize
+    (frequencies/longs_sketch.go:275-325)."""
+    sk = FrequentItemsSketch(6)  # maxMapSize 64, cap 48 -> purges happen
+    rng = np.random.default_rng(11)
+    true = {}
+    zipf = rng.zipf(1.5, size=50000)
+    for v in zipf:
+        v = int(v)
+        true[v] = true.get(v, 0) + 1
+        sk.update(v)
+    assert sk.stream_weight == 50000
+    assert sk.get_maximum_error() > 0  # purges occurred
+    eps = sk.epsilon
+    for item, cnt in true.items():
+        lb, ub = sk.get_lower_bound(item), sk.get_upper_bound(item)
+        if sk.counts.get(item):
+            assert lb <= cnt <= ub, (item, lb, cnt, ub)
+    # every sufficiently heavy item is tracked
+    for item, cnt in true.items():
+        if cnt > eps * 50000 + sk.offset:
+            assert item in sk.counts, (item, cnt)
+    hh = sk.get_frequent_items("no_false_negatives")
+    heavy = {i for i, c in true.items() if c > sk.offset}
+    assert heavy <= {r[0] for r in hh}
+
+
+def test_freq_merge():
+    a, b = FrequentItemsSketch(8), FrequentItemsSketch(8)
+    for i in range(1000):
+        a.update(i % 11)
+        b.update(i % 13)
+    a.merge(b)
+    assert a.stream_weight == 2000
+    # item 0: 1000/11 -> 91, 1000/13 -> 77 occurrences
+    true0 = (1000 + 10) // 11 + (1000 + 12) // 13
+    assert a.get_lower_bound(0) <= true0 <= a.get_upper_bound(0)

@@ -1,0 +1,162 @@
+"""Distributed pipeline tests: assembly invariant, oracle parity, planted
+recall, determinism across parallelism, resume."""
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from apache_datasketches_go_ray.config import DedupConfig
+from apache_datasketches_go_ray.sources.transcripts import write_transcripts
+
+FIXTURE_DIR = "/tmp/adgr_test_fixture"
+N_CONVS = 120
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(ray_session):
+    info = write_transcripts(FIXTURE_DIR, N_CONVS, seed=42, shards=4)
+    return info
+
+
+@pytest.fixture(scope="session")
+def pipeline_result(fixture_dir):
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+
+    ds = ray.data.read_parquet(fixture_dir["dir"])
+    return run_dedup(ds, DedupConfig(num_partitions=4))
+
+
+@pytest.fixture(scope="session")
+def oracle_result(fixture_dir):
+    from apache_datasketches_go_ray.pipelines.oracle import oracle_dedup
+
+    tbl = pq.read_table(fixture_dir["dir"])
+    return oracle_dedup(tbl, DedupConfig(num_partitions=4))
+
+
+def test_assembly_preserves_turn_order(fixture_dir, pipeline_result):
+    """Per-turn text equality under stable turn ordering (the input_hint
+    row invariant)."""
+    from apache_datasketches_go_ray.stages.assemble import TURN_SEP
+
+    tbl = pq.read_table(fixture_dir["dir"]).to_pandas()
+    expected = (
+        tbl.sort_values(["conv_id", "turn_idx"], kind="stable")
+        .groupby("conv_id")["text"]
+        .apply(lambda ts: TURN_SEP.join(ts))
+        .to_dict()
+    )
+    got = {
+        r["conv_id"]: r["text"]
+        for r in pipeline_result["assembled"].take_all()
+    }
+    assert got == expected
+
+
+def test_pipeline_matches_oracle_pairs(pipeline_result, oracle_result):
+    pipe = sorted((r["a"], r["b"]) for r in pipeline_result["pairs"].take_all())
+    assert pipe == oracle_result["pairs"]
+
+
+def test_pipeline_matches_oracle_edges(pipeline_result, oracle_result):
+    pipe = sorted(
+        (r["a"], r["b"]) for r in pipeline_result["verified"].take_all()
+        if r["is_dup"]
+    )
+    assert pipe == sorted(oracle_result["edges"])
+
+
+def test_pipeline_matches_oracle_clusters(pipeline_result, oracle_result):
+    """THE parity gate: dup-pair recall vs the oracle must be >= 0.99; with
+    identical hashes and deterministic rules it is exactly 1.0."""
+    pipe = {r["conv_id"]: r["cluster_id"]
+            for r in pipeline_result["clusters"].take_all()}
+    assert pipe == oracle_result["clusters"]
+
+
+def test_planted_dup_recall(fixture_dir, pipeline_result):
+    """Recall >= 0.99 on the planted duplicate groups (FIXTURES.md F2)."""
+    gt = pq.read_table(os.path.join(FIXTURE_DIR, "dup_groups.parquet")).to_pandas()
+    cl = {r["conv_id"]: r["cluster_id"]
+          for r in pipeline_result["clusters"].take_all()}
+    groups = defaultdict(list)
+    for _, r in gt.iterrows():
+        groups[r.group_id].append(r.conv_id)
+    tp = fn = 0
+    for members in groups.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if cl.get(a) is not None and cl.get(a) == cl.get(b):
+                    tp += 1
+                else:
+                    fn += 1
+    assert tp + fn > 0
+    assert tp / (tp + fn) >= 0.99
+
+
+def test_no_false_merges_of_negatives(fixture_dir, pipeline_result, oracle_result):
+    """Distinct base conversations must not be merged: every cluster's
+    members either share a dup group or were verified duplicates."""
+    gt = pq.read_table(os.path.join(FIXTURE_DIR, "dup_groups.parquet")).to_pandas()
+    group_of = dict(zip(gt.conv_id, gt.group_id))
+    clusters = defaultdict(list)
+    for r in pipeline_result["clusters"].take_all():
+        clusters[r["cluster_id"]].append(r["conv_id"])
+    for members in clusters.values():
+        gs = {group_of.get(m) for m in members}
+        assert len(gs) == 1 and None not in gs, members
+
+
+def test_determinism_across_partitioning(fixture_dir, oracle_result):
+    """Same clusters at a different partition count (partitioning
+    independence — the merge-discipline analogue of the reference's
+    isomorphism tests)."""
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+
+    ds = ray.data.read_parquet(fixture_dir["dir"])
+    res = run_dedup(ds, DedupConfig(num_partitions=3))
+    pipe = {r["conv_id"]: r["cluster_id"] for r in res["clusters"].take_all()}
+    assert pipe == oracle_result["clusters"]
+
+
+def test_checkpoint_resume(fixture_dir, oracle_result, tmp_path):
+    """Run with checkpointing, then re-run: all stages resume, clusters
+    identical (FIXTURES.md F5)."""
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import DedupPipeline
+
+    cfg = DedupConfig(num_partitions=4)
+    ck = str(tmp_path / "ckpt")
+    ds = ray.data.read_parquet(fixture_dir["dir"])
+    r1 = DedupPipeline(cfg, ck).run(ds)
+    cl1 = {r["conv_id"]: r["cluster_id"] for r in r1["clusters"].take_all()}
+
+    ds2 = ray.data.read_parquet(fixture_dir["dir"])
+    p2 = DedupPipeline(cfg, ck)
+    r2 = p2.run(ds2)
+    cl2 = {r["conv_id"]: r["cluster_id"] for r in r2["clusters"].take_all()}
+    assert cl1 == cl2 == oracle_result["clusters"]
+    for name, ent in p2.metrics["stages"].items():
+        assert ent["resumed"], f"stage {name} should have resumed"
+
+
+def test_cluster_chain_convergence(ray_session):
+    """Long chains (the skew-cap path) must converge quickly via
+    large-star/small-star, not O(n) rounds."""
+    import ray.data
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.cluster import cluster_edges
+
+    n = 150
+    ids = [f"n{i:05d}" for i in range(n)]
+    edges = pa.table({"a": ids[:-1], "b": ids[1:]})
+    out = cluster_edges(ray.data.from_arrow(edges), 4, max_rounds=15)
+    labels = {r["conv_id"]: r["cluster_id"] for r in out.take_all()}
+    assert len(labels) == n
+    assert set(labels.values()) == {ids[0]}
