@@ -76,8 +76,11 @@ def minhash_dedup_documents(ds, cfg: DedupConfig | None = None,
 
     docs = ds.select_columns([id_col, text_col]).map_batches(
         adapt, batch_format="pyarrow", zero_copy_batch=True)
-    sigs = sign(docs, cfg)
-    pairs = candidate_pairs(sigs, cfg)
+    # materialize between stages: sigs and pairs are each consumed by two
+    # downstream ops (pairs + verify; candidate-id scan + joins) — without
+    # pinning them the lazy chains re-execute the signer several times
+    sigs = sign(docs, cfg).materialize()
+    pairs = candidate_pairs(sigs, cfg).materialize()
     verified = verify_pairs(pairs, sigs, cfg)
     edges = verified.filter(expr="is_dup == True").select_columns(["a", "b"])
     return cluster_edges(edges, cfg.num_partitions)
@@ -204,7 +207,7 @@ def exact_top_tokens(ds, text_col: str = "text", k: int = 20,
                              "cnt": pa.array([], type=pa.int64())})
         t = pa.table({"token": vc.field("values"),
                       "cnt": vc.field("counts").cast(pa.int64())})
-        return t.filter(pc.notequal(t.column("token"), ""))
+        return t.filter(pc.not_equal(t.column("token"), ""))
 
     def fold(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:

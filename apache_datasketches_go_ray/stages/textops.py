@@ -45,7 +45,13 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def quality_stats_batch(batch: pa.Table, text_col: str = "text",
                         round_to: int = 4) -> pa.Table:
     """Append quality-signal columns: n_chars, n_tokens, mean_token_len,
-    stopword_ratio (en), digit_ratio, quality_score."""
+    stopword_ratio (en), digit_ratio, quality_score. Pre-existing columns
+    with the same names are replaced."""
+    drop = [c for c in ("n_chars", "n_tokens", "mean_token_len",
+                        "stopword_ratio", "digit_ratio", "quality_score")
+            if c in batch.column_names]
+    if drop:
+        batch = batch.drop_columns(drop)
     texts = as_array(batch.column(text_col))
     n = len(texts)
     n_chars = pc.utf8_length(texts).cast(pa.int64())
@@ -77,14 +83,19 @@ def quality_stats_batch(batch: pa.Table, text_col: str = "text",
         + np.clip(sw_ratio * 5, 0, 1) * 0.2
         + np.clip(1.0 - np.abs(mean_tok - 5.0) / 10.0, 0, 1) * 0.2
     )
-    r = round_to
+    if round_to is not None:
+        r = round_to
+        mean_tok = np.round(mean_tok, r)
+        sw_ratio = np.round(sw_ratio, r)
+        digit_ratio = np.round(digit_ratio, r)
+        score = np.round(score, r)
     return (
         batch.append_column("n_chars", n_chars)
         .append_column("n_tokens", n_tokens)
-        .append_column("mean_token_len", pa.array(np.round(mean_tok, r)))
-        .append_column("stopword_ratio", pa.array(np.round(sw_ratio, r)))
-        .append_column("digit_ratio", pa.array(np.round(digit_ratio, r)))
-        .append_column("quality_score", pa.array(np.round(score, r)))
+        .append_column("mean_token_len", pa.array(mean_tok))
+        .append_column("stopword_ratio", pa.array(sw_ratio))
+        .append_column("digit_ratio", pa.array(digit_ratio))
+        .append_column("quality_score", pa.array(score))
     )
 
 

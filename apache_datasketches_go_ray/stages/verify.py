@@ -1,11 +1,23 @@
 """Candidate-pair verification: exact Jaccard + suffix-array containment.
 
-Join strategy: the candidate pair set is orders of magnitude smaller than
-the corpus (bounded by the band caps), so we first stream-filter the
-signature table down to candidate conv_ids using a broadcast id set
-(``ray.put`` once, read per task — a semi-join that avoids shuffling the
-full signature table), then hash-join pairs with the filtered signatures
-on each endpoint (Ray Dataset.join, 2 joins).
+Join strategy (no ``Dataset.join``): the candidate pair set is orders of
+magnitude smaller than the corpus (bounded by the band caps), so we
+
+  1. stream-filter the signature table down to candidate conv_ids with a
+     **broadcast semi-join** — the candidate-id *hash* set is ``ray.put``
+     once as a sorted uint64 array and probed per task with
+     ``np.searchsorted`` (zero-copy from plasma; a 64-bit collision only
+     keeps a harmless extra row that the in-block join drops);
+  2. attach each endpoint's payload (shingle set, text) with a
+     **tagged-union co-partition join**: pair rows and candidate signature
+     rows are unioned into one dataset, hash-partitioned on the endpoint
+     key (``repartition(P, keys=["key"])`` co-locates equal keys), and
+     joined per block with vectorized ``pyarrow.Table.join``.
+
+This uses only the hash-shuffle repartition primitive shared by every
+other wide stage — no extra aggregator-actor pools — so the pipeline
+schedules cleanly even on tiny (4-CPU) local sessions while remaining the
+standard reduce-side join at cluster scale.
 
 A pair becomes an edge when
   * exact Jaccard(shingles_a, shingles_b) >= jaccard_threshold, or
@@ -16,72 +28,156 @@ A pair becomes an edge when
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..config import DedupConfig
 from ..functions.jaccard import intersect_size
+from ..functions.murmur3 import hash_strings
 from ..functions.suffixarray import longest_common_substring
+from .arrow_util import as_array
 
 
-class _FilterToCandidates:
-    def __init__(self, ids_ref):
-        self.ids = ray.get(ids_ref) if not isinstance(ids_ref, set) else ids_ref
+# ---------------------------------------------------------------------------
+# broadcast semi-join: signatures -> candidate signatures
+# ---------------------------------------------------------------------------
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [c in self.ids for c in batch.column("conv_id").to_pylist()]
-        )
-        return batch.filter(mask)
+def _filter_to_candidates(batch: pa.Table, ids_ref) -> pa.Table:
+    """Keep rows whose hashed conv_id is in the broadcast sorted array."""
+    hashes = ray.get(ids_ref)  # sorted uint64 np array; plasma zero-copy
+    conv = as_array(batch.column("conv_id")).to_pylist()
+    h, _ = hash_strings(conv)
+    idx = np.searchsorted(hashes, h)
+    idx[idx >= len(hashes)] = 0
+    mask = hashes[idx] == h if len(hashes) else np.zeros(len(h), dtype=bool)
+    return batch.filter(pa.array(mask))
 
 
-class PairVerifier:
-    def __init__(self, config: DedupConfig):
-        self.cfg = config
+# ---------------------------------------------------------------------------
+# tagged-union co-partition join
+# ---------------------------------------------------------------------------
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        n = len(batch)
-        sh_a_list = batch.column("shingles_a").to_pylist()
-        sh_b_list = batch.column("shingles_b").to_pylist()
-        texts_a = batch.column("text_a").to_pylist() if "text_a" in batch.column_names else [None] * n
-        texts_b = batch.column("text_b").to_pylist() if "text_b" in batch.column_names else [None] * n
+def _tag_left(batch: pa.Table, key_col: str, sig_cols: list[str]) -> pa.Table:
+    """Pair-side rows: key = endpoint id, null signature payload."""
+    n = len(batch)
+    cols = {"key": batch.column(key_col).cast(pa.string())}
+    for c in batch.column_names:
+        cols[c] = batch.column(c)
+    for c in sig_cols:
+        typ = pa.large_binary() if c.startswith("shingles") else pa.string()
+        cols[c] = pa.nulls(n, typ)
+    cols["tag"] = pa.array(np.zeros(n, dtype=np.int8))
+    return pa.table(cols)
 
-        jac = np.zeros(n)
-        con = np.zeros(n)
-        ok = np.zeros(n, dtype=bool)
-        method = np.empty(n, dtype=object)
-        for i in range(n):
-            A = np.frombuffer(sh_a_list[i], dtype=np.uint64)
-            B = np.frombuffer(sh_b_list[i], dtype=np.uint64)
-            inter = intersect_size(A, B)
-            union = len(A) + len(B) - inter
-            m = min(len(A), len(B))
-            jac[i] = inter / union if union else 1.0
-            con[i] = inter / m if m else (1.0 if len(A) == len(B) else 0.0)
-            if jac[i] >= cfg.jaccard_threshold:
+
+def _tag_right(batch: pa.Table, pair_cols: list[tuple[str, pa.DataType]],
+               suffix: str, has_text: bool) -> pa.Table:
+    """Signature-side rows: key = conv_id, null pair payload."""
+    n = len(batch)
+    cols = {"key": batch.column("conv_id").cast(pa.string())}
+    for c, typ in pair_cols:
+        cols[c] = pa.nulls(n, typ)
+    cols[f"shingles_{suffix}"] = batch.column("shingles")
+    if has_text:
+        cols[f"text_{suffix}"] = batch.column("text").cast(pa.string())
+    cols["tag"] = pa.array(np.ones(n, dtype=np.int8))
+    return pa.table(cols)
+
+
+def _block_join(batch: pa.Table, sig_cols: list[str]) -> pa.Table:
+    """In-block hash join of co-partitioned pair and signature rows."""
+    tag = batch.column("tag")
+    pairs = batch.filter(pc.equal(tag, 0))
+    sigs = batch.filter(pc.equal(tag, 1))
+    left_cols = [c for c in batch.column_names
+                 if c not in ("tag", *sig_cols)]
+    left = pairs.select(left_cols)
+    right_cols = {"key": sigs.column("key")}
+    for c in sig_cols:
+        right_cols[c] = sigs.column(c)
+    right = pa.table(right_cols)
+    # candidate signature rows are unique per conv_id; vectorized Acero join
+    joined = left.join(right, keys=["key"], join_type="left outer")
+    return joined.drop_columns(["key"])
+
+
+def _attach_endpoint(ds, cand_sigs, key_col: str, suffix: str,
+                     has_text: bool, P: int):
+    """ds (pair rows) + cand_sigs -> ds with shingles_/text_<suffix>."""
+    sig_cols = [f"shingles_{suffix}"] + (
+        [f"text_{suffix}"] if has_text else [])
+    schema = ds.schema()
+    pair_cols = list(zip(schema.names, schema.types))
+
+    left = ds.map_batches(
+        functools.partial(_tag_left, key_col=key_col, sig_cols=sig_cols),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = cand_sigs.map_batches(
+        functools.partial(_tag_right, pair_cols=pair_cols, suffix=suffix,
+                          has_text=has_text),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        left.union(right)
+        .repartition(P, keys=["key"])
+        .map_batches(functools.partial(_block_join, sig_cols=sig_cols),
+                     batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact verification kernel
+# ---------------------------------------------------------------------------
+
+def _verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    n = len(batch)
+    names = batch.column_names
+    sh_a_list = batch.column("shingles_a").to_pylist()
+    sh_b_list = batch.column("shingles_b").to_pylist()
+    texts_a = batch.column("text_a").to_pylist() if "text_a" in names else [None] * n
+    texts_b = batch.column("text_b").to_pylist() if "text_b" in names else [None] * n
+
+    jac = np.zeros(n)
+    con = np.zeros(n)
+    ok = np.zeros(n, dtype=bool)
+    method = np.empty(n, dtype=object)
+    for i in range(n):
+        if sh_a_list[i] is None or sh_b_list[i] is None:
+            method[i] = "rejected"
+            continue
+        A = np.frombuffer(sh_a_list[i], dtype=np.uint64)
+        B = np.frombuffer(sh_b_list[i], dtype=np.uint64)
+        inter = intersect_size(A, B)
+        union = len(A) + len(B) - inter
+        m = min(len(A), len(B))
+        jac[i] = inter / union if union else 1.0
+        con[i] = inter / m if m else (1.0 if len(A) == len(B) else 0.0)
+        if jac[i] >= cfg.jaccard_threshold:
+            ok[i] = True
+            method[i] = "jaccard"
+        elif con[i] >= cfg.containment_threshold and texts_a[i] is not None:
+            ta, tb = texts_a[i], texts_b[i]
+            lcs = longest_common_substring(ta, tb)
+            shorter = min(len(ta.encode()), len(tb.encode()))
+            if shorter and lcs >= cfg.substring_frac * shorter:
                 ok[i] = True
-                method[i] = "jaccard"
-            elif con[i] >= cfg.containment_threshold and texts_a[i] is not None:
-                ta, tb = texts_a[i], texts_b[i]
-                lcs = longest_common_substring(ta, tb)
-                shorter = min(len(ta.encode()), len(tb.encode()))
-                if shorter and lcs >= cfg.substring_frac * shorter:
-                    ok[i] = True
-                    method[i] = "containment"
-            if not ok[i]:
-                method[i] = "rejected"
-        return pa.table(
-            {
-                "a": batch.column("a"),
-                "b": batch.column("b"),
-                "jaccard": pa.array(jac),
-                "containment": pa.array(con),
-                "method": pa.array(method, type=pa.string()),
-                "is_dup": pa.array(ok),
-            }
-        )
+                method[i] = "containment"
+        if not ok[i]:
+            method[i] = "rejected"
+    return pa.table(
+        {
+            "a": batch.column("a"),
+            "b": batch.column("b"),
+            "jaccard": pa.array(jac),
+            "containment": pa.array(con),
+            "method": pa.array(method, type=pa.string()),
+            "is_dup": pa.array(ok),
+        }
+    )
 
 
 def verify_pairs(pairs_ds, sig_ds, config: DedupConfig):
@@ -91,44 +187,41 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig):
     can report rejection rates; filter on is_dup for clustering.
     """
     P = config.num_partitions
-    # ---- broadcast semi-join: shrink signatures to candidate ids ----
-    from .arrow_util import as_array
 
-    id_batches = pairs_ds.map_batches(
-        lambda b: pa.table({"conv_id": pa.concat_arrays(
-            [as_array(b.column("a")).cast(pa.string()),
-             as_array(b.column("b")).cast(pa.string())]
-        )}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    cand_ids = set()
-    for blk in id_batches.iter_batches(batch_size=None, batch_format="pyarrow"):
-        cand_ids.update(blk.column("conv_id").to_pylist())
-    ids_ref = ray.put(cand_ids)
+    # ---- broadcast semi-join: shrink signatures to candidate ids ----
+    def ids_block(b):
+        both = pa.concat_arrays([
+            as_array(b.column("a")).cast(pa.string()),
+            as_array(b.column("b")).cast(pa.string()),
+        ])
+        h, _ = hash_strings(both.to_pylist())
+        return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
+
+    hash_parts = [
+        blk.column("h").to_numpy(zero_copy_only=False)
+        for blk in pairs_ds.map_batches(
+            ids_block, batch_format="pyarrow", zero_copy_batch=True,
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    cand_hashes = (np.unique(np.concatenate(hash_parts))
+                   if hash_parts else np.empty(0, dtype=np.uint64))
+    ids_ref = ray.put(cand_hashes)
 
     keep_cols = ["conv_id", "shingles"]
     has_text = "text" in sig_ds.schema().names
     if has_text:
         keep_cols.append("text")
     cand_sigs = sig_ds.select_columns(keep_cols).map_batches(
-        _FilterToCandidates, fn_constructor_args=(ids_ref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        functools.partial(_filter_to_candidates, ids_ref=ids_ref),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
-    left = cand_sigs.rename_columns(
-        {"conv_id": "a", "shingles": "shingles_a", **({"text": "text_a"} if has_text else {})}
-    )
-    right = cand_sigs.rename_columns(
-        {"conv_id": "b", "shingles": "shingles_b", **({"text": "text_b"} if has_text else {})}
-    )
-    joined = pairs_ds.join(left, join_type="inner", num_partitions=P, on=("a",))
-    joined = joined.join(right, join_type="inner", num_partitions=P, on=("b",))
+    # ---- two co-partition joins (endpoint a, then b) ----
+    pairs = pairs_ds.select_columns(["a", "b"])
+    withe_a = _attach_endpoint(pairs, cand_sigs, "a", "a", has_text, P)
+    withe_ab = _attach_endpoint(withe_a, cand_sigs, "b", "b", has_text, P)
 
-    import ray as _ray
-
-    n_cpu = int(_ray.cluster_resources().get("CPU", 4))
-    return joined.map_batches(
-        PairVerifier, fn_constructor_args=(config,),
+    return withe_ab.map_batches(
+        functools.partial(_verify_batch, cfg=config),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=1024,
-        concurrency=(1, max(2, n_cpu)),
     )

@@ -1,0 +1,143 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns": ..., "turns_per_sec": ...}
+
+--scaling runs the flagship dedup twice in fresh processes (8 CPUs then
+32, or $RAY_GRAFT_SCALING_CPUS="n1,n2") on the same input and reports
+both throughputs plus scaling efficiency (BASELINE.md §3 protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# flagship synthetic transcript sizing per sf tier (seed 42, FIXTURES F1/F2)
+BENCH_CONVS = {"sf0.001": 150, "sf0.01": 600, "sf0.1": 4000}
+
+
+def _bench_transcripts(sf_dir: str) -> str:
+    from apache_datasketches_go_ray.sources.transcripts import write_transcripts
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = BENCH_CONVS.get(name, 4000)
+    cache = f"/tmp/adgr_bench_cache/{name}-{n}"
+    marker = os.path.join(cache, "_complete")
+    if not os.path.exists(marker):
+        write_transcripts(cache, n, seed=42, shards=32)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(cache, "transcripts")
+
+
+def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import ray.data
+    import apache_datasketches_go_ray  # noqa: F401  (hash-shuffle context)
+    from apache_datasketches_go_ray.config import DedupConfig
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+
+    queries: dict[str, float] = {}
+    tdir = _bench_transcripts(sf_dir)
+    turns = ray.data.read_parquet(tdir).count()
+
+    t0 = time.time()
+    cfg = DedupConfig(num_partitions=max(2 * num_cpus, 16))
+    res = run_dedup(ray.data.read_parquet(tdir), cfg)
+    n_clusters = res["clusters"].count()
+    dedup_sec = time.time() - t0
+    queries["transcript_dedup"] = round(dedup_sec, 3)
+
+    if not flagship_only:
+        import __ray_entry__ as entrymod
+
+        for name in ("exact_dedup_docs", "top_tokens", "events_hourly",
+                     "ann_topk", "consecutive_jaccard", "hll_distinct_users",
+                     "simhash_groups"):
+            fn = entrymod.queries()[name]
+            t0 = time.time()
+            out = fn(sf_dir)
+            if hasattr(out, "count"):
+                out.count()
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "transcript dedup + headline ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "turns": turns,
+        "clustered_convs": n_clusters,
+        "turns_per_sec": round(turns / dedup_sec, 1),
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    cpus = [int(c) for c in os.environ.get(
+        "RAY_GRAFT_SCALING_CPUS", "8,32").split(",")]
+    results = []
+    for n in cpus:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n)
+        env["GRAFT_SF_DIR"] = sf_dir
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+            env=env, capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    r_lo, r_hi = results[0], results[1]
+    tp_lo = r_lo["turns_per_sec"]
+    tp_hi = r_hi["turns_per_sec"]
+    ratio = r_hi["num_cpus"] / r_lo["num_cpus"]
+    eff = tp_hi / (ratio * tp_lo)
+    return {
+        "metric": "scaling efficiency (turns/sec, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": r_lo["sf"],
+        "runs": [
+            {"num_cpus": r["num_cpus"], "sec": r["queries"]["transcript_dedup"],
+             "turns_per_sec": r["turns_per_sec"]} for r in results
+        ],
+        "cpu_ratio": ratio,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--flagship-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    result = run_once(SF_DIR, NUM_CPUS, flagship_only=args.flagship_only)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
