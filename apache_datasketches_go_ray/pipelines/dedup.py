@@ -115,11 +115,14 @@ class DedupPipeline:
             "signatures", fp,
             lambda: sign(assembled, cfg, concurrency=signer_concurrency),
         )
+        # pairs stay band-deduped only; the (a, b) dedup happens for free
+        # inside verify's first co-partition join (saves one all-to-all)
         pairs, fp = self._stage(
-            "pairs", fp, lambda: candidate_pairs(signatures, cfg),
+            "pairs", fp, lambda: candidate_pairs(signatures, cfg, dedup=False),
         )
         verified, fp = self._stage(
-            "verified", fp, lambda: verify_pairs(pairs, signatures, cfg),
+            "verified", fp,
+            lambda: verify_pairs(pairs, signatures, cfg, dedup_pairs=True),
         )
         edges = verified.filter(expr="is_dup == True").select_columns(["a", "b"])
 

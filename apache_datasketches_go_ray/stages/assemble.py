@@ -53,9 +53,12 @@ def assemble_block(batch: pa.Table) -> pa.Table:
 
 def assemble(ds, num_partitions: int):
     """transcript rows -> one row per conversation (conv_id, text, n_turns)."""
+    from .context import auto_partitions
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
     return (
         ds.select_columns(["conv_id", "turn_idx", "text"])
-        .repartition(num_partitions, keys=["conv_id"])
+        .repartition(P, keys=["conv_id"])
         .map_batches(assemble_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )

@@ -5,12 +5,20 @@ large-star / small-star rounds (Kiveris et al., "Connected Components in
 MapReduce and Beyond" — public algorithm), which converges in O(log^2 n)
 rounds even on long chains (the skew-cap pair chains from stages/lsh.py
 can be long). Built ONLY from key-colocating hash shuffles
-(``repartition(keys=...)``) and vectorized per-block group scans — no
-driver-side row loops, no Dataset.join.
+(``repartition(keys=...)``) and fully vectorized per-block group scans —
+no driver-side row loops, no Dataset.join.
 
   large-star(u): for neighbors v > u, rewire v to m = min(N(u) ∪ {u})
   small-star(u): for neighbors v <= u, rewire v and u to
                  m = min({v in N(u): v <= u} ∪ {u})
+
+Per-block vectorization: conv_id strings are encoded once per block with
+``np.unique`` (block-local integer codes that preserve global string
+order, so min-by-code == min-by-string), and every star operation is
+reduceat/mask arithmetic over the codes. Edges are deduped in-block (the
+only place duplicates can meet is the block that owns their source key),
+so no separate dedup shuffle is needed — one shuffle per star, two per
+round, one materialization per round.
 
 The edge set monotonically contracts toward stars rooted at each
 component's minimum id; at the fixed point every edge is (component_min,
@@ -18,7 +26,9 @@ member), giving deterministic min-id cluster labels identical to the
 single-process oracle's DSU labeling. Fixed point is detected by an
 (edge-count, order-independent checksum) pair going stable.
 
-Each round's edge set can be checkpointed through ``checkpoint_cb``.
+Partition count is auto-sized to the edge volume (tiny edge sets don't
+pay for wide shuffles; huge ones still spread) and each round's edge set
+can be checkpointed through ``checkpoint_cb``.
 """
 
 from __future__ import annotations
@@ -30,14 +40,31 @@ import ray.data
 from .arrow_util import as_array
 from ..functions.murmur3 import fmix64, hash_strings
 
+# target edges per shuffle partition when auto-sizing
+_EDGES_PER_PART = 50_000
 
-def _group_bounds(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    newgrp = np.ones(len(sorted_keys), dtype=bool)
-    if len(sorted_keys) > 1:
-        newgrp[1:] = sorted_keys[1:] != sorted_keys[:-1]
-    starts = np.flatnonzero(newgrp)
-    ends = np.concatenate([starts[1:], [len(sorted_keys)]])
-    return starts, ends
+
+def _encode_block(batch: pa.Table, c0: str, c1: str):
+    """(str col, str col) -> (codes0, codes1, decode table). Block-local
+    codes preserve global string order."""
+    a = np.asarray(as_array(batch.column(c0)).to_pylist(), dtype=object)
+    b = np.asarray(as_array(batch.column(c1)).to_pylist(), dtype=object)
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(a)
+    return inv[:n].astype(np.int64), inv[n:].astype(np.int64), uniq
+
+
+def _dedup_codes(u: np.ndarray, v: np.ndarray, k: int):
+    """Unique (u, v) pairs via a packed int64 key; returns sorted by u,v."""
+    key = np.unique(u * k + v)
+    return key // k, key % k
+
+
+def _emit(uniq: np.ndarray, a: np.ndarray, b: np.ndarray) -> pa.Table:
+    return pa.table({
+        "a": pa.array(uniq[a], type=pa.string()),
+        "b": pa.array(uniq[b], type=pa.string()),
+    })
 
 
 def _explode_bidirectional(batch: pa.Table) -> pa.Table:
@@ -49,44 +76,48 @@ def _explode_bidirectional(batch: pa.Table) -> pa.Table:
     })
 
 
+def _group_starts(u_sorted: np.ndarray):
+    newgrp = np.ones(len(u_sorted), dtype=bool)
+    if len(u_sorted) > 1:
+        newgrp[1:] = u_sorted[1:] != u_sorted[:-1]
+    starts = np.flatnonzero(newgrp)
+    counts = np.diff(np.concatenate([starts, [len(u_sorted)]]))
+    return starts, counts
+
+
 def _star_block(batch: pa.Table, large: bool) -> pa.Table:
     """One star operation over all nodes whose neighborhoods live in this
-    block (hash-partitioned on u)."""
-    u = np.asarray(as_array(batch.column("u")).to_pylist(), dtype=object)
-    v = np.asarray(as_array(batch.column("v")).to_pylist(), dtype=object)
-    order = np.lexsort((v, u))
-    u_s, v_s = u[order], v[order]
-    starts, ends = _group_bounds(u_s)
-    a_out: list = []
-    b_out: list = []
-    for s, e in zip(starts, ends):
-        node = u_s[s]
-        nbrs = v_s[s:e]
-        if large:
-            m = min(node, nbrs[0])  # nbrs sorted; nbrs[0] is min neighbor
-            for t in nbrs:
-                if t > node and t != m:
-                    a_out.append(m if m < t else t)
-                    b_out.append(t if m < t else m)
-        else:
-            small = [t for t in nbrs if t <= node]
-            m = min([node] + small) if small else node
-            for t in small:
-                if t != m:
-                    a_out.append(m)
-                    b_out.append(t)
-            if node != m:
-                a_out.append(m)
-                b_out.append(node)
-    return pa.table({"a": pa.array(a_out, type=pa.string()),
-                     "b": pa.array(b_out, type=pa.string())})
-
-
-def _dedup_block(batch: pa.Table) -> pa.Table:
+    block (hash-partitioned on u). Fully vectorized on block-local codes."""
     if len(batch) == 0:
-        return batch
-    t = batch.group_by(["a", "b"]).aggregate([])
-    return t.select(["a", "b"])
+        return pa.table({"a": pa.array([], type=pa.string()),
+                         "b": pa.array([], type=pa.string())})
+    u, v, uniq = _encode_block(batch, "u", "v")
+    k = len(uniq)
+    u, v = _dedup_codes(u, v, k)            # sorted by (u, v)
+    starts, counts = _group_starts(u)
+    nodes = u[starts]
+    min_nbr = v[starts]                      # v sorted within group
+    if large:
+        # m = min(node, min neighbor); emit (m, t) for t > node, t != m
+        m = np.minimum(nodes, min_nbr)
+        grp_m = np.repeat(m, counts)
+        mask = (v > u) & (v != grp_m)
+        a_c, b_c = grp_m[mask], v[mask]
+    else:
+        # m = min(node, min small neighbor); emit (m, t) for small t != m
+        # and (m, node) when node != m
+        first_small = np.where(min_nbr <= nodes, min_nbr, nodes)
+        m = np.minimum(nodes, first_small)
+        grp_m = np.repeat(m, counts)
+        mask = (v <= u) & (v != grp_m)
+        keep_node = nodes != m
+        a_c = np.concatenate([grp_m[mask], m[keep_node]])
+        b_c = np.concatenate([v[mask], nodes[keep_node]])
+    if len(a_c) == 0:
+        return pa.table({"a": pa.array([], type=pa.string()),
+                         "b": pa.array([], type=pa.string())})
+    a_c, b_c = _dedup_codes(a_c, b_c, k)
+    return _emit(uniq, a_c, b_c)
 
 
 def _checksum_block(batch: pa.Table) -> pa.Table:
@@ -116,16 +147,13 @@ def _fingerprint(edges) -> tuple[int, int]:
     return n, h
 
 
-def _star_round(edges, P: int, large: bool):
+def _star(edges, P: int, large: bool):
     return (
         edges.map_batches(_explode_bidirectional, batch_format="pyarrow",
                           zero_copy_batch=True)
         .repartition(P, keys=["u"])
         .map_batches(lambda t, large=large: _star_block(t, large),
                      batch_format="pyarrow", batch_size=None,
-                     zero_copy_batch=True)
-        .repartition(P, keys=["a", "b"])
-        .map_batches(_dedup_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
 
@@ -136,17 +164,18 @@ def cluster_edges(edges_ds, num_partitions: int, max_rounds: int = 40,
 
     Only nodes appearing in edges are returned (singleton convs are
     implicit clusters of themselves)."""
-    P = num_partitions
     empty = pa.table({"conv_id": pa.array([], type=pa.string()),
                       "cluster_id": pa.array([], type=pa.string())})
     edges = edges_ds.select_columns(["a", "b"]).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(empty)
+    P = int(np.clip(-(-n_edges // _EDGES_PER_PART), 1, num_partitions))
 
     fp = _fingerprint(edges)
     for rnd in range(max_rounds):
-        edges = _star_round(edges, P, large=True).materialize()
-        edges = _star_round(edges, P, large=False).materialize()
+        # large-star then small-star, one materialization per round
+        edges = _star(_star(edges, P, large=True), P, large=False).materialize()
         if checkpoint_cb is not None:
             checkpoint_cb(rnd, edges)
         new_fp = _fingerprint(edges)
@@ -157,16 +186,18 @@ def cluster_edges(edges_ds, num_partitions: int, max_rounds: int = 40,
     # fixed point: every edge is (component_min, member). Labels: member ->
     # min neighbor; centers label themselves.
     def labels_block(batch: pa.Table) -> pa.Table:
-        u = np.asarray(as_array(batch.column("u")).to_pylist(), dtype=object)
-        v = np.asarray(as_array(batch.column("v")).to_pylist(), dtype=object)
-        order = np.lexsort((v, u))
-        u_s, v_s = u[order], v[order]
-        starts, _ends = _group_bounds(u_s)
-        nodes = u_s[starts]
-        min_nbr = v_s[starts]
-        lab = np.minimum(nodes, min_nbr)
-        return pa.table({"conv_id": pa.array(nodes, type=pa.string()),
-                         "cluster_id": pa.array(lab, type=pa.string())})
+        if len(batch) == 0:
+            return empty
+        u, v, uniq = _encode_block(batch, "u", "v")
+        k = len(uniq)
+        u, v = _dedup_codes(u, v, k)
+        starts, _counts = _group_starts(u)
+        nodes = u[starts]
+        lab = np.minimum(nodes, v[starts])
+        return pa.table({
+            "conv_id": pa.array(uniq[nodes], type=pa.string()),
+            "cluster_id": pa.array(uniq[lab], type=pa.string()),
+        })
 
     return (
         edges.map_batches(_explode_bidirectional, batch_format="pyarrow",

@@ -18,6 +18,16 @@ def ensure_hash_shuffle() -> None:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
 
+def auto_partitions(n_rows: int, rows_per_part: int, cap: int) -> int:
+    """Shuffle-partition count sized to the data: tiny inputs don't pay
+    for `cap` micro-blocks (per-task scheduling overhead dominates small
+    shuffles), huge inputs still spread to `cap`. Deterministic in the
+    row count, so resumed/re-run pipelines shuffle identically."""
+    if n_rows <= 0:
+        return 1
+    return int(min(cap, max(1, -(-n_rows // rows_per_part))))
+
+
 def target_block_size(bytes_: int | None = None) -> None:
     """Optionally tune target block size for wide-text datasets."""
     from ray.data.context import DataContext

@@ -80,8 +80,8 @@ def minhash_dedup_documents(ds, cfg: DedupConfig | None = None,
     # downstream ops (pairs + verify; candidate-id scan + joins) — without
     # pinning them the lazy chains re-execute the signer several times
     sigs = sign(docs, cfg).materialize()
-    pairs = candidate_pairs(sigs, cfg).materialize()
-    verified = verify_pairs(pairs, sigs, cfg)
+    pairs = candidate_pairs(sigs, cfg, dedup=False).materialize()
+    verified = verify_pairs(pairs, sigs, cfg, dedup_pairs=True)
     edges = verified.filter(expr="is_dup == True").select_columns(["a", "b"])
     return cluster_edges(edges, cfg.num_partitions)
 

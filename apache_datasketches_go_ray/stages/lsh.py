@@ -89,10 +89,20 @@ def dedup_pairs_block(batch: pa.Table) -> pa.Table:
     return batch.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
 
 
-def candidate_pairs(sig_ds, config: DedupConfig):
-    """signature table -> deduplicated candidate pair table (a < b)."""
-    P = config.num_partitions
-    return (
+def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True):
+    """signature table -> candidate pair table (a < b).
+
+    ``dedup=True`` adds a hash shuffle on (a, b) that removes pairs
+    emitted by several colliding bands. The full pipeline passes
+    ``dedup=False``: verify_pairs' first co-partition join already
+    hash-partitions pairs on ``a`` (same-key colocation), so the dedup
+    happens for free inside that join's block scan and the extra
+    all-to-all exchange is skipped."""
+    from .context import auto_partitions
+
+    P = auto_partitions(sig_ds.count() * config.num_bands, 200_000,
+                        config.num_partitions)
+    pairs = (
         sig_ds.map_batches(explode_bands, batch_format="pyarrow",
                            zero_copy_batch=True)
         .repartition(P, keys=["band_hash"])
@@ -100,7 +110,11 @@ def candidate_pairs(sig_ds, config: DedupConfig):
             lambda b: pairs_in_block(b, config.max_band_group),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         )
-        .repartition(P, keys=["a", "b"])
+    )
+    if not dedup:
+        return pairs
+    return (
+        pairs.repartition(P, keys=["a", "b"])
         .map_batches(dedup_pairs_block, batch_format="pyarrow",
                      batch_size=None, zero_copy_batch=True)
     )

@@ -88,7 +88,8 @@ def _tag_right(batch: pa.Table, pair_cols: list[tuple[str, pa.DataType]],
     return pa.table(cols)
 
 
-def _block_join(batch: pa.Table, sig_cols: list[str]) -> pa.Table:
+def _block_join(batch: pa.Table, sig_cols: list[str],
+                dedup_pairs: bool = False) -> pa.Table:
     """In-block hash join of co-partitioned pair and signature rows."""
     tag = batch.column("tag")
     pairs = batch.filter(pc.equal(tag, 0))
@@ -96,6 +97,10 @@ def _block_join(batch: pa.Table, sig_cols: list[str]) -> pa.Table:
     left_cols = [c for c in batch.column_names
                  if c not in ("tag", *sig_cols)]
     left = pairs.select(left_cols)
+    if dedup_pairs and len(left):
+        # pairs keyed on `a` are co-located here, so (a, b) dedup of
+        # multi-band emissions is a free in-block group_by
+        left = left.group_by(left_cols).aggregate([]).select(left_cols)
     right_cols = {"key": sigs.column("key")}
     for c in sig_cols:
         right_cols[c] = sigs.column(c)
@@ -106,7 +111,7 @@ def _block_join(batch: pa.Table, sig_cols: list[str]) -> pa.Table:
 
 
 def _attach_endpoint(ds, cand_sigs, key_col: str, suffix: str,
-                     has_text: bool, P: int):
+                     has_text: bool, P: int, dedup_pairs: bool = False):
     """ds (pair rows) + cand_sigs -> ds with shingles_/text_<suffix>."""
     sig_cols = [f"shingles_{suffix}"] + (
         [f"text_{suffix}"] if has_text else [])
@@ -123,7 +128,8 @@ def _attach_endpoint(ds, cand_sigs, key_col: str, suffix: str,
     return (
         left.union(right)
         .repartition(P, keys=["key"])
-        .map_batches(functools.partial(_block_join, sig_cols=sig_cols),
+        .map_batches(functools.partial(_block_join, sig_cols=sig_cols,
+                                       dedup_pairs=dedup_pairs),
                      batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
@@ -180,13 +186,22 @@ def _verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
 
 
-def verify_pairs(pairs_ds, sig_ds, config: DedupConfig):
+def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
+                 dedup_pairs: bool = False):
     """pairs (a,b) + signature table -> verified edge table.
 
     Returns the full verification table (is_dup marks edges) so metrics
     can report rejection rates; filter on is_dup for clustering.
+    ``dedup_pairs=True`` removes duplicate (a, b) rows inside the first
+    co-partition join (pairs produced with ``candidate_pairs(...,
+    dedup=False)``).
     """
-    P = config.num_partitions
+    from .context import auto_partitions
+
+    # pin pairs: consumed by the id scan, the sizing count and the joins
+    pairs_ds = pairs_ds.materialize()
+    # size the join shuffles to the candidate volume, not the corpus
+    P = auto_partitions(pairs_ds.count(), 25_000, config.num_partitions)
 
     # ---- broadcast semi-join: shrink signatures to candidate ids ----
     def ids_block(b):
@@ -211,14 +226,17 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig):
     has_text = "text" in sig_ds.schema().names
     if has_text:
         keep_cols.append("text")
+    # materialized: both co-partition joins consume it — without pinning,
+    # the semi-join filter scan over the signature table runs twice
     cand_sigs = sig_ds.select_columns(keep_cols).map_batches(
         functools.partial(_filter_to_candidates, ids_ref=ids_ref),
         batch_format="pyarrow", zero_copy_batch=True,
-    )
+    ).materialize()
 
     # ---- two co-partition joins (endpoint a, then b) ----
     pairs = pairs_ds.select_columns(["a", "b"])
-    withe_a = _attach_endpoint(pairs, cand_sigs, "a", "a", has_text, P)
+    withe_a = _attach_endpoint(pairs, cand_sigs, "a", "a", has_text, P,
+                               dedup_pairs=dedup_pairs)
     withe_ab = _attach_endpoint(withe_a, cand_sigs, "b", "b", has_text, P)
 
     return withe_ab.map_batches(

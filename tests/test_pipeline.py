@@ -58,8 +58,10 @@ def test_assembly_preserves_turn_order(fixture_dir, pipeline_result):
 
 
 def test_pipeline_matches_oracle_pairs(pipeline_result, oracle_result):
-    pipe = sorted((r["a"], r["b"]) for r in pipeline_result["pairs"].take_all())
-    assert pipe == oracle_result["pairs"]
+    # the pipeline's pairs stage is band-deduped only (the (a,b) dedup
+    # happens inside verify's first co-partition join) -> compare as sets
+    pipe = {(r["a"], r["b"]) for r in pipeline_result["pairs"].take_all()}
+    assert pipe == set(oracle_result["pairs"])
 
 
 def test_pipeline_matches_oracle_edges(pipeline_result, oracle_result):
