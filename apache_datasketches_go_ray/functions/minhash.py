@@ -48,23 +48,41 @@ def signatures(
     if len(flat_shingles) == 0:
         return out
     lens = np.diff(offsets)
-    nonempty = lens > 0
-    starts = offsets[:-1][nonempty].astype(np.int64)
     flat = np.ascontiguousarray(flat_shingles, dtype=np.uint64)
-    # per-permutation 1-D pass: keeps temporaries cache-sized instead of a
-    # (total, 128) broadcast matrix
-    col = np.empty(int(nonempty.sum()), dtype=np.uint64)
-    sub = np.empty_like(flat)
-    for p in range(P):
-        np.bitwise_xor(flat, keys[p], out=sub)
-        # inline fmix64 (murmur3 finalizer), in place
-        sub ^= sub >> np.uint64(33)
-        sub *= np.uint64(0xFF51AFD7ED558CCD)
-        sub ^= sub >> np.uint64(33)
-        sub *= np.uint64(0xC4CEB9FE1A85EC53)
-        sub ^= sub >> np.uint64(33)
-        np.minimum.reduceat(sub, starts, out=col)
-        out[nonempty, p] = col
+    offsets = np.asarray(offsets, dtype=np.int64)
+
+    # chunk over doc boundaries so each permutation pass works on an
+    # L2-resident slice: the P=128 passes re-read the same hot ~4 MB
+    # instead of streaming the full shingle array from DRAM 128 times
+    CHUNK = 1 << 16
+    sub = np.empty(min(len(flat), CHUNK * 2), dtype=np.uint64)
+    d0 = 0
+    while d0 < n_docs:
+        d1 = int(np.searchsorted(offsets, offsets[d0] + CHUNK, side="left"))
+        d1 = min(max(d1, d0 + 1), n_docs)
+        lo, hi = offsets[d0], offsets[d1]
+        if hi == lo:
+            d0 = d1
+            continue
+        part = flat[lo:hi]
+        ne = lens[d0:d1] > 0
+        starts_local = (offsets[d0:d1][ne] - lo).astype(np.int64)
+        docs_local = np.arange(d0, d1)[ne]
+        if len(part) > len(sub):
+            sub = np.empty(len(part), dtype=np.uint64)
+        s = sub[: len(part)]
+        col = np.empty(len(starts_local), dtype=np.uint64)
+        for p in range(P):
+            np.bitwise_xor(part, keys[p], out=s)
+            # inline fmix64 (murmur3 finalizer), in place
+            s ^= s >> np.uint64(33)
+            s *= np.uint64(0xFF51AFD7ED558CCD)
+            s ^= s >> np.uint64(33)
+            s *= np.uint64(0xC4CEB9FE1A85EC53)
+            s ^= s >> np.uint64(33)
+            np.minimum.reduceat(s, starts_local, out=col)
+            out[docs_local, p] = col
+        d0 = d1
     return out
 
 
