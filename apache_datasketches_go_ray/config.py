@@ -28,6 +28,14 @@ class DedupConfig:
     # suffix-array containment pass: min shared-substring fraction of the
     # smaller document's text
     substring_frac: float = 0.5
+    # candidate prefilter: each band row carries a digest of
+    # num_perms//prefilter_stride sampled signature slots; a candidate
+    # pair is emitted only if >= prefilter_min_matches digest slots agree
+    # (drops the mass of J~0.1 band collisions before any payload join;
+    # P[drop | true J >= 0.5] ~ Binom(32, 0.5) P(X < 9) ~ 0.4%, and the
+    # oracle applies the identical rule so parity is exact)
+    prefilter_stride: int = 4
+    prefilter_min_matches: int = 9
     # skew handling
     max_band_group: int = 64      # cap pair generation per band bucket
     hot_key_salt: int = 8         # fan-out for hot band keys

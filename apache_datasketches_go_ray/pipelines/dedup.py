@@ -68,8 +68,14 @@ class DedupPipeline:
         h.update(upstream_fp.encode())
         return h.hexdigest()[:16]
 
-    def _stage(self, name: str, upstream_fp: str, build, schema_cols=None):
-        """Run or resume one checkpointed stage; returns (ds, fingerprint)."""
+    def _stage(self, name: str, upstream_fp: str, build, *,
+               materialize: bool = True):
+        """Run or resume one checkpointed stage; returns (ds, fingerprint).
+
+        ``materialize=False`` (no-checkpoint mode only) leaves the stage
+        lazy so a single-consumer stage fuses into its downstream chain
+        instead of paying a barrier + object-store round-trip.
+        """
         fp = self._fingerprint(name, upstream_fp)
         t0 = time.time()
         if self.ckpt:
@@ -93,9 +99,12 @@ class DedupPipeline:
                 "sec": round(time.time() - t0, 3),
             }
             self._save_manifest(man)
-        else:
+        elif materialize:
             ds = build().materialize()
             rows = ds.count()
+        else:
+            ds = build()
+            rows = None
         self.metrics["stages"][name] = {
             "resumed": False, "rows": rows, "sec": round(time.time() - t0, 3),
         }
@@ -107,9 +116,12 @@ class DedupPipeline:
         cfg = self.cfg
         t_start = time.time()
 
+        # assembled is consumed once (by sign): leave it lazy so the
+        # repartition -> assemble -> sign chain streams without a barrier
         assembled, fp = self._stage(
             "assembled", input_fingerprint,
             lambda: assemble(transcripts_ds, cfg.num_partitions),
+            materialize=False,
         )
         signatures, fp = self._stage(
             "signatures", fp,
@@ -120,6 +132,10 @@ class DedupPipeline:
         pairs, fp = self._stage(
             "pairs", fp, lambda: candidate_pairs(signatures, cfg, dedup=False),
         )
+        # verified IS materialized: fusing its two co-partition joins into
+        # the clustering chain makes the streaming executor schedule both
+        # repartitions + union branches concurrently, ~6x slower than
+        # stage-wise execution (measured at 200k convs)
         verified, fp = self._stage(
             "verified", fp,
             lambda: verify_pairs(pairs, signatures, cfg, dedup_pairs=True),

@@ -65,19 +65,26 @@ def oracle_dedup(table: pa.Table, cfg: DedupConfig) -> dict:
         for bh in bands[i]:
             buckets[int(bh)].append(i)
 
+    # digest prefilter — identical rule to stages/lsh.pairs_in_block
+    # (low byte of each sampled slot)
+    dig = np.ascontiguousarray(sigs[:, :: cfg.prefilter_stride].astype(np.uint8))
+    idx_by_id = {c: i for i, c in enumerate(ids)}
+
     pair_set: set[tuple[str, str]] = set()
     for members_idx in buckets.values():
         members = sorted({ids[i] for i in members_idx})
         g = len(members)
         if g < 2:
             continue
+        midx = [idx_by_id[m] for m in members]
         if g <= cfg.max_band_group:
-            for x in range(g):
-                for y in range(x + 1, g):
-                    pair_set.add((members[x], members[y]))
+            cand = [(x, y) for x in range(g) for y in range(x + 1, g)]
         else:
-            for x in range(g - 1):
-                pair_set.add((members[x], members[x + 1]))
+            cand = [(x, x + 1) for x in range(g - 1)]
+        for x, y in cand:
+            if int((dig[midx[x]] == dig[midx[y]]).sum()) \
+                    >= cfg.prefilter_min_matches:
+                pair_set.add((members[x], members[y]))
 
     idx_of = {c: i for i, c in enumerate(ids)}
     edges = []

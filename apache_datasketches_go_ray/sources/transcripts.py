@@ -16,6 +16,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 VOCAB_SIZE = 5000
@@ -31,18 +32,28 @@ def vocab() -> np.ndarray:
     return _VOCAB
 
 
+_ZIPF_CDF = None
+
+
 def _zipf_tokens(rng: np.random.Generator, n: int) -> np.ndarray:
-    """Zipf-distributed token ids clipped to the vocabulary."""
-    z = rng.zipf(1.3, size=int(n * 1.05) + 16)
-    z = z[z <= VOCAB_SIZE][:n]
-    while len(z) < n:
-        extra = rng.zipf(1.3, size=n)
-        z = np.concatenate([z, extra[extra <= VOCAB_SIZE]])[:n]
-    return (z - 1).astype(np.int64)
+    """Zipf(1.3)-distributed token ids truncated to the vocabulary, via
+    inverse-CDF sampling (numpy's rejection sampler is ~60x slower for
+    a < 2 and was clipped to the same truncated distribution anyway)."""
+    global _ZIPF_CDF
+    if _ZIPF_CDF is None:
+        w = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64) ** -1.3
+        _ZIPF_CDF = np.cumsum(w / w.sum())
+    return np.searchsorted(_ZIPF_CDF, rng.random(n), side="left").astype(np.int64)
 
 
 def generate_conversations(n_convs: int, seed: int = 42) -> list[dict]:
-    """List of conv dicts: {conv_id, turns: [text...], roles, tools}."""
+    """List of conv dicts: {conv_id, turns: [text...], roles, tools}.
+
+    Vectorized: all turn texts are built in one pyarrow ``binary_join``
+    over the flat zipf token stream (no per-turn Python join), so bench
+    fixtures of hundreds of thousands of conversations generate in
+    seconds. Draw order matches the original generator (n_turns,
+    toks_per_turn, token_ids, tool_draw, tool_kind from one rng)."""
     rng = np.random.default_rng(seed)
     V = vocab()
     n_turns = rng.integers(2, 25, size=n_convs)
@@ -54,34 +65,46 @@ def generate_conversations(n_convs: int, seed: int = 42) -> list[dict]:
     tool_kind = rng.integers(0, 3, size=total_turns)
     tool_names = np.array(["search", "code", "browse"], dtype=object)
 
+    # all turn texts at once: list<token string> -> " "-joined strings
+    vocab_arr = pa.array(V, type=pa.string())
+    tok_offsets = np.zeros(total_turns + 1, dtype=np.int64)
+    np.cumsum(toks_per_turn, out=tok_offsets[1:])
+    tok_list = pa.ListArray.from_arrays(
+        pa.array(tok_offsets, type=pa.int64()).cast(pa.int32()),
+        vocab_arr.take(pa.array(token_ids, type=pa.int64())),
+    )
+    all_texts = pc.binary_join(tok_list, " ").to_pylist()
+
+    # roles/tools per turn (same rule as the row-wise generator)
+    turn_in_conv = _ranges(n_turns)
+    is_user = turn_in_conv % 2 == 0
+    is_tool = (~is_user) & (tool_draw < 0.1)
+    roles_all = np.where(is_user, "user",
+                         np.where(is_tool, "tool", "assistant")).tolist()
+    tools_all = np.where(is_tool, tool_names[tool_kind], "").tolist()
+
+    conv_offsets = np.zeros(n_convs + 1, dtype=np.int64)
+    np.cumsum(n_turns, out=conv_offsets[1:])
     convs = []
-    t_off = 0
-    tok_off = 0
     for ci in range(n_convs):
-        nt = int(n_turns[ci])
-        texts, roles, tools = [], [], []
-        for ti in range(nt):
-            ntk = int(toks_per_turn[t_off])
-            ids = token_ids[tok_off : tok_off + ntk]
-            texts.append(" ".join(V[ids]))
-            if ti % 2 == 0:
-                roles.append("user")
-                tools.append("")
-            else:
-                # ~10% of assistant turns are followed by a tool turn; we
-                # model the tool turn as the role itself for simplicity
-                if tool_draw[t_off] < 0.1:
-                    roles.append("tool")
-                    tools.append(tool_names[tool_kind[t_off]])
-                else:
-                    roles.append("assistant")
-                    tools.append("")
-            t_off += 1
-            tok_off += ntk
-        convs.append(
-            {"conv_id": f"conv-{ci:08d}", "texts": texts, "roles": roles, "tools": tools}
-        )
+        s, e = int(conv_offsets[ci]), int(conv_offsets[ci + 1])
+        convs.append({
+            "conv_id": f"conv-{ci:08d}",
+            "texts": all_texts[s:e],
+            "roles": roles_all[s:e],
+            "tools": tools_all[s:e],
+        })
     return convs
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[3,2] -> [0,1,2,0,1] (vectorized per-segment aranges)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
 def inject_duplicates(
@@ -145,26 +168,29 @@ def inject_duplicates(
 
 def conversations_to_table(convs: list[dict], seed: int = 44) -> pa.Table:
     """Flatten to the input_hint row schema, rows shuffled deterministically."""
-    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
-    for ci, c in enumerate(convs):
-        for ti, (t, r, tl) in enumerate(zip(c["texts"], c["roles"], c["tools"])):
-            conv_ids.append(c["conv_id"])
-            turn_idxs.append(ti)
-            roles.append(r)
-            texts.append(t)
-            tools.append(tl)
-            tss.append(EPOCH_US + ci * 3_600_000_000 + ti * 30_000_000)
-    n = len(conv_ids)
+    n_turns = np.array([len(c["texts"]) for c in convs], dtype=np.int64)
+    n = int(n_turns.sum())
+    conv_rep = np.repeat(np.arange(len(convs)), n_turns)
+    turn_idxs = _ranges(n_turns)
+    texts: list = []
+    roles: list = []
+    tools: list = []
+    for c in convs:
+        texts.extend(c["texts"])
+        roles.extend(c["roles"])
+        tools.extend(c["tools"])
+    conv_id_arr = pa.array([c["conv_id"] for c in convs], type=pa.string())
+    tss = EPOCH_US + conv_rep * 3_600_000_000 + turn_idxs * 30_000_000
     rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
+    perm = pa.array(rng.permutation(n), type=pa.int64())
     tbl = pa.table(
         {
-            "conv_id": pa.array(np.array(conv_ids, dtype=object)[perm], type=pa.string()),
-            "turn_idx": pa.array(np.array(turn_idxs, dtype=np.int32)[perm], type=pa.int32()),
-            "role": pa.array(np.array(roles, dtype=object)[perm], type=pa.string()),
-            "text": pa.array(np.array(texts, dtype=object)[perm], type=pa.string()),
-            "tool": pa.array(np.array(tools, dtype=object)[perm], type=pa.string()),
-            "ts": pa.array(np.array(tss, dtype=np.int64)[perm], type=pa.timestamp("us")),
+            "conv_id": conv_id_arr.take(pa.array(conv_rep)).take(perm),
+            "turn_idx": pa.array(turn_idxs.astype(np.int32)).take(perm),
+            "role": pa.array(roles, type=pa.string()).take(perm),
+            "text": pa.array(texts, type=pa.string()).take(perm),
+            "tool": pa.array(tools, type=pa.string()).take(perm),
+            "ts": pa.array(tss, type=pa.timestamp("us")).take(perm),
         }
     )
     return tbl

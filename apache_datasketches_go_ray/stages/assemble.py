@@ -55,7 +55,9 @@ def assemble(ds, num_partitions: int):
     """transcript rows -> one row per conversation (conv_id, text, n_turns)."""
     from .context import auto_partitions
 
-    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    # ~25k turns/partition: downstream signer tasks are per-block, so this
+    # also sets the signing parallelism grain (~2k convs / ~3s per task)
+    P = auto_partitions(ds.count(), 25_000, num_partitions)
     return (
         ds.select_columns(["conv_id", "turn_idx", "text"])
         .repartition(P, keys=["conv_id"])

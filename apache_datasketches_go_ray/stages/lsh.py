@@ -25,25 +25,47 @@ from ..config import DedupConfig
 
 
 def explode_bands(batch: pa.Table) -> pa.Table:
-    """signature rows -> (band_hash, conv_id) rows."""
+    """signature rows -> (band_hash, conv_id, sig_digest) rows."""
     from .arrow_util import as_array
 
     bands = as_array(batch.column("bands"))
     flat = bands.flatten().to_numpy(zero_copy_only=False)
     n_bands = len(flat) // max(len(batch), 1) if len(batch) else 0
-    conv = batch.column("conv_id")
-    conv_rep = conv.take(pa.array(np.repeat(np.arange(len(batch)), n_bands)))
+    rep = pa.array(np.repeat(np.arange(len(batch)), n_bands))
     return pa.table({"band_hash": pa.array(flat, type=pa.uint64()),
-                     "conv_id": conv_rep})
+                     "conv_id": batch.column("conv_id").take(rep),
+                     "sig_digest": batch.column("sig_digest").take(rep)})
 
 
-def pairs_in_block(batch: pa.Table, max_group: int) -> pa.Table:
-    """Emit candidate pairs for every band bucket in this block."""
+def _digest_matrix(col, n: int) -> np.ndarray:
+    """Fixed-width large_binary digest column -> (n, slots) uint8."""
+    from .arrow_util import as_array
+
+    arr = as_array(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1]
+    width = int(offs[1] - offs[0])
+    vals = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    base = int(offs[0])
+    return vals[base : base + n * width].reshape(n, width)
+
+
+def pairs_in_block(batch: pa.Table, max_group: int,
+                   min_matches: int) -> pa.Table:
+    """Emit digest-prefiltered candidate pairs for every band bucket in
+    this block. A pair survives only if >= min_matches of its sampled
+    signature slots agree — rejecting the mass of low-Jaccard band
+    collisions here, before any payload ever ships."""
+    n = len(batch)
     bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
     conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+    dig = _digest_matrix(batch.column("sig_digest"), n)
     order = np.lexsort((conv, bh))
     bh_s = bh[order]
     conv_s = conv[order]
+    dig_s = dig[order] if n else dig
     # bucket boundaries
     newgrp = np.ones(len(bh_s), dtype=bool)
     if len(bh_s) > 1:
@@ -56,21 +78,22 @@ def pairs_in_block(batch: pa.Table, max_group: int) -> pa.Table:
         g = e - s
         if g < 2:
             continue
-        members = conv_s[s:e]
-        # dedup identical conv within one bucket (can't happen per band, but
-        # multiple bands may collide into one hash — keep it safe)
-        members = np.unique(members)
+        members, first = np.unique(conv_s[s:e], return_index=True)
         g = len(members)
         if g < 2:
             continue
+        mdig = dig_s[s:e][first]
         if g <= max_group:
             ia, ib = np.triu_indices(g, k=1)
-            a_out.append(members[ia])
-            b_out.append(members[ib])
         else:
-            # skew cap: sorted consecutive chain preserves connectivity
-            a_out.append(members[:-1])
-            b_out.append(members[1:])
+            # skew cap: sorted consecutive chain bounds pair count while
+            # preserving bucket connectivity
+            ia = np.arange(g - 1)
+            ib = ia + 1
+        keep = (mdig[ia] == mdig[ib]).sum(axis=1) >= min_matches
+        if keep.any():
+            a_out.append(members[ia[keep]])
+            b_out.append(members[ib[keep]])
     if a_out:
         a = np.concatenate(a_out)
         b = np.concatenate(b_out)
@@ -107,7 +130,8 @@ def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True):
                            zero_copy_batch=True)
         .repartition(P, keys=["band_hash"])
         .map_batches(
-            lambda b: pairs_in_block(b, config.max_band_group),
+            lambda b: pairs_in_block(b, config.max_band_group,
+                                     config.prefilter_min_matches),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         )
     )

@@ -38,6 +38,13 @@ class MinHashSigner:
         sigs = signatures(flat, off, self.keys)
         bands = band_keys(sigs, cfg.num_bands, cfg.rows_per_band)
         n = len(batch)
+        # candidate-prefilter digest: low byte of each sampled signature
+        # slot (1/256 false slot-match adds ~0.1 expected matches — noise
+        # next to the >=9-of-32 threshold) so each band row carries 32
+        # bytes, not 256, through the band shuffle
+        dig = np.ascontiguousarray(
+            sigs[:, :: cfg.prefilter_stride].astype(np.uint8))
+        dig_bytes = dig.shape[1]
         cols = {
             "conv_id": batch.column("conv_id"),
             "n_turns": batch.column("n_turns"),
@@ -51,6 +58,13 @@ class MinHashSigner:
             ),
             "sig": _fixed_list(sigs, n),
             "bands": _fixed_list(bands, n),
+            "sig_digest": pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), n,
+                [None,
+                 pa.py_buffer((np.arange(n + 1, dtype=np.int64)
+                               * dig_bytes).tobytes()),
+                 pa.py_buffer(dig.tobytes())],
+            ),
         }
         if self.keep_text:
             cols["text"] = texts
@@ -65,21 +79,53 @@ def _fixed_list(mat: np.ndarray, n_rows: int) -> pa.ListArray:
     )
 
 
+_SIGNER_CACHE: dict = {}
+
+
+def _sign_batch(batch: pa.Table, config: DedupConfig,
+                keep_text: bool) -> pa.Table:
+    """Task-form signer: the permutation table is built once per worker
+    process and cached (same setup-once discipline as the actor pool,
+    without the pool's scale-up latency — Ray task workers are prestarted
+    and reused, so the cache stays warm)."""
+    key = (config.num_perms, config.perm_seed, config.shingle_k,
+           config.num_bands, config.rows_per_band, config.prefilter_stride,
+           keep_text)
+    signer = _SIGNER_CACHE.get(key)
+    if signer is None:
+        signer = MinHashSigner(config, keep_text)
+        _SIGNER_CACHE[key] = signer
+    return signer(batch)
+
+
 def sign(ds, config: DedupConfig, *, concurrency=None, batch_size: int = 512,
-         keep_text: bool = True):
-    """assembled conversations -> signature table (actor pool stage)."""
+         keep_text: bool = True, use_actors: bool = False):
+    """assembled conversations -> signature table.
+
+    Default is the task form (per-worker cached state): autoscaling actor
+    pools were observed to ramp nondeterministically (2.5-8 effective
+    cores out of 32 for minutes). ``use_actors=True`` selects the
+    explicit actor-pool stage (``MinHashSigner`` as callable class)."""
+    import functools
+
+    if not use_actors:
+        return ds.map_batches(
+            functools.partial(_sign_batch, config=config,
+                              keep_text=keep_text),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     if concurrency is None:
-        # actor pool sized to the session CPUs; scales with the cluster
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 4))
         concurrency = (1, max(2, n))
-    kwargs = {"concurrency": concurrency}
     return ds.map_batches(
         MinHashSigner,
         fn_constructor_args=(config, keep_text),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        **kwargs,
+        concurrency=concurrency,
     )

@@ -25,7 +25,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # flagship synthetic transcript sizing per sf tier (seed 42, FIXTURES F1/F2)
-BENCH_CONVS = {"sf0.001": 150, "sf0.01": 600, "sf0.1": 4000}
+# sf0.1 = 100k convs (~1.5M turns): large enough that the 8-CPU leg of the
+# scaling protocol is compute-dominated (BASELINE.md: target >= ~60s)
+BENCH_CONVS = {"sf0.001": 150, "sf0.01": 600, "sf0.1": 100_000}
 
 
 def _bench_transcripts(sf_dir: str) -> str:
@@ -57,7 +59,9 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     turns = ray.data.read_parquet(tdir).count()
 
     t0 = time.time()
-    cfg = DedupConfig(num_partitions=max(2 * num_cpus, 16))
+    # fixed partitioning across CPU counts: the scaling comparison must
+    # run the SAME job (same shuffle plan) at both parallelism levels
+    cfg = DedupConfig(num_partitions=64)
     res = run_dedup(ray.data.read_parquet(tdir), cfg)
     n_clusters = res["clusters"].count()
     dedup_sec = time.time() - t0
@@ -87,6 +91,8 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         "turns": turns,
         "clustered_convs": n_clusters,
         "turns_per_sec": round(turns / dedup_sec, 1),
+        "dedup_stages": {k: v["sec"]
+                         for k, v in res["metrics"]["stages"].items()},
     }
 
 
