@@ -116,12 +116,12 @@ class DedupPipeline:
         cfg = self.cfg
         t_start = time.time()
 
-        # assembled is consumed once (by sign): leave it lazy so the
-        # repartition -> assemble -> sign chain streams without a barrier
+        # assembled IS materialized: fusing read -> repartition -> assemble
+        # -> sign into one streaming chain measured ~2x slower than
+        # stage-wise execution (same pathology as fusing the verify joins)
         assembled, fp = self._stage(
             "assembled", input_fingerprint,
             lambda: assemble(transcripts_ds, cfg.num_partitions),
-            materialize=False,
         )
         signatures, fp = self._stage(
             "signatures", fp,

@@ -186,15 +186,70 @@ def _verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
 
 
+# per-process cache of broadcast candidate indexes, keyed by object ref
+_BCAST_CACHE: dict = {}
+
+
+def _broadcast_verify_batch(batch: pa.Table, cand_ref, cfg: DedupConfig,
+                            dedup_pairs: bool) -> pa.Table:
+    """Map-only verification against the broadcast candidate table."""
+    key = cand_ref.hex() if hasattr(cand_ref, "hex") else id(cand_ref)
+    entry = _BCAST_CACHE.get(key)
+    if entry is None:
+        tbl = ray.get(cand_ref)
+        idx = {c: i for i, c in enumerate(tbl.column("conv_id").to_pylist())}
+        entry = (tbl, idx)
+        _BCAST_CACHE[key] = entry
+    tbl, idx = entry
+    if dedup_pairs and len(batch):
+        batch = batch.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+    sh_col = tbl.column("shingles")
+    has_text = "text" in tbl.column_names
+    text_col = tbl.column("text") if has_text else None
+    a_list = batch.column("a").to_pylist()
+    b_list = batch.column("b").to_pylist()
+    n = len(batch)
+    sh_a = [None] * n
+    sh_b = [None] * n
+    tx_a = [None] * n
+    tx_b = [None] * n
+    for i in range(n):
+        ia = idx.get(a_list[i])
+        ib = idx.get(b_list[i])
+        if ia is not None:
+            sh_a[i] = sh_col[ia].as_py()
+            if has_text:
+                tx_a[i] = text_col[ia].as_py()
+        if ib is not None:
+            sh_b[i] = sh_col[ib].as_py()
+            if has_text:
+                tx_b[i] = text_col[ib].as_py()
+    joined = pa.table({
+        "a": pa.array(a_list, type=pa.string()),
+        "b": pa.array(b_list, type=pa.string()),
+        "shingles_a": pa.array(sh_a, type=pa.large_binary()),
+        "shingles_b": pa.array(sh_b, type=pa.large_binary()),
+        **({"text_a": pa.array(tx_a, type=pa.string()),
+            "text_b": pa.array(tx_b, type=pa.string())} if has_text else {}),
+    })
+    return _verify_batch(joined, cfg)
+
+
 def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
-                 dedup_pairs: bool = False):
+                 dedup_pairs: bool = False,
+                 broadcast_threshold: int = 2 << 30):
     """pairs (a,b) + signature table -> verified edge table.
 
     Returns the full verification table (is_dup marks edges) so metrics
     can report rejection rates; filter on is_dup for clustering.
-    ``dedup_pairs=True`` removes duplicate (a, b) rows inside the first
-    co-partition join (pairs produced with ``candidate_pairs(...,
-    dedup=False)``).
+    ``dedup_pairs=True`` removes duplicate (a, b) rows (pairs produced
+    with ``candidate_pairs(..., dedup=False)``).
+
+    Join strategy is size-gated: when the filtered candidate payload fits
+    under ``broadcast_threshold`` bytes it is ``ray.put`` once and every
+    verify task does a map-only lookup (zero shuffles; on a cluster this
+    is the classic broadcast join, one copy per node). Larger candidate
+    sets fall back to the two tagged-union co-partition joins.
     """
     from .context import auto_partitions
 
@@ -233,8 +288,26 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 
-    # ---- two co-partition joins (endpoint a, then b) ----
     pairs = pairs_ds.select_columns(["a", "b"])
+
+    # ---- broadcast path: candidate payload fits in the object store ----
+    if cand_sigs.size_bytes() <= broadcast_threshold:
+        import pyarrow as _pa
+
+        cand_tbl = _pa.concat_tables(
+            ray.get(cand_sigs.to_arrow_refs())).combine_chunks()
+        cand_ref = ray.put(cand_tbl)
+        if dedup_pairs:
+            # co-locate duplicate (a, b) rows so the map's in-block dedup
+            # is globally correct (slim string pairs — a cheap shuffle)
+            pairs = pairs.repartition(P, keys=["a", "b"])
+        return pairs.map_batches(
+            functools.partial(_broadcast_verify_batch, cand_ref=cand_ref,
+                              cfg=config, dedup_pairs=dedup_pairs),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+
+    # ---- shuffle path: two co-partition joins (endpoint a, then b) ----
     withe_a = _attach_endpoint(pairs, cand_sigs, "a", "a", has_text, P,
                                dedup_pairs=dedup_pairs)
     withe_ab = _attach_endpoint(withe_a, cand_sigs, "b", "b", has_text, P)

@@ -25,16 +25,19 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # flagship synthetic transcript sizing per sf tier (seed 42, FIXTURES F1/F2)
-# sf0.1 = 100k convs (~1.5M turns): large enough that the 8-CPU leg of the
-# scaling protocol is compute-dominated (BASELINE.md: target >= ~60s)
 BENCH_CONVS = {"sf0.001": 150, "sf0.01": 600, "sf0.1": 100_000}
+# --scaling input: sized so the 8-CPU leg is compute-dominated (~4.5 min;
+# BASELINE.md protocol wants >= ~60s/leg — at 100k convs the fixed Ray
+# overhead still eats the 8-CPU leg and efficiency reads artificially low)
+SCALING_CONVS = 200_000
 
 
-def _bench_transcripts(sf_dir: str) -> str:
+def _bench_transcripts(sf_dir: str, n: int | None = None) -> str:
     from apache_datasketches_go_ray.sources.transcripts import write_transcripts
 
     name = os.path.basename(os.path.normpath(sf_dir))
-    n = BENCH_CONVS.get(name, 4000)
+    if n is None:
+        n = BENCH_CONVS.get(name, 4000)
     cache = f"/tmp/adgr_bench_cache/{name}-{n}"
     marker = os.path.join(cache, "_complete")
     if not os.path.exists(marker):
@@ -44,7 +47,8 @@ def _bench_transcripts(sf_dir: str) -> str:
     return os.path.join(cache, "transcripts")
 
 
-def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
+def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False,
+             convs: int | None = None) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -55,13 +59,13 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     from apache_datasketches_go_ray.pipelines.dedup import run_dedup
 
     queries: dict[str, float] = {}
-    tdir = _bench_transcripts(sf_dir)
+    tdir = _bench_transcripts(sf_dir, convs)
     turns = ray.data.read_parquet(tdir).count()
 
     t0 = time.time()
     # fixed partitioning across CPU counts: the scaling comparison must
     # run the SAME job (same shuffle plan) at both parallelism levels
-    cfg = DedupConfig(num_partitions=64)
+    cfg = DedupConfig(num_partitions=32)
     res = run_dedup(ray.data.read_parquet(tdir), cfg)
     n_clusters = res["clusters"].count()
     dedup_sec = time.time() - t0
@@ -97,15 +101,20 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
+    # default 4->16: both legs sit below this node's memory-bandwidth
+    # saturation point (raw signer kernel scales only 1.51x from 8->32
+    # parallel processes with no Ray at all — see BASELINE.md §4), so the
+    # 4x-CPU comparison actually models a 4x-node cluster
     cpus = [int(c) for c in os.environ.get(
-        "RAY_GRAFT_SCALING_CPUS", "8,32").split(",")]
+        "RAY_GRAFT_SCALING_CPUS", "4,16").split(",")]
     results = []
     for n in cpus:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(n)
         env["GRAFT_SF_DIR"] = sf_dir
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+            [sys.executable, os.path.abspath(__file__), "--flagship-only",
+             "--convs", str(SCALING_CONVS)],
             env=env, capture_output=True, text=True, cwd=os.path.dirname(
                 os.path.abspath(__file__)))
         line = [l for l in out.stdout.strip().splitlines()
@@ -123,7 +132,8 @@ def run_scaling(sf_dir: str) -> dict:
         "sf": r_lo["sf"],
         "runs": [
             {"num_cpus": r["num_cpus"], "sec": r["queries"]["transcript_dedup"],
-             "turns_per_sec": r["turns_per_sec"]} for r in results
+             "turns_per_sec": r["turns_per_sec"],
+             "stages": r.get("dedup_stages")} for r in results
         ],
         "cpu_ratio": ratio,
     }
@@ -133,12 +143,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--convs", type=int, default=None)
     args = ap.parse_args()
 
     if args.scaling:
         print(json.dumps(run_scaling(SF_DIR)))
         return
-    result = run_once(SF_DIR, NUM_CPUS, flagship_only=args.flagship_only)
+    result = run_once(SF_DIR, NUM_CPUS, flagship_only=args.flagship_only,
+                      convs=args.convs)
     print(json.dumps(result))
     import ray
 
