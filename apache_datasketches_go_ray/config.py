@@ -39,6 +39,14 @@ class DedupConfig:
     # skew handling
     max_band_group: int = 64      # cap pair generation per band bucket
     hot_key_salt: int = 8         # fan-out for hot band keys
+    # hot-band detection: a deterministic 1/hot_sample_rate sample of
+    # conv_ids (murmur(conv_id) % rate == 0) is counted per band bucket;
+    # a bucket with >= hot_sampled_count sampled members is "hot" and its
+    # rows are salted across hot_key_salt shards before the band shuffle.
+    # Sampling by conv hash (not by partition) keeps the hot set a pure
+    # function of the data, so the oracle reproduces it exactly.
+    hot_sample_rate: int = 64
+    hot_sampled_count: int = 4
     # shuffle sizing
     num_partitions: int = 64
 

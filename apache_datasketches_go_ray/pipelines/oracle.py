@@ -70,21 +70,48 @@ def oracle_dedup(table: pa.Table, cfg: DedupConfig) -> dict:
     dig = np.ascontiguousarray(sigs[:, :: cfg.prefilter_stride].astype(np.uint8))
     idx_by_id = {c: i for i, c in enumerate(ids)}
 
-    pair_set: set[tuple[str, str]] = set()
-    for members_idx in buckets.values():
-        members = sorted({ids[i] for i in members_idx})
+    # hot-band detection + salted sharding — identical rules to
+    # stages/lsh.detect_hot_bands / pairs_and_reps_in_block
+    from ..functions.murmur3 import hash_strings
+
+    h_ids, _ = hash_strings(list(ids))
+    sampled = h_ids % np.uint64(cfg.hot_sample_rate) == 0
+    hot = {
+        bh for bh, mem in buckets.items()
+        if sum(1 for i in mem if sampled[i]) >= cfg.hot_sampled_count
+    }
+
+    def digest_ok(a: str, b: str) -> bool:
+        return int((dig[idx_by_id[a]] == dig[idx_by_id[b]]).sum()) \
+            >= cfg.prefilter_min_matches
+
+    def cap_rule_pairs(members: list[str]) -> None:
         g = len(members)
         if g < 2:
-            continue
-        midx = [idx_by_id[m] for m in members]
+            return
         if g <= cfg.max_band_group:
             cand = [(x, y) for x in range(g) for y in range(x + 1, g)]
         else:
             cand = [(x, x + 1) for x in range(g - 1)]
         for x, y in cand:
-            if int((dig[midx[x]] == dig[midx[y]]).sum()) \
-                    >= cfg.prefilter_min_matches:
+            if digest_ok(members[x], members[y]):
                 pair_set.add((members[x], members[y]))
+
+    pair_set: set[tuple[str, str]] = set()
+    for bh, members_idx in buckets.items():
+        members = sorted({ids[i] for i in members_idx})
+        if bh in hot:
+            shards: dict[int, list[str]] = {}
+            for m in members:
+                s = int(h_ids[idx_by_id[m]] % np.uint64(cfg.hot_key_salt))
+                shards.setdefault(s, []).append(m)
+            reps = []
+            for sh in shards.values():
+                reps.append(sh[0])  # members already sorted
+                cap_rule_pairs(sh)
+            cap_rule_pairs(sorted(set(reps)))
+        else:
+            cap_rule_pairs(members)
 
     idx_of = {c: i for i, c in enumerate(ids)}
     edges = []

@@ -196,6 +196,54 @@ def conversations_to_table(convs: list[dict], seed: int = 44) -> pa.Table:
     return tbl
 
 
+def make_skewed_conversations(n_convs: int, seed: int = 42,
+                              boilerplate_frac: float = 0.3,
+                              hot_copies: int = 300) -> list[dict]:
+    """FIXTURES.md F4: F1 conversations plus (a) an identical boilerplate
+    opening turn on ~boilerplate_frac of convs (system-prompt analogue)
+    and (b) one hot conv template repeated hot_copies times with 1-2
+    seeded token edits — drives the hot-band salted-repartition path."""
+    convs = generate_conversations(n_convs, seed)
+    rng = np.random.default_rng(seed + 7)
+    V = vocab()
+    bp = " ".join(V[i] for i in range(40))  # fixed boilerplate turn
+    chosen = rng.random(n_convs) < boilerplate_frac
+    for ci in np.flatnonzero(chosen):
+        convs[ci]["texts"][0] = bp
+    base = convs[0]
+    next_id = n_convs
+    for _ in range(hot_copies):
+        texts = list(base["texts"])
+        n_edit = int(rng.integers(1, 3))
+        for _e in range(n_edit):
+            ti = int(rng.integers(len(texts)))
+            words = texts[ti].split(" ")
+            words[int(rng.integers(len(words)))] = V[int(rng.integers(VOCAB_SIZE))]
+            texts[ti] = " ".join(words)
+        convs.append({"conv_id": f"conv-{next_id:08d}", "texts": texts,
+                      "roles": list(base["roles"]),
+                      "tools": list(base["tools"])})
+        next_id += 1
+    return convs
+
+
+def write_skewed_transcripts(out_dir: str, n_convs: int, seed: int = 42,
+                             shards: int = 8, hot_copies: int = 300) -> dict:
+    """Write the F4 skew fixture (no dup-group ground truth; parity is
+    checked pipeline-vs-oracle)."""
+    os.makedirs(out_dir, exist_ok=True)
+    convs = make_skewed_conversations(n_convs, seed, hot_copies=hot_copies)
+    tbl = conversations_to_table(convs, seed + 2)
+    n = tbl.num_rows
+    bounds = np.linspace(0, n, shards + 1).astype(int)
+    tdir = os.path.join(out_dir, "transcripts")
+    os.makedirs(tdir, exist_ok=True)
+    for s in range(shards):
+        pq.write_table(tbl.slice(bounds[s], bounds[s + 1] - bounds[s]),
+                       os.path.join(tdir, f"part-{s:05d}.parquet"))
+    return {"rows": n, "convs": len(convs), "dir": tdir}
+
+
 def write_transcripts(
     out_dir: str,
     n_convs: int,

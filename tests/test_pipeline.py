@@ -162,3 +162,43 @@ def test_cluster_chain_convergence(ray_session):
     labels = {r["conv_id"]: r["cluster_id"] for r in out.take_all()}
     assert len(labels) == n
     assert set(labels.values()) == {ids[0]}
+
+
+def test_skew_salted_repartitioning(ray_session):
+    """FIXTURES.md F4: hot band keys (a template repeated with 1-2 token
+    edits) are detected by the deterministic sample, salted across
+    shards, and the shard+representative chains reproduce the oracle's
+    clusters exactly."""
+    import ray.data
+    import pyarrow.parquet as pq
+    from apache_datasketches_go_ray.config import DedupConfig
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+    from apache_datasketches_go_ray.pipelines.oracle import oracle_dedup
+    from apache_datasketches_go_ray.sources.transcripts import (
+        write_skewed_transcripts,
+    )
+    from apache_datasketches_go_ray.stages.assemble import assemble
+    from apache_datasketches_go_ray.stages.signature import sign
+    from apache_datasketches_go_ray.stages.lsh import detect_hot_bands
+
+    info = write_skewed_transcripts("/tmp/adgr_skew_fixture", 150, seed=42,
+                                    shards=4, hot_copies=120)
+    cfg = DedupConfig(num_partitions=4, hot_sample_rate=2,
+                      hot_sampled_count=4, max_band_group=16,
+                      hot_key_salt=4)
+    ds = ray.data.read_parquet(info["dir"])
+
+    # the hot template's band buckets must actually trip detection
+    sigs = sign(assemble(ds, cfg.num_partitions), cfg).materialize()
+    hot = detect_hot_bands(sigs, cfg)
+    assert len(hot) > 0
+
+    res = run_dedup(ray.data.read_parquet(info["dir"]), cfg)
+    pipe = {r["conv_id"]: r["cluster_id"]
+            for r in res["clusters"].take_all()}
+    orc = oracle_dedup(pq.read_table(info["dir"]), cfg)
+    assert pipe == orc["clusters"]
+    # the 120 hot copies + base all land in one cluster
+    hot_ids = {f"conv-{i:08d}" for i in range(150, 270)} | {"conv-00000000"}
+    labels = {pipe.get(c) for c in hot_ids}
+    assert len(labels) == 1 and None not in labels
