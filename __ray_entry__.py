@@ -357,6 +357,133 @@ def _q_embedding_near_dups(sf_dir: str):
                                     num_partitions=16)
 
 
+def _q_customer_nation_revenue(sf_dir: str):
+    """orders ⋈ customer (engine hash_join: broadcast or co-partition by
+    size) -> per-nation order count + revenue in exact cents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    def prep_orders(b):
+        cents = pc.round(pc.multiply(b.column("o_totalprice"), 100)) \
+            .cast(pa.int64())
+        return pa.table({"o_custkey": b.column("o_custkey").cast(pa.int64()),
+                         "cents": cents})
+
+    orders = _read(sf_dir, "orders").map_batches(
+        prep_orders, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, cust, on=("o_custkey", "c_custkey"))
+
+    def partial(b):
+        return pa.table({
+            "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            "cents": b.column("cents"),
+        })
+
+    def fold(b):
+        t = b.group_by("c_nationkey").aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return pa.table({
+            "c_nationkey": t.column("c_nationkey"),
+            "n_orders": t.column("cents_count").cast(pa.int64()),
+            "sum_cents": t.column("cents_sum").cast(pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(8, keys=["c_nationkey"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style pricing summary (exact cents arithmetic)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        qty = pc.round(pc.multiply(b.column("l_quantity"), 100)) \
+            .cast(pa.int64())
+        price = pc.round(pc.multiply(b.column("l_extendedprice"), 100)) \
+            .cast(pa.int64())
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "qty_c": qty, "price_c": price,
+        })
+        # in-block combiner before the shuffle (tiny group cardinality)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("qty_c", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty_c": g.column("qty_c_sum"),
+            "sum_price_c": g.column("price_c_sum"),
+            "n_rows": g.column("qty_c_count").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty_c", "sum"), ("sum_price_c", "sum"),
+             ("n_rows", "sum")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty_c": g.column("sum_qty_c_sum").cast(pa.int64()),
+            "sum_price_c": g.column("sum_price_c_sum").cast(pa.int64()),
+            "n_rows": g.column("n_rows_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "lineitem")
+            .select_columns(["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["l_returnflag", "l_linestatus"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_kll_partition_bounds(sf_dir: str):
+    """KLL sample-based range-partition boundaries over documents.n_chars
+    (the reference's GetPartitionBoundaries role: sizing shuffle
+    partitions, kll/items_sketch_partition_boundaries.go)."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.state.kll import KllSketch
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def partial(b):
+        sk = KllSketch(200)
+        sk.update_many(as_array(b.column("n_chars"))
+                       .to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sk": pa.array([sk.to_bytes()],
+                                        type=pa.large_binary())})
+
+    merged = KllSketch(200)
+    for row in _read(sf_dir, "documents").select_columns(["n_chars"]) \
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all():
+        merged.merge(KllSketch.from_bytes(row["sk"]))
+    bounds = merged.get_partition_boundaries(8)
+    return __import__("pyarrow").table({
+        "part": list(range(len(bounds))),
+        "boundary": [float(x) for x in bounds],
+    })
+
+
+def _q_hll_users_by_type(sf_dir: str):
+    """Grouped HLL distinct count (events.user_id per event_type)."""
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        approx_distinct_by,
+    )
+
+    out = approx_distinct_by(_read(sf_dir, "events"), "event_type",
+                             "user_id", lg_k=12, num_partitions=8)
+    return out
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.multimodal import (
@@ -393,12 +520,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consecutive_jaccard": _q_consecutive_jaccard,
         "events_hourly": _q_events_hourly,
         "ann_topk": _q_ann_topk,
+        "customer_nation_revenue": _q_customer_nation_revenue,
+        "lineitem_pricing": _q_lineitem_pricing,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
         "hll_distinct_users": _q_hll_distinct_users,
         "kll_quantiles_nchars": _q_kll_quantiles_nchars,
         "freq_top_tokens": _q_freq_top_tokens,
+        "kll_partition_bounds": _q_kll_partition_bounds,
+        "hll_users_by_type": _q_hll_users_by_type,
         "langid": _q_langid,
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_fingerprints,
@@ -471,6 +602,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "customer_nation_revenue": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS sum_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT))
+                     AS sum_qty_c,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS sum_price_c,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "ann_topk": """
             WITH q AS (

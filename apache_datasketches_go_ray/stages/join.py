@@ -1,0 +1,128 @@
+"""General equi-join built from the engine's two join primitives.
+
+``hash_join(left, right, on=(lk, rk))`` picks the strategy by the right
+side's materialized size:
+
+* **broadcast** (small right side): the right table is ``ray.put`` once
+  and every left block does a local vectorized ``pyarrow.Table.join``
+  (Acero) against it — map-only, zero shuffles. On a cluster this is the
+  classic broadcast hash join (one copy per node via the object store).
+* **co-partition** (large right side): both sides are tagged, unioned,
+  hash-partitioned on the key (``repartition(P, keys=[...])`` co-locates
+  equal keys in one block) and joined per block with Acero — the
+  standard reduce-side join expressed purely with the engine's
+  key-colocating shuffle primitive, no special join operator actors.
+
+Inner join on a single key; column names of the two sides must be
+disjoint apart from the keys. Used by the relational queries and as the
+template the verification stage's payload attach follows
+(stages/verify.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+# per-process cache of broadcast right sides keyed by object-ref hex
+_RIGHT_CACHE: dict = {}
+
+
+def _bcast_join_batch(batch: pa.Table, right_ref, lk: str, rk: str,
+                      join_type: str) -> pa.Table:
+    key = right_ref.hex() if hasattr(right_ref, "hex") else id(right_ref)
+    right = _RIGHT_CACHE.get(key)
+    if right is None:
+        right = ray.get(right_ref)
+        _RIGHT_CACHE[key] = right
+    return batch.join(right, keys=[lk], right_keys=[rk],
+                      join_type=join_type)
+
+
+def _tag_side(batch: pa.Table, key_col: str, own_cols, other_cols,
+              tag: int) -> pa.Table:
+    n = len(batch)
+    cols = {"__key": batch.column(key_col)}
+    for name, _typ in own_cols:
+        cols[name] = batch.column(name)
+    for name, typ in other_cols:
+        cols[name] = pa.nulls(n, typ)
+    cols["__tag"] = pa.array(np.full(n, tag, dtype=np.int8))
+    return pa.table(cols)
+
+
+def _copart_join_batch(batch: pa.Table, left_cols, right_cols,
+                       join_type: str, lk: str) -> pa.Table:
+    tag = batch.column("__tag")
+    lt = batch.filter(pc.equal(tag, 0))
+    rt = batch.filter(pc.equal(tag, 1))
+    left = lt.select(["__key"] + [n for n, _ in left_cols])
+    right = rt.select(["__key"] + [n for n, _ in right_cols])
+    out = left.join(right, keys=["__key"], join_type=join_type)
+    return out.rename_columns(
+        [lk if c == "__key" else c for c in out.column_names])
+
+
+def hash_join(left_ds, right_ds, on: tuple[str, str], *,
+              num_partitions: int = 32,
+              broadcast_threshold: int = 1 << 30,
+              join_type: str = "inner"):
+    """left ⋈ right on (left_key, right_key); returns a Dataset with the
+    left key column plus both sides' payload columns."""
+    lk, rk = on
+    right_ds = right_ds.materialize()
+
+    if right_ds.size_bytes() <= broadcast_threshold:
+        right_tbl = pa.concat_tables(
+            ray.get(right_ds.to_arrow_refs())).combine_chunks()
+        right_ref = ray.put(right_tbl)
+        return left_ds.map_batches(
+            functools.partial(_bcast_join_batch, right_ref=right_ref,
+                              lk=lk, rk=rk, join_type=join_type),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    from .context import auto_partitions
+
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    left_cols = [(n, t) for n, t in zip(lschema.names, lschema.types)
+                 if n != lk]
+    right_cols = [(n, t) for n, t in zip(rschema.names, rschema.types)
+                  if n != rk]
+    overlap = {n for n, _ in left_cols} & {n for n, _ in right_cols}
+    if overlap:
+        raise ValueError(f"column collision in co-partition join: {overlap}")
+    P = auto_partitions(left_ds.count(), 100_000, num_partitions)
+    lt = left_ds.map_batches(
+        functools.partial(_tag_side, key_col=lk, own_cols=left_cols,
+                          other_cols=right_cols, tag=0),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rt = right_ds.map_batches(
+        functools.partial(_tag_side, key_col=rk, own_cols=right_cols,
+                          other_cols=left_cols, tag=1),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def _fix_order(batch: pa.Table) -> pa.Table:
+        # union requires identical column order on both branches
+        names = (["__key"] + [n for n, _ in left_cols]
+                 + [n for n, _ in right_cols] + ["__tag"])
+        return batch.select(names)
+
+    return (
+        lt.map_batches(_fix_order, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .union(rt.map_batches(_fix_order, batch_format="pyarrow",
+                              zero_copy_batch=True))
+        .repartition(P, keys=["__key"])
+        .map_batches(
+            functools.partial(_copart_join_batch, left_cols=left_cols,
+                              right_cols=right_cols, join_type=join_type,
+                              lk=lk),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+    )

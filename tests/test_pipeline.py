@@ -202,3 +202,25 @@ def test_skew_salted_repartitioning(ray_session):
     hot_ids = {f"conv-{i:08d}" for i in range(150, 270)} | {"conv-00000000"}
     labels = {pipe.get(c) for c in hot_ids}
     assert len(labels) == 1 and None not in labels
+
+
+def test_hash_join_both_strategies(ray_session):
+    """hash_join: broadcast and co-partition paths return identical
+    results (same rows regardless of strategy)."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    left = pa.table({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+    right = pa.table({"rk": [1, 2, 3, 4], "rv": [10, 20, 30, 40]})
+
+    def rows(ds):
+        return sorted((r["k"], r["lv"], r["rv"]) for r in ds.take_all())
+
+    bc = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                   on=("k", "rk"))
+    cp = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                   on=("k", "rk"), broadcast_threshold=0, num_partitions=3)
+    expected = [(1, "a", 10), (2, "b", 20), (2, "c", 20), (3, "d", 30)]
+    assert rows(bc) == expected
+    assert rows(cp) == expected
