@@ -484,6 +484,36 @@ def _q_hll_users_by_type(sf_dir: str):
     return out
 
 
+def _q_simhash_near_dups(sf_dir: str):
+    """Hamming-radius SimHash near-dup pairs. The sf documents are all
+    distinct, so plant deterministic copies: 20 exact + 20 one-token
+    edits (new ids offset by 10^6); the 4x16-bit band index recovers
+    pairs within hamming <= 3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        simhash_near_dup_pairs,
+    )
+
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = base.column("doc_id").to_pylist()
+    texts = base.column("text").to_pylist()
+    new_ids = [i + 1_000_000 for i in ids[:40]]
+    new_texts = list(texts[:20])
+    for t in texts[20:40]:
+        words = t.split(" ")
+        words[len(words) // 2] = "zzqx"
+        new_texts.append(" ".join(words))
+    aug = pa.table({
+        "doc_id": pa.array(ids + new_ids, type=pa.int64()),
+        "text": pa.array(texts + new_texts, type=pa.string()),
+    })
+    return simhash_near_dup_pairs(ray.data.from_arrow(aug),
+                                  max_hamming=3, num_partitions=16)
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.multimodal import (
@@ -525,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
+        "simhash_near_dups": _q_simhash_near_dups,
         "hll_distinct_users": _q_hll_distinct_users,
         "kll_quantiles_nchars": _q_kll_quantiles_nchars,
         "freq_top_tokens": _q_freq_top_tokens,

@@ -244,3 +244,102 @@ def exact_top_tokens(ds, text_col: str = "text", k: int = 20,
                                           ("token", "ascending")])
     return allw.take(idx).sort_by([("cnt", "descending"),
                                    ("token", "ascending")])
+
+
+def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
+                           text_col: str = "text", max_hamming: int = 3,
+                           num_partitions: int = 32,
+                           max_bucket: int = 256):
+    """SimHash near-duplicate pairs within a Hamming radius.
+
+    The 64-bit SimHash is split into 4 x 16-bit bands; a pair differing
+    in <= 3 bits leaves at least one band untouched (pigeonhole), so
+    banding has exact recall for max_hamming <= 3. Buckets co-locate via
+    the band-key hash shuffle; in-block popcount of XORed fingerprints
+    keeps pairs within the radius; a final (a, b) shuffle dedups pairs
+    found by several bands. Returns (doc_a, doc_b, hamming)."""
+    from .textops import simhash_batch
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        b = pa.table({
+            id_col: batch.column(id_col),
+            "text": as_array(batch.column(text_col)).cast(pa.string()),
+        })
+        s = simhash_batch(b)
+        sh = s.column("simhash").to_numpy(zero_copy_only=False)
+        ids = as_array(s.column(id_col)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(sh)
+        keys, did, shs = [], [], []
+        for band in range(4):
+            bits = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            key = (np.uint64(band) << np.uint64(16)) | bits
+            keys.append(key)
+            did.append(ids)
+            shs.append(sh)
+        return pa.table({
+            "band_key": pa.array(np.concatenate(keys), type=pa.uint64()),
+            "doc_id": pa.array(np.concatenate(did), type=pa.int64()),
+            "simhash": pa.array(np.concatenate(shs), type=pa.uint64()),
+        })
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int64())})
+        if len(batch) == 0:
+            return empty
+        bk = batch.column("band_key").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk, ids, sh = bk[order], ids[order], sh[order]
+        newgrp = np.ones(len(bk), dtype=bool)
+        newgrp[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(newgrp)
+        ends = np.concatenate([starts[1:], [len(bk)]])
+        a_o, b_o, h_o = [], [], []
+        for s, e in zip(starts, ends):
+            mem_ids, first = np.unique(ids[s:e], return_index=True)
+            g = len(mem_ids)
+            if g < 2:
+                continue
+            mem_sh = sh[s:e][first]
+            if g > max_bucket:
+                ia = np.arange(g - 1)
+                ib = ia + 1
+            else:
+                ia, ib = np.triu_indices(g, k=1)
+            x = np.bitwise_xor(mem_sh[ia], mem_sh[ib])
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            a_o.append(mem_ids[ia[keep]])
+            b_o.append(mem_ids[ib[keep]])
+            h_o.append(ham[keep])
+        if not a_o:
+            return empty
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(a_o), type=pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_o), type=pa.int64()),
+            "hamming": pa.array(np.concatenate(h_o).astype(np.int64)),
+        })
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        return batch.group_by(["doc_a", "doc_b"]).aggregate(
+            [("hamming", "min")]).rename_columns(
+            ["doc_a", "doc_b", "hamming"])
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(emit_bands, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .repartition(num_partitions, keys=["band_key"])
+        .map_batches(pairs_block, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+        .repartition(num_partitions, keys=["doc_a", "doc_b"])
+        .map_batches(dedup, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

@@ -128,3 +128,36 @@ def test_union_find_min_labels():
     comp = uf.components()
     assert comp["b"] == comp["c"] == comp["d"] == "b"
     assert comp["x"] == comp["y"] == "x"
+
+
+def test_simhash_near_dup_banding_recall(ray_session):
+    """4x16-bit banding has exact recall for hamming <= 3: every planted
+    exact/near copy pair is recovered, no false pairs beyond the radius."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        simhash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i:03d}" for i in range(400)]
+    texts, ids = [], []
+    for i in range(30):
+        words = [vocab[j] for j in rng.integers(0, 400, size=60)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    # exact copies of the first 10 docs
+    for i in range(10):
+        texts.append(texts[i])
+        ids.append(100 + i)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    rows = simhash_near_dup_pairs(ds, max_hamming=3,
+                                  num_partitions=4).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    for i in range(10):
+        assert (i, 100 + i) in got, f"missing exact pair {i}"
+    for r in rows:
+        assert r["hamming"] <= 3
