@@ -484,6 +484,21 @@ def _q_hll_users_by_type(sf_dir: str):
     return out
 
 
+def _q_ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate top-k (the ANN scale path): same 5
+    queries as ann_topk, multi-probe bucket scan instead of full matmul."""
+    import pyarrow.parquet as pq
+    from apache_datasketches_go_ray.stages.ann import lsh_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(emb_path).slice(0, 5)
+    q_ids = head.column("vec_id").to_pylist()
+    qm = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
+    out = lsh_topk(_read(sf_dir, "embeddings"), q_ids, qm, k=10,
+                   n_planes=6, round_to=4)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_simhash_near_dups(sf_dir: str):
     """Hamming-radius SimHash near-dup pairs. The sf documents are all
     distinct, so plant deterministic copies: 20 exact + 20 one-token
@@ -565,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_fingerprints,
         "embedding_near_dups": _q_embedding_near_dups,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_features": _q_multimodal_features,
     }
 

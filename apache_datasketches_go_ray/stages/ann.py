@@ -179,3 +179,97 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+class _LshTopkPartial:
+    """Partial top-k against only the corpus rows whose LSH bucket is in
+    the query's multi-probe set (own bucket + all hamming-1 flips)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str,
+                 n_planes: int, seed: int):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        qm = q["matrix"].astype(np.float64)
+        self.qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+        planes = _hyperplanes(qm.shape[1], n_planes, seed)
+        signs = (self.qn @ planes.T) > 0
+        powers = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        own = (signs.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
+        # probe set per query: own bucket + flip each plane bit
+        probe = [own]
+        for p in range(n_planes):
+            probe.append(own ^ (np.uint64(1) << np.uint64(p)))
+        self.probes = np.stack(probe, axis=1)  # (nq, n_planes+1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .arrow_util import as_array
+
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        if len(batch) == 0:
+            return empty
+        ids = as_array(batch.column(self.id_col)).to_numpy(
+            zero_copy_only=False)
+        bucket = as_array(batch.column("bucket")).to_numpy(
+            zero_copy_only=False)
+        m = _embeddings_matrix(batch, self.emb_col).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        q_out, v_out, s_out = [], [], []
+        for qi in range(len(self.q_ids)):
+            mask = np.isin(bucket, self.probes[qi])
+            if not mask.any():
+                continue
+            sub = mn[mask]
+            sub_ids = ids[mask]
+            sc = self.qn[qi] @ sub.T
+            k = min(self.k, len(sc))
+            part = np.argpartition(-sc, k - 1)[:k]
+            for j in part:
+                q_out.append(int(self.q_ids[qi]))
+                v_out.append(int(sub_ids[j]))
+                s_out.append(float(sc[j]))
+        if not q_out:
+            return empty
+        return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
+                         "vec_id": pa.array(v_out, type=pa.int64()),
+                         "score": pa.array(s_out, type=pa.float64())})
+
+
+def lsh_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
+             n_planes: int = 8, id_col: str = "vec_id",
+             emb_col: str = "embedding", seed: int = 9001,
+             round_to: int = 6) -> pa.Table:
+    """Approximate cosine top-k: the scale path. The corpus is bucketed by
+    hyperplane signs once; each query scans only its multi-probe buckets
+    (own + hamming-1), ~ (n_planes+1)/2^n_planes of the corpus instead of
+    all of it. Deterministic tie-break like brute_force_topk."""
+    bucketed = lsh_bucket_embeddings(ds, n_planes, id_col, emb_col, seed)
+    ref = ray.put({"ids": np.asarray(query_ids),
+                   "matrix": np.asarray(query_matrix)})
+    parts = bucketed.map_batches(
+        _LshTopkPartial,
+        fn_constructor_args=(ref, k, id_col, emb_col, n_planes, seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).take_all()
+    rows: dict[int, list] = {}
+    for r in parts:
+        rows.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
+    q_out, v_out, s_out, rank_out = [], [], [], []
+    for qid in sorted(rows):
+        cand = sorted(rows[qid], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (s, v) in enumerate(cand):
+            q_out.append(qid)
+            v_out.append(v)
+            s_out.append(round(s, round_to))
+            rank_out.append(rank + 1)
+    return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
+                     "vec_id": pa.array(v_out, type=pa.int64()),
+                     "score": pa.array(s_out, type=pa.float64()),
+                     "rank": pa.array(rank_out, type=pa.int64())})

@@ -161,3 +161,33 @@ def test_simhash_near_dup_banding_recall(ray_session):
         assert (i, 100 + i) in got, f"missing exact pair {i}"
     for r in rows:
         assert r["hamming"] <= 3
+
+
+def test_lsh_topk_overlap_with_brute_force(ray_session):
+    """The LSH-bucketed top-k (scale path) must recover the true nearest
+    neighbor for planted near-duplicate queries and overlap substantially
+    with brute force on its probed candidates."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.ann import (
+        brute_force_topk, lsh_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((400, 32)).astype(np.float32)
+    # plant: vectors 100..104 are tiny perturbations of queries 0..4
+    for i in range(5):
+        m[100 + i] = m[i] + 0.01 * rng.standard_normal(32).astype(np.float32)
+    ids = np.arange(400, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(m), type=pa.list_(pa.float32()))})
+    q_ids = ids[:5]
+    qm = m[:5]
+    bf = brute_force_topk(ray.data.from_arrow(tbl), q_ids, qm, k=5)
+    ap = lsh_topk(ray.data.from_arrow(tbl), q_ids, qm, k=5, n_planes=6)
+    # rank-1 (self) and rank-2 (planted near-dup) must match brute force
+    bf_top = {(r["query_id"], r["rank"]): r["vec_id"]
+              for r in bf.to_pylist() if r["rank"] <= 2}
+    ap_top = {(r["query_id"], r["rank"]): r["vec_id"]
+              for r in ap.to_pylist() if r["rank"] <= 2}
+    assert ap_top == bf_top
