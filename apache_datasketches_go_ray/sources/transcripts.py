@@ -69,11 +69,15 @@ def generate_conversations(n_convs: int, seed: int = 42) -> list[dict]:
     vocab_arr = pa.array(V, type=pa.string())
     tok_offsets = np.zeros(total_turns + 1, dtype=np.int64)
     np.cumsum(toks_per_turn, out=tok_offsets[1:])
-    tok_list = pa.ListArray.from_arrays(
-        pa.array(tok_offsets, type=pa.int64()).cast(pa.int32()),
-        vocab_arr.take(pa.array(token_ids, type=pa.int64())),
+    # large_list/large_string: total token count exceeds int32 offsets at
+    # bench scale (hundreds of millions of tokens)
+    tok_list = pa.LargeListArray.from_arrays(
+        pa.array(tok_offsets, type=pa.int64()),
+        vocab_arr.cast(pa.large_string()).take(
+            pa.array(token_ids, type=pa.int64())),
     )
-    all_texts = pc.binary_join(tok_list, " ").to_pylist()
+    all_texts = pc.binary_join(
+        tok_list, pa.scalar(" ", type=pa.large_string())).to_pylist()
 
     # roles/tools per turn (same rule as the row-wise generator)
     turn_in_conv = _ranges(n_turns)
@@ -188,7 +192,7 @@ def conversations_to_table(convs: list[dict], seed: int = 44) -> pa.Table:
             "conv_id": conv_id_arr.take(pa.array(conv_rep)).take(perm),
             "turn_idx": pa.array(turn_idxs.astype(np.int32)).take(perm),
             "role": pa.array(roles, type=pa.string()).take(perm),
-            "text": pa.array(texts, type=pa.string()).take(perm),
+            "text": pa.array(texts, type=pa.large_string()).take(perm),
             "tool": pa.array(tools, type=pa.string()).take(perm),
             "ts": pa.array(tss, type=pa.timestamp("us")).take(perm),
         }

@@ -237,7 +237,7 @@ def _broadcast_verify_batch(batch: pa.Table, cand_ref, cfg: DedupConfig,
 
 def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
                  dedup_pairs: bool = False,
-                 broadcast_threshold: int = 2 << 30):
+                 broadcast_threshold: int = 4 << 30):
     """pairs (a,b) + signature table -> verified edge table.
 
     Returns the full verification table (is_dup marks edges) so metrics
@@ -308,8 +308,10 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
         )
 
     # ---- shuffle path: two co-partition joins (endpoint a, then b) ----
+    # materialized between rounds: fusing both repartition+union rounds
+    # into one streaming chain is the known 2-6x pathology
     withe_a = _attach_endpoint(pairs, cand_sigs, "a", "a", has_text, P,
-                               dedup_pairs=dedup_pairs)
+                               dedup_pairs=dedup_pairs).materialize()
     withe_ab = _attach_endpoint(withe_a, cand_sigs, "b", "b", has_text, P)
 
     return withe_ab.map_batches(
