@@ -123,9 +123,12 @@ class DedupPipeline:
             "assembled", input_fingerprint,
             lambda: assemble(transcripts_ds, cfg.num_partitions),
         )
+        # keep_text=False: texts stay in the assembled table only; the
+        # containment pass pulls just the texts it needs from there
         signatures, fp = self._stage(
             "signatures", fp,
-            lambda: sign(assembled, cfg, concurrency=signer_concurrency),
+            lambda: sign(assembled, cfg, concurrency=signer_concurrency,
+                         keep_text=False),
         )
         # pairs stay band-deduped only; the (a, b) dedup happens for free
         # inside verify's first co-partition join (saves one all-to-all)
@@ -138,7 +141,8 @@ class DedupPipeline:
         # stage-wise execution (measured at 200k convs)
         verified, fp = self._stage(
             "verified", fp,
-            lambda: verify_pairs(pairs, signatures, cfg, dedup_pairs=True),
+            lambda: verify_pairs(pairs, signatures, cfg, dedup_pairs=True,
+                                 texts_ds=assembled),
         )
         edges = verified.filter(expr="is_dup == True").select_columns(["a", "b"])
 

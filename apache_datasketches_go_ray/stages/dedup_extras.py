@@ -79,9 +79,11 @@ def minhash_dedup_documents(ds, cfg: DedupConfig | None = None,
     # materialize between stages: sigs and pairs are each consumed by two
     # downstream ops (pairs + verify; candidate-id scan + joins) — without
     # pinning them the lazy chains re-execute the signer several times
-    sigs = sign(docs, cfg).materialize()
+    docs = docs.materialize()
+    sigs = sign(docs, cfg, keep_text=False).materialize()
     pairs = candidate_pairs(sigs, cfg, dedup=False).materialize()
-    verified = verify_pairs(pairs, sigs, cfg, dedup_pairs=True)
+    verified = verify_pairs(pairs, sigs, cfg, dedup_pairs=True,
+                            texts_ds=docs)
     edges = verified.filter(expr="is_dup == True").select_columns(["a", "b"])
     return cluster_edges(edges, cfg.num_partitions)
 

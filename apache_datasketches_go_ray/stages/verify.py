@@ -8,22 +8,25 @@ magnitude smaller than the corpus (bounded by the band caps), so we
      once as a sorted uint64 array and probed per task with
      ``np.searchsorted`` (zero-copy from plasma; a 64-bit collision only
      keeps a harmless extra row that the in-block join drops);
-  2. attach each endpoint's payload (shingle set, text) with a
-     **tagged-union co-partition join**: pair rows and candidate signature
-     rows are unioned into one dataset, hash-partitioned on the endpoint
-     key (``repartition(P, keys=["key"])`` co-locates equal keys), and
-     joined per block with vectorized ``pyarrow.Table.join``.
+  2. attach each endpoint's shingle set either by **broadcasting** the
+     filtered candidate table (``ray.put`` once, map-only lookup — taken
+     when it fits the object-store gate; the classic broadcast join) or
+     by **tagged-union co-partition joins** (pair and signature rows
+     unioned, hash-partitioned on the endpoint key, joined per block
+     with vectorized ``pyarrow.Table.join``).
 
-This uses only the hash-shuffle repartition primitive shared by every
-other wide stage — no extra aggregator-actor pools — so the pipeline
-schedules cleanly even on tiny (4-CPU) local sessions while remaining the
-standard reduce-side join at cluster scale.
+Texts are NOT carried through signatures or joins: the suffix-array
+containment check runs as a lazy second phase over only the pairs that
+need it (shingle containment >= threshold but Jaccard < threshold —
+a small fraction), with just those conversations' texts broadcast from
+``texts_ds``. Text cost is proportional to containment candidates, not
+to the corpus.
 
 A pair becomes an edge when
   * exact Jaccard(shingles_a, shingles_b) >= jaccard_threshold, or
   * shingle containment >= containment_threshold AND the suffix-array
-    longest-common-substring covers >= substring_frac of the shorter text
-    (containment duplicates: FIXTURES.md F2).
+    longest-common-substring covers >= substring_frac of the shorter
+    text (containment duplicates: FIXTURES.md F2).
 """
 
 from __future__ import annotations
@@ -40,6 +43,12 @@ from ..functions.jaccard import intersect_size
 from ..functions.murmur3 import hash_strings
 from ..functions.suffixarray import longest_common_substring
 from .arrow_util import as_array
+
+_VERIFY_SCHEMA = pa.schema([
+    ("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64()),
+    ("containment", pa.float64()), ("method", pa.string()),
+    ("is_dup", pa.bool_()),
+])
 
 
 # ---------------------------------------------------------------------------
@@ -58,77 +67,66 @@ def _filter_to_candidates(batch: pa.Table, ids_ref) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# tagged-union co-partition join
+# tagged-union co-partition join (large-candidate fallback)
 # ---------------------------------------------------------------------------
 
-def _tag_left(batch: pa.Table, key_col: str, sig_cols: list[str]) -> pa.Table:
+def _tag_left(batch: pa.Table, key_col: str, sig_col: str) -> pa.Table:
     """Pair-side rows: key = endpoint id, null signature payload."""
     n = len(batch)
     cols = {"key": batch.column(key_col).cast(pa.string())}
     for c in batch.column_names:
         cols[c] = batch.column(c)
-    for c in sig_cols:
-        typ = pa.large_binary() if c.startswith("shingles") else pa.string()
-        cols[c] = pa.nulls(n, typ)
+    cols[sig_col] = pa.nulls(n, pa.large_binary())
     cols["tag"] = pa.array(np.zeros(n, dtype=np.int8))
     return pa.table(cols)
 
 
-def _tag_right(batch: pa.Table, pair_cols: list[tuple[str, pa.DataType]],
-               suffix: str, has_text: bool) -> pa.Table:
+def _tag_right(batch: pa.Table, pair_cols, sig_col: str) -> pa.Table:
     """Signature-side rows: key = conv_id, null pair payload."""
     n = len(batch)
     cols = {"key": batch.column("conv_id").cast(pa.string())}
     for c, typ in pair_cols:
         cols[c] = pa.nulls(n, typ)
-    cols[f"shingles_{suffix}"] = batch.column("shingles")
-    if has_text:
-        cols[f"text_{suffix}"] = batch.column("text").cast(pa.string())
+    cols[sig_col] = batch.column("shingles")
     cols["tag"] = pa.array(np.ones(n, dtype=np.int8))
     return pa.table(cols)
 
 
-def _block_join(batch: pa.Table, sig_cols: list[str],
+def _block_join(batch: pa.Table, sig_col: str,
                 dedup_pairs: bool = False) -> pa.Table:
     """In-block hash join of co-partitioned pair and signature rows."""
     tag = batch.column("tag")
     pairs = batch.filter(pc.equal(tag, 0))
     sigs = batch.filter(pc.equal(tag, 1))
-    left_cols = [c for c in batch.column_names
-                 if c not in ("tag", *sig_cols)]
+    left_cols = [c for c in batch.column_names if c not in ("tag", sig_col)]
     left = pairs.select(left_cols)
     if dedup_pairs and len(left):
         # pairs keyed on `a` are co-located here, so (a, b) dedup of
         # multi-band emissions is a free in-block group_by
         left = left.group_by(left_cols).aggregate([]).select(left_cols)
-    right_cols = {"key": sigs.column("key")}
-    for c in sig_cols:
-        right_cols[c] = sigs.column(c)
-    right = pa.table(right_cols)
-    # candidate signature rows are unique per conv_id; vectorized Acero join
+    right = pa.table({"key": sigs.column("key"),
+                      sig_col: sigs.column(sig_col)})
     joined = left.join(right, keys=["key"], join_type="left outer")
     return joined.drop_columns(["key"])
 
 
-def _attach_endpoint(ds, cand_sigs, key_col: str, suffix: str,
-                     has_text: bool, P: int, dedup_pairs: bool = False):
-    """ds (pair rows) + cand_sigs -> ds with shingles_/text_<suffix>."""
-    sig_cols = [f"shingles_{suffix}"] + (
-        [f"text_{suffix}"] if has_text else [])
+def _attach_endpoint(ds, cand_sigs, key_col: str, suffix: str, P: int,
+                     dedup_pairs: bool = False):
+    """ds (pair rows) + cand_sigs -> ds with shingles_<suffix>."""
+    sig_col = f"shingles_{suffix}"
     schema = ds.schema()
     pair_cols = list(zip(schema.names, schema.types))
 
     left = ds.map_batches(
-        functools.partial(_tag_left, key_col=key_col, sig_cols=sig_cols),
+        functools.partial(_tag_left, key_col=key_col, sig_col=sig_col),
         batch_format="pyarrow", zero_copy_batch=True)
     right = cand_sigs.map_batches(
-        functools.partial(_tag_right, pair_cols=pair_cols, suffix=suffix,
-                          has_text=has_text),
+        functools.partial(_tag_right, pair_cols=pair_cols, sig_col=sig_col),
         batch_format="pyarrow", zero_copy_batch=True)
     return (
         left.union(right)
         .repartition(P, keys=["key"])
-        .map_batches(functools.partial(_block_join, sig_cols=sig_cols,
+        .map_batches(functools.partial(_block_join, sig_col=sig_col,
                                        dedup_pairs=dedup_pairs),
                      batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
@@ -136,17 +134,13 @@ def _attach_endpoint(ds, cand_sigs, key_col: str, suffix: str,
 
 
 # ---------------------------------------------------------------------------
-# exact verification kernel
+# phase 1: exact Jaccard on shingle sets (no texts anywhere)
 # ---------------------------------------------------------------------------
 
 def _verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     n = len(batch)
-    names = batch.column_names
     sh_a_list = batch.column("shingles_a").to_pylist()
     sh_b_list = batch.column("shingles_b").to_pylist()
-    texts_a = batch.column("text_a").to_pylist() if "text_a" in names else [None] * n
-    texts_b = batch.column("text_b").to_pylist() if "text_b" in names else [None] * n
-
     jac = np.zeros(n)
     con = np.zeros(n)
     ok = np.zeros(n, dtype=bool)
@@ -165,14 +159,9 @@ def _verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         if jac[i] >= cfg.jaccard_threshold:
             ok[i] = True
             method[i] = "jaccard"
-        elif con[i] >= cfg.containment_threshold and texts_a[i] is not None:
-            ta, tb = texts_a[i], texts_b[i]
-            lcs = longest_common_substring(ta, tb)
-            shorter = min(len(ta.encode()), len(tb.encode()))
-            if shorter and lcs >= cfg.substring_frac * shorter:
-                ok[i] = True
-                method[i] = "containment"
-        if not ok[i]:
+        elif con[i] >= cfg.containment_threshold:
+            method[i] = "needs_text"
+        else:
             method[i] = "rejected"
     return pa.table(
         {
@@ -186,13 +175,66 @@ def _verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# phase 2: suffix-array containment, only where needed
+# ---------------------------------------------------------------------------
+
+def _resolve_containment(batch: pa.Table, texts_ref,
+                         cfg: DedupConfig) -> pa.Table:
+    texts = ray.get(texts_ref)  # dict conv_id -> text
+    a = batch.column("a").to_pylist()
+    b = batch.column("b").to_pylist()
+    ok = np.zeros(len(batch), dtype=bool)
+    method = np.empty(len(batch), dtype=object)
+    for i in range(len(batch)):
+        ta = texts.get(a[i])
+        tb = texts.get(b[i])
+        method[i] = "rejected"
+        if ta is not None and tb is not None:
+            lcs = longest_common_substring(ta, tb)
+            shorter = min(len(ta.encode()), len(tb.encode()))
+            if shorter and lcs >= cfg.substring_frac * shorter:
+                ok[i] = True
+                method[i] = "containment"
+    return pa.table({
+        "a": batch.column("a"),
+        "b": batch.column("b"),
+        "jaccard": batch.column("jaccard"),
+        "containment": batch.column("containment"),
+        "method": pa.array(method, type=pa.string()),
+        "is_dup": pa.array(ok),
+    })
+
+
+def _collect_texts(texts_ds, ids: set) -> dict:
+    """Filter texts_ds to the (tiny) id set and collect a lookup dict."""
+    if not ids:
+        return {}
+    h, _ = hash_strings(sorted(ids))
+    ids_ref = ray.put(np.unique(h))
+    out: dict = {}
+    filt = texts_ds.select_columns(["conv_id", "text"]).map_batches(
+        functools.partial(_filter_to_candidates, ids_ref=ids_ref),
+        batch_format="pyarrow", zero_copy_batch=True)
+    for blk in filt.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for cid, txt in zip(blk.column("conv_id").to_pylist(),
+                            blk.column("text").to_pylist()):
+            if cid in ids:
+                out[cid] = txt
+    return out
+
+
+# ---------------------------------------------------------------------------
+# broadcast verify (small-candidate fast path)
+# ---------------------------------------------------------------------------
+
 # per-process cache of broadcast candidate indexes, keyed by object ref
 _BCAST_CACHE: dict = {}
 
 
 def _broadcast_verify_batch(batch: pa.Table, cand_ref, cfg: DedupConfig,
                             dedup_pairs: bool) -> pa.Table:
-    """Map-only verification against the broadcast candidate table."""
+    """Map-only phase-1 verification against the broadcast candidates."""
     key = cand_ref.hex() if hasattr(cand_ref, "hex") else id(cand_ref)
     entry = _BCAST_CACHE.get(key)
     if entry is None:
@@ -204,40 +246,31 @@ def _broadcast_verify_batch(batch: pa.Table, cand_ref, cfg: DedupConfig,
     if dedup_pairs and len(batch):
         batch = batch.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
     sh_col = tbl.column("shingles")
-    has_text = "text" in tbl.column_names
-    text_col = tbl.column("text") if has_text else None
     a_list = batch.column("a").to_pylist()
     b_list = batch.column("b").to_pylist()
     n = len(batch)
     sh_a = [None] * n
     sh_b = [None] * n
-    tx_a = [None] * n
-    tx_b = [None] * n
     for i in range(n):
         ia = idx.get(a_list[i])
         ib = idx.get(b_list[i])
         if ia is not None:
             sh_a[i] = sh_col[ia].as_py()
-            if has_text:
-                tx_a[i] = text_col[ia].as_py()
         if ib is not None:
             sh_b[i] = sh_col[ib].as_py()
-            if has_text:
-                tx_b[i] = text_col[ib].as_py()
     joined = pa.table({
         "a": pa.array(a_list, type=pa.string()),
         "b": pa.array(b_list, type=pa.string()),
         "shingles_a": pa.array(sh_a, type=pa.large_binary()),
         "shingles_b": pa.array(sh_b, type=pa.large_binary()),
-        **({"text_a": pa.array(tx_a, type=pa.string()),
-            "text_b": pa.array(tx_b, type=pa.string())} if has_text else {}),
     })
     return _verify_batch(joined, cfg)
 
 
 def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
                  dedup_pairs: bool = False,
-                 broadcast_threshold: int = 4 << 30):
+                 broadcast_threshold: int = 4 << 30,
+                 texts_ds=None):
     """pairs (a,b) + signature table -> verified edge table.
 
     Returns the full verification table (is_dup marks edges) so metrics
@@ -245,11 +278,9 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
     ``dedup_pairs=True`` removes duplicate (a, b) rows (pairs produced
     with ``candidate_pairs(..., dedup=False)``).
 
-    Join strategy is size-gated: when the filtered candidate payload fits
-    under ``broadcast_threshold`` bytes it is ``ray.put`` once and every
-    verify task does a map-only lookup (zero shuffles; on a cluster this
-    is the classic broadcast join, one copy per node). Larger candidate
-    sets fall back to the two tagged-union co-partition joins.
+    ``texts_ds`` supplies (conv_id, text) rows for the containment pass;
+    if omitted and the signature table still carries a text column, that
+    is used; with no text source, containment candidates are rejected.
     """
     from .context import auto_partitions
 
@@ -257,6 +288,9 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
     pairs_ds = pairs_ds.materialize()
     # size the join shuffles to the candidate volume, not the corpus
     P = auto_partitions(pairs_ds.count(), 25_000, config.num_partitions)
+
+    if texts_ds is None and "text" in sig_ds.schema().names:
+        texts_ds = sig_ds.select_columns(["conv_id", "text"])
 
     # ---- broadcast semi-join: shrink signatures to candidate ids ----
     def ids_block(b):
@@ -277,44 +311,66 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
                    if hash_parts else np.empty(0, dtype=np.uint64))
     ids_ref = ray.put(cand_hashes)
 
-    keep_cols = ["conv_id", "shingles"]
-    has_text = "text" in sig_ds.schema().names
-    if has_text:
-        keep_cols.append("text")
-    # materialized: both co-partition joins consume it — without pinning,
-    # the semi-join filter scan over the signature table runs twice
-    cand_sigs = sig_ds.select_columns(keep_cols).map_batches(
+    # materialized: both join rounds consume it — without pinning, the
+    # semi-join filter scan over the signature table runs twice
+    cand_sigs = sig_ds.select_columns(["conv_id", "shingles"]).map_batches(
         functools.partial(_filter_to_candidates, ids_ref=ids_ref),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 
     pairs = pairs_ds.select_columns(["a", "b"])
 
-    # ---- broadcast path: candidate payload fits in the object store ----
     if cand_sigs.size_bytes() <= broadcast_threshold:
-        import pyarrow as _pa
-
-        cand_tbl = _pa.concat_tables(
+        # ---- broadcast path: candidate payload fits the object store ----
+        cand_tbl = pa.concat_tables(
             ray.get(cand_sigs.to_arrow_refs())).combine_chunks()
         cand_ref = ray.put(cand_tbl)
         if dedup_pairs:
             # co-locate duplicate (a, b) rows so the map's in-block dedup
             # is globally correct (slim string pairs — a cheap shuffle)
             pairs = pairs.repartition(P, keys=["a", "b"])
-        return pairs.map_batches(
+        phase1 = pairs.map_batches(
             functools.partial(_broadcast_verify_batch, cand_ref=cand_ref,
                               cfg=config, dedup_pairs=dedup_pairs),
             batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
-        )
+        ).materialize()
+    else:
+        # ---- shuffle path: two co-partition joins (endpoint a, b) ----
+        # materialized between rounds (fused-chain pathology)
+        withe_a = _attach_endpoint(pairs, cand_sigs, "a", "a", P,
+                                   dedup_pairs=dedup_pairs).materialize()
+        withe_ab = _attach_endpoint(withe_a, cand_sigs, "b", "b", P)
+        phase1 = withe_ab.map_batches(
+            functools.partial(_verify_batch, cfg=config),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=1024,
+        ).materialize()
 
-    # ---- shuffle path: two co-partition joins (endpoint a, then b) ----
-    # materialized between rounds: fusing both repartition+union rounds
-    # into one streaming chain is the known 2-6x pathology
-    withe_a = _attach_endpoint(pairs, cand_sigs, "a", "a", has_text, P,
-                               dedup_pairs=dedup_pairs).materialize()
-    withe_ab = _attach_endpoint(withe_a, cand_sigs, "b", "b", has_text, P)
+    # ---- phase 2: containment texts only for pairs that need them ----
+    needs = phase1.filter(expr="method == 'needs_text'").materialize()
+    done = phase1.filter(expr="method != 'needs_text'")
+    if needs.count() == 0:
+        return done
 
-    return withe_ab.map_batches(
-        functools.partial(_verify_batch, cfg=config),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=1024,
+    if texts_ds is None:
+        # no text source: containment candidates are rejected
+        def reject(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return b.set_column(
+                b.column_names.index("method"), "method",
+                pa.array(["rejected"] * n, type=pa.string()))
+
+        return done.union(needs.map_batches(
+            reject, batch_format="pyarrow", zero_copy_batch=True))
+
+    need_ids: set = set()
+    for blk in needs.select_columns(["a", "b"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        need_ids.update(blk.column("a").to_pylist())
+        need_ids.update(blk.column("b").to_pylist())
+    texts_ref = ray.put(_collect_texts(texts_ds, need_ids))
+    resolved = needs.map_batches(
+        functools.partial(_resolve_containment, texts_ref=texts_ref,
+                          cfg=config),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
+    return done.union(resolved)
