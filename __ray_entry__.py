@@ -529,6 +529,231 @@ def _q_simhash_near_dups(sf_dir: str):
                                   max_hamming=3, num_partitions=16)
 
 
+def _q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min) — the windowed-aggregate op."""
+    from apache_datasketches_go_ray.stages.windows import sessionize
+
+    return sessionize(_read(sf_dir, "events"), gap_minutes=30,
+                      num_partitions=16)
+
+
+def _q_events_running(sf_dir: str):
+    """Per-user ordered running sum + row number (lag/lead window)."""
+    from apache_datasketches_go_ray.stages.windows import running_sum
+
+    return running_sum(_read(sf_dir, "events"), num_partitions=16)
+
+
+def _q_top_orders(sf_dir: str):
+    """Global top-25 orders by price — distributed top-k (sort+limit
+    without a global sort)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import top_k
+
+    def prep(b):
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "price_c": pc.round(pc.multiply(b.column("o_totalprice"), 100))
+                .cast(pa.int64()),
+        })
+
+    ds = _read(sf_dir, "orders").map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k(ds, [("price_c", "descending"), ("o_orderkey", "ascending")],
+                 k=25)
+
+
+def _q_order_priority(sf_dir: str):
+    """TPC-H Q4-flavored EXISTS: orders per priority having a lineitem
+    shipped after the order date. lineitem is pre-aggregated to
+    max(l_shipdate) per orderkey (combiner) before the join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    def pre(b):
+        g = b.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey").cast(pa.int64()),
+            "max_ship": g.column("l_shipdate_max"),
+        })
+
+    def combine(b):
+        g = b.group_by("l_orderkey").aggregate([("max_ship", "max")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "max_ship": g.column("max_ship_max")})
+
+    li = (_read(sf_dir, "lineitem")
+          .select_columns(["l_orderkey", "l_shipdate"])
+          .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+          .repartition(16, keys=["l_orderkey"])
+          .map_batches(combine, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True))
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = hash_join(orders, li, on=("o_orderkey", "l_orderkey"))
+
+    def partial(b):
+        keep = b.filter(pc.greater(b.column("max_ship"),
+                                   b.column("o_orderdate")))
+        g = keep.group_by("o_orderpriority").aggregate(
+            [("o_orderkey", "count")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "n_orders": g.column("o_orderkey_count").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("o_orderpriority").aggregate([("n_orders", "sum")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "n_orders": g.column("n_orders_sum").cast(pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(4, keys=["o_orderpriority"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_customers_no_orders(sf_dir: str):
+    """Broadcast anti-join: customers with no order since 2000-01-01
+    (the unfiltered variant is empty at every sf tier)."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import anti_join
+
+    cutoff = pa.scalar(datetime.datetime(2000, 1, 1),
+                       type=pa.timestamp("us"))
+
+    def recent(b):
+        keep = b.filter(pc.greater_equal(b.column("o_orderdate"), cutoff))
+        return keep.select(["o_custkey"])
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders") \
+        .select_columns(["o_custkey", "o_orderdate"]) \
+        .map_batches(recent, batch_format="pyarrow", zero_copy_batch=True)
+    return anti_join(cust, orders, on=("c_custkey", "o_custkey"))
+
+
+def _q_region_revenue(sf_dir: str):
+    """Multi-hop broadcast join chain (orders -> customer -> nation ->
+    region) with exact-cents revenue per region name."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    nat = hash_join(
+        _read(sf_dir, "nation").select_columns(["n_nationkey",
+                                                "n_regionkey"]),
+        _read(sf_dir, "region"), on=("n_regionkey", "r_regionkey"))
+    cust = hash_join(
+        _read(sf_dir, "customer").select_columns(["c_custkey",
+                                                  "c_nationkey"]),
+        nat.select_columns(["n_nationkey", "r_name"]),
+        on=("c_nationkey", "n_nationkey"))
+
+    def prep_orders(b):
+        return pa.table({
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("o_totalprice"), 100))
+                .cast(pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders").map_batches(
+        prep_orders, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(orders, cust.select_columns(["c_custkey", "r_name"]),
+                       on=("o_custkey", "c_custkey"))
+
+    def partial(b):
+        g = b.group_by("r_name").aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return pa.table({
+            "region": g.column("r_name"),
+            "n_orders": g.column("cents_count").cast(pa.int64()),
+            "sum_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("region").aggregate(
+            [("n_orders", "sum"), ("sum_cents", "sum")])
+        return pa.table({
+            "region": g.column("region"),
+            "n_orders": g.column("n_orders_sum").cast(pa.int64()),
+            "sum_cents": g.column("sum_cents_sum").cast(pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(4, keys=["region"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_distinct_users_daily(sf_dir: str):
+    """Exact count(DISTINCT user_id) per day — grouped distinct without
+    co-locating whole groups."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import distinct_count_by
+
+    def project(b):
+        return pa.table({
+            "day": pc.floor_temporal(b.column("ts"), unit="day"),
+            "user_id": b.column("user_id").cast(pa.int64()),
+        })
+
+    out = distinct_count_by(
+        _read(sf_dir, "events").select_columns(["ts", "user_id"])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+        "day", "user_id", num_partitions=16)
+
+    def rename(b):
+        return pa.table({"day": b.column("day"),
+                         "n_users": b.column("n_distinct")})
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_asof_event_order(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order
+    placed at-or-before the event time (ties -> greatest orderkey)."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.asof import asof_join
+
+    out = asof_join(
+        _read(sf_dir, "events").select_columns(["event_id", "user_id",
+                                                "ts"]),
+        _read(sf_dir, "orders").select_columns(["o_custkey", "o_orderdate",
+                                                "o_orderkey"]),
+        on=("user_id", "o_custkey"), ts=("ts", "o_orderdate"),
+        tie_break="o_orderkey", left_cols=["event_id"],
+        right_cols=["o_orderkey"], num_partitions=16)
+
+    def project(b):
+        return pa.table({
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "matched_orderkey": b.column("o_orderkey").cast(pa.int64()),
+        })
+    return out.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_consecutive_bigram_jaccard(sf_dir: str):
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        consecutive_token_jaccard,
+    )
+
+    return consecutive_token_jaccard(_read(sf_dir, "documents"),
+                                     num_partitions=16, ngram=2)
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.multimodal import (
@@ -567,6 +792,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "customer_nation_revenue": _q_customer_nation_revenue,
         "lineitem_pricing": _q_lineitem_pricing,
+        "events_sessionize": _q_events_sessionize,
+        "events_running": _q_events_running,
+        "top_orders": _q_top_orders,
+        "order_priority": _q_order_priority,
+        "customers_no_orders": _q_customers_no_orders,
+        "region_revenue": _q_region_revenue,
+        "distinct_users_daily": _q_distinct_users_daily,
+        "asof_event_order": _q_asof_event_order,
+        "consecutive_bigram_jaccard": _q_consecutive_bigram_jaccard,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -665,6 +899,111 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_price_c,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_sessionize": """
+            WITH w AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                                  > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, cents,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_no
+              FROM w
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM s GROUP BY user_id, session_no
+        """,
+        "events_running": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                        AS BIGINT) AS row_no,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS run_cents
+            FROM events
+        """,
+        "top_orders": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders
+            ORDER BY price_c DESC, o_orderkey ASC
+            LIMIT 25
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o.o_orderkey
+                            AND l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c.c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01')
+        """,
+        "region_revenue": """
+            SELECT r.r_name AS region, count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS sum_cents
+            FROM orders o
+            JOIN customer c ON o_custkey = c_custkey
+            JOIN nation n ON c_nationkey = n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "distinct_users_daily": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "asof_event_order": """
+            WITH m AS (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC,
+                                                 o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, o_orderkey AS matched_orderkey
+            FROM m WHERE rn = 1
+        """,
+        "consecutive_bigram_jaccard": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS grams
+              FROM t
+            )
+            SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                   coalesce(round(
+                     len(list_intersect(a.grams, b2.grams)) * 1.0 /
+                     nullif(len(a.grams) + len(b2.grams)
+                            - len(list_intersect(a.grams, b2.grams)), 0),
+                     6), 1.0) AS jacc
+            FROM b a JOIN b b2 ON b2.doc_id = a.doc_id + 1
         """,
         "ann_topk": """
             WITH q AS (

@@ -125,14 +125,34 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def _ngram_hashes(tok: np.ndarray, n: int) -> np.ndarray:
+    """Fold consecutive token hashes into n-gram hashes (n=1: identity).
+    Same role as the reference's item->bytes->hash canonicalization
+    (hll/hll_sketch.go:274-295): a fixed injective-in-practice encoding
+    so set comparisons match string-level n-gram distinctness."""
+    from ..functions.murmur3 import fmix64
+
+    if n == 1:
+        return tok
+    if len(tok) < n:
+        return tok[:0]
+    m = len(tok) - n + 1
+    g = tok[:m].copy()
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(1, n):
+        g = fmix64(g * gold ^ tok[j:m + j])
+    return g
+
+
 def consecutive_token_jaccard(ds, id_col: str = "doc_id",
                               text_col: str = "text",
-                              num_partitions: int = 32):
-    """Exact token-set Jaccard between each doc and the next id (doc i vs
-    i+1) — an oracle-checkable exact-similarity operator. Returns
-    (doc_a, doc_b, jacc) with jacc rounded to 6 decimals.
+                              num_partitions: int = 32, ngram: int = 1):
+    """Exact (token- or token-n-gram-)set Jaccard between each doc and
+    the next id (doc i vs i+1) — an oracle-checkable exact-similarity
+    operator. Returns (doc_a, doc_b, jacc) with jacc rounded to 6
+    decimals; docs whose gram sets are both empty score 1.0.
 
-    Distributed shape: each doc emits its token set keyed to both pair
+    Distributed shape: each doc emits its gram set keyed to both pair
     slots (i pairs with i-1 and i+1); a hash shuffle on the pair key
     co-locates both members; the fold computes exact Jaccard."""
 
@@ -142,7 +162,7 @@ def consecutive_token_jaccard(ds, id_col: str = "doc_id",
         tok, off = tokenize_column(texts)
         pair_key, member, payload = [], [], []
         for i, d in enumerate(ids):
-            toks = np.unique(tok[off[i]:off[i + 1]])
+            toks = np.unique(_ngram_hashes(tok[off[i]:off[i + 1]], ngram))
             blob = toks.tobytes()
             pair_key.append(int(d))      # pair (d, d+1)
             member.append(0)
@@ -175,7 +195,10 @@ def consecutive_token_jaccard(ds, id_col: str = "doc_id",
                 union = len(A) + len(B) - inter
                 out_a.append(int(keys[order[i]]))
                 out_b.append(int(keys[order[i]]) + 1)
-                out_j.append(round(inter / union, 6) if union else 1.0)
+                # half-up rounding (SQL round semantics, not banker's)
+                out_j.append(
+                    np.floor(inter / union * 1e6 + 0.5) / 1e6
+                    if union else 1.0)
             i = j + 1
         return pa.table({
             "doc_a": pa.array(out_a, type=pa.int64()),

@@ -1,0 +1,161 @@
+"""Windowed / ordered per-key operators over Arrow batches.
+
+The reference library has no notion of ordering or time (SURVEY.md §2.6)
+— these are the net-new windowed aggregates a training-data pipeline
+needs, expressed with the engine's one co-locating primitive:
+``repartition(P, keys=[key])`` puts every row of a key in exactly one
+block, after which the window itself is a vectorized numpy kernel over
+the sorted block (lexsort + segment boundaries), never a Python loop
+per row.
+
+Scale notes: state per block is O(block rows); no global sort is ever
+taken — ordering only needs to hold *within* a key, so a hash shuffle
+on the key (1 all-to-all) replaces a full range sort. Skewed keys
+(one user with millions of events) are bounded by the same group-size
+discipline as the LSH band stage; at transcript scale user keys are
+~uniform.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .arrow_util import as_array
+from .context import auto_partitions
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.round(pc.multiply(col, 100)).cast(pa.int64())
+
+
+def _sorted_key_segments(keys: np.ndarray, *order_cols: np.ndarray):
+    """lexsort rows by (key, *order_cols); return (order, seg_starts) where
+    seg_starts marks the first row of each key run in the sorted order."""
+    order = np.lexsort(tuple(reversed(order_cols)) + (keys,))
+    sk = keys[order]
+    first = np.empty(len(sk), dtype=bool)
+    if len(sk):
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+    return order, first
+
+
+def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", value_col: str = "value",
+               gap_minutes: int = 30, num_partitions: int = 64):
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event (ordered by ts, then id for determinism)
+    exceeds ``gap_minutes``. Returns one row per (key, session_no) with
+    n_events, start_ts, end_ts, sum_cents — all exact.
+
+    Shape: project -> hash shuffle on key -> per-block vectorized
+    window + per-session aggregate (no second shuffle: a session is a
+    sub-run of one key, and a key lives in one block)."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "ts": b.column(ts_col),
+            "id": b.column(id_col).cast(pa.int64()),
+            "cents": _cents(b.column(value_col)),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "session_no": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "start_ts": pa.array([], type=b.schema.field("ts").type),
+                "end_ts": pa.array([], type=b.schema.field("ts").type),
+                "sum_cents": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("k")).to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        cents = as_array(b.column("cents")).to_numpy(zero_copy_only=False)
+        order, first = _sorted_key_segments(k, ts, ids)
+        sts, scents = ts[order], cents[order]
+        new_s = first.copy()
+        new_s[1:] |= (sts[1:] - sts[:-1]) > gap_us
+        # session_no restarts at 1 per key: global cumsum minus the
+        # cumsum value at each key's first row
+        sess = np.cumsum(new_s)
+        key_base = np.maximum.accumulate(np.where(first, sess - 1, 0))
+        sess_in_key = sess - key_base
+        # aggregate per session run (sessions are contiguous in order)
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(sts))
+        csum = np.concatenate([[0], np.cumsum(scents)])
+        ts_type = b.schema.field("ts").type
+        return pa.table({
+            "user_id": pa.array(k[order][starts], type=pa.int64()),
+            "session_no": pa.array(sess_in_key[starts], type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+            "start_ts": pa.array(sts[starts], type=pa.int64())
+                .cast(ts_type),
+            "end_ts": pa.array(sts[ends - 1], type=pa.int64()).cast(ts_type),
+            "sum_cents": pa.array(csum[ends] - csum[starts],
+                                  type=pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([key_col, ts_col, id_col, value_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def running_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", value_col: str = "value",
+                num_partitions: int = 64):
+    """Per-key running total (exact cents) and row number, ordered by
+    (ts, id) within the key — the lag/lead-style ordered window. Returns
+    (event_id, user_id, row_no, run_cents)."""
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "ts": b.column(ts_col).cast(pa.int64()),
+            "id": b.column(id_col).cast(pa.int64()),
+            "cents": _cents(b.column(value_col)),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        k = as_array(b.column("k")).to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        cents = as_array(b.column("cents")).to_numpy(zero_copy_only=False)
+        order, first = _sorted_key_segments(k, ts, ids)
+        run = np.cumsum(cents[order])
+        rowno = np.arange(1, len(order) + 1, dtype=np.int64)
+        # subtract each key's prefix so run/rowno restart per key
+        seg_id = np.cumsum(first) - 1
+        base_run = np.concatenate([[0], run])[np.flatnonzero(first)][seg_id] \
+            if len(order) else run
+        base_row = rowno[np.flatnonzero(first)][seg_id] - 1 \
+            if len(order) else rowno
+        return pa.table({
+            "event_id": pa.array(ids[order], type=pa.int64()),
+            "user_id": pa.array(k[order], type=pa.int64()),
+            "row_no": pa.array(rowno - base_row, type=pa.int64()),
+            "run_cents": pa.array(run - base_run, type=pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([key_col, ts_col, id_col, value_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

@@ -1,0 +1,190 @@
+"""Unit tests for the windowed / relational stages (windows.py,
+relational.py, asof.py) against exact pandas/duckdb ground truth on
+small deterministic in-memory tables."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _events(n_users=7, n_events=400, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    user = rng.integers(0, n_users, n_events)
+    # bursts with occasional >30min gaps
+    gaps = rng.choice([60, 300, 2400 * 60], size=n_events,
+                      p=[0.6, 0.3, 0.1])
+    ts = np.cumsum(gaps) + user * 977  # interleave users
+    value = np.round(rng.uniform(0, 50, n_events), 2)
+    return pa.table({
+        "event_id": pa.array(np.arange(n_events), type=pa.int64()),
+        "user_id": pa.array(user, type=pa.int64()),
+        "ts": pa.array([BASE + datetime.timedelta(seconds=int(s))
+                        for s in ts], type=pa.timestamp("us")),
+        "value": pa.array(value, type=pa.float64()),
+    })
+
+
+@pytest.fixture(scope="module")
+def events_tbl(ray_session):
+    return _events()
+
+
+def test_sessionize_matches_pandas(events_tbl):
+    from apache_datasketches_go_ray.stages.windows import sessionize
+
+    out = sessionize(ray.data.from_arrow(events_tbl), gap_minutes=30,
+                     num_partitions=4).to_pandas() \
+        .sort_values(["user_id", "session_no"], ignore_index=True)
+
+    df = events_tbl.to_pandas()
+    df["cents"] = (df["value"] * 100).round().astype("int64")
+    df = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        sess, last = 0, None
+        for _, r in g.iterrows():
+            if last is None or (r["ts"] - last) > pd.Timedelta(minutes=30):
+                sess += 1
+                rows.append({"user_id": uid, "session_no": sess,
+                             "n_events": 0, "start_ts": r["ts"],
+                             "end_ts": r["ts"], "sum_cents": 0})
+            rows[-1]["n_events"] += 1
+            rows[-1]["end_ts"] = r["ts"]
+            rows[-1]["sum_cents"] += r["cents"]
+            last = r["ts"]
+    exp = pd.DataFrame(rows)
+    assert len(out) == len(exp)
+    for col in ["user_id", "session_no", "n_events", "sum_cents"]:
+        assert (out[col].to_numpy() == exp[col].to_numpy()).all(), col
+    assert (pd.to_datetime(out["start_ts"]).to_numpy()
+            == exp["start_ts"].to_numpy()).all()
+    assert (pd.to_datetime(out["end_ts"]).to_numpy()
+            == exp["end_ts"].to_numpy()).all()
+
+
+def test_running_sum_matches_pandas(events_tbl):
+    from apache_datasketches_go_ray.stages.windows import running_sum
+
+    out = running_sum(ray.data.from_arrow(events_tbl),
+                      num_partitions=4).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    df = events_tbl.to_pandas()
+    df["cents"] = (df["value"] * 100).round().astype("int64")
+    df = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    df["row_no"] = df.groupby("user_id").cumcount() + 1
+    df["run_cents"] = df.groupby("user_id")["cents"].cumsum()
+    exp = df.sort_values("event_id", ignore_index=True)
+    assert (out["row_no"].to_numpy() == exp["row_no"].to_numpy()).all()
+    assert (out["run_cents"].to_numpy()
+            == exp["run_cents"].to_numpy()).all()
+
+
+def test_top_k_exact(ray_session):
+    from apache_datasketches_go_ray.stages.relational import top_k
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, 5000)
+    t = pa.table({"id": pa.array(np.arange(5000), type=pa.int64()),
+                  "v": pa.array(vals, type=pa.int64())})
+    out = top_k(ray.data.from_arrow(t).repartition(8),
+                [("v", "descending"), ("id", "ascending")], k=12) \
+        .to_pandas()
+    exp = t.to_pandas().sort_values(["v", "id"],
+                                    ascending=[False, True]).head(12)
+    assert (out["id"].to_numpy() == exp["id"].to_numpy()).all()
+
+
+def test_distinct_count_by(ray_session):
+    from apache_datasketches_go_ray.stages.relational import distinct_count_by
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 5, 3000)
+    v = rng.integers(0, 40, 3000)
+    t = pa.table({"g": pa.array(g, type=pa.int64()),
+                  "v": pa.array(v, type=pa.int64())})
+    out = distinct_count_by(ray.data.from_arrow(t).repartition(6),
+                            "g", "v", num_partitions=4).to_pandas() \
+        .sort_values("g", ignore_index=True)
+    exp = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
+    assert (out["n_distinct"].to_numpy() == exp.to_numpy()).all()
+
+
+def test_semi_anti_join_partition(ray_session):
+    from apache_datasketches_go_ray.stages.relational import (
+        anti_join, semi_join,
+    )
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+                     "x": pa.array(list("abcdef"))})
+    right = pa.table({"rk": pa.array([2, 4, 4, 6, 9], type=pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(3)
+    rds = ray.data.from_arrow(right).repartition(2)
+    semi = semi_join(lds, rds, on=("k", "rk")).to_pandas() \
+        .sort_values("k", ignore_index=True)
+    anti = anti_join(lds, rds, on=("k", "rk")).to_pandas() \
+        .sort_values("k", ignore_index=True)
+    assert semi["k"].tolist() == [2, 4, 6]
+    assert anti["k"].tolist() == [1, 3, 5]
+    # semi + anti partition the left side exactly
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_asof_join_matches_duckdb(events_tbl, ray_session):
+    import duckdb
+    from apache_datasketches_go_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(5)
+    n = 60
+    right = pa.table({
+        "o_key": pa.array(rng.integers(0, 7, n), type=pa.int64()),
+        "o_ts": pa.array([BASE + datetime.timedelta(
+            seconds=int(s)) for s in rng.integers(0, 3_000_000, n)],
+            type=pa.timestamp("us")),
+        "o_id": pa.array(np.arange(n), type=pa.int64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(events_tbl).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        on=("user_id", "o_key"), ts=("ts", "o_ts"), tie_break="o_id",
+        left_cols=["event_id"], right_cols=["o_id"],
+        num_partitions=4).to_pandas().sort_values("event_id",
+                                                  ignore_index=True)
+    con = duckdb.connect()
+    con.register("ev", events_tbl.to_pandas())
+    con.register("rt", right.to_pandas())
+    exp = con.execute("""
+        WITH m AS (
+          SELECT e.event_id, r.o_id,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY r.o_ts DESC, r.o_id DESC)
+                   AS rn
+          FROM ev e JOIN rt r
+            ON r.o_key = e.user_id AND r.o_ts <= e.ts
+        )
+        SELECT event_id, o_id FROM m WHERE rn = 1 ORDER BY event_id
+    """).df()
+    assert len(out) == len(exp)
+    assert (out["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+    assert (out["o_id"].to_numpy() == exp["o_id"].to_numpy()).all()
+
+
+def test_ngram_hashes_properties():
+    from apache_datasketches_go_ray.stages.dedup_extras import _ngram_hashes
+
+    tok = np.array([10, 20, 30, 40], dtype=np.uint64)
+    bi = _ngram_hashes(tok, 2)
+    assert len(bi) == 3
+    # order-sensitive: (10,20) != (20,10)
+    rev = _ngram_hashes(tok[::-1].copy(), 2)
+    assert set(bi.tolist()).isdisjoint(rev.tolist())
+    # deterministic
+    assert (bi == _ngram_hashes(tok, 2)).all()
+    # n=1 identity; short input -> empty
+    assert (_ngram_hashes(tok, 1) == tok).all()
+    assert len(_ngram_hashes(tok[:1], 2)) == 0
