@@ -754,6 +754,72 @@ def _q_consecutive_bigram_jaccard(sf_dir: str):
                                      num_partitions=16, ngram=2)
 
 
+def _q_transcript_turn_gaps(sf_dir: str):
+    """Per-conversation turn-timing stats via the windowed kernels:
+    number of >5-min gaps, mean inter-turn seconds — the conversation
+    analogue of event sessionization (rows-only: transcripts are
+    synthesized, not a driver table)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+
+    def project(b):
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int32()),
+            "ts": b.column("ts").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "n_turns": pa.array([], type=pa.int64()),
+                "n_long_gaps": pa.array([], type=pa.int64()),
+                "mean_gap_s": pa.array([], type=pa.float64()),
+            })
+        conv = as_array(b.column("conv_id")).to_numpy(zero_copy_only=False)
+        tidx = as_array(b.column("turn_idx")).to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).to_numpy(zero_copy_only=False)
+        # stable per-conv ordering by turn_idx (string keys: argsort of
+        # codes via np.unique inverse)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, codes))
+        c, t = codes[order], ts[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        np.not_equal(c[1:], c[:-1], out=first[1:])
+        gaps = np.diff(t) / 1e6
+        inner = ~first[1:]  # gaps within a conv
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(c))
+        n_turns = ends - starts
+        gsum = np.concatenate([[0.0], np.cumsum(np.where(inner, gaps, 0))])
+        gbig = np.concatenate([[0], np.cumsum(inner & (gaps > 300))])
+        span = ends - 1
+        mean_gap = np.where(
+            n_turns > 1,
+            (gsum[span] - gsum[starts]) / np.maximum(n_turns - 1, 1), 0.0)
+        return pa.table({
+            "conv_id": pa.array(conv[order][starts]),
+            "n_turns": pa.array(n_turns, type=pa.int64()),
+            "n_long_gaps": pa.array(gbig[span] - gbig[starts],
+                                    type=pa.int64()),
+            "mean_gap_s": pa.array(np.round(mean_gap, 3),
+                                   type=pa.float64()),
+        })
+
+    return (ds.select_columns(["conv_id", "turn_idx", "ts"])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(16, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.multimodal import (
@@ -781,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship transcript pipeline (north_rule)
         "transcript_dedup_clusters": _q_transcript_dedup,
         "transcript_assemble_stats": _q_transcript_assemble,
+        "transcript_turn_gaps": _q_transcript_turn_gaps,
         # exact, SQL-oracled operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_counts": _q_token_counts,

@@ -1,0 +1,87 @@
+"""Multi-format transcript ingestion: parquet/jsonl/csv readers all
+normalize to the canonical schema with identical rows."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.parquet as pq
+import pytest
+
+from apache_datasketches_go_ray.sources.readers import (
+    CANONICAL_SCHEMA, normalize_batch, read_transcripts,
+    write_transcripts_jsonl,
+)
+from apache_datasketches_go_ray.sources.transcripts import (
+    conversations_to_table, generate_conversations,
+)
+
+
+@pytest.fixture(scope="module")
+def canon_tbl():
+    return conversations_to_table(generate_conversations(30, seed=9))
+
+
+def _sorted_pdf(ds):
+    df = ds.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                    ignore_index=True)
+    return df
+
+
+def test_parquet_roundtrip(canon_tbl, ray_session, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(canon_tbl, p)
+    ds = read_transcripts(p, format="parquet")
+    assert ds.schema().base_schema == CANONICAL_SCHEMA
+    df = _sorted_pdf(ds)
+    exp = canon_tbl.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                            ignore_index=True)
+    assert (df["text"] == exp["text"]).all()
+    assert (df["ts"] == exp["ts"]).all()
+
+
+def test_jsonl_matches_parquet(canon_tbl, ray_session, tmp_path):
+    p = str(tmp_path / "t.jsonl")
+    write_transcripts_jsonl(canon_tbl, p)
+    ds = read_transcripts(p, format="jsonl")
+    assert ds.schema().base_schema == CANONICAL_SCHEMA
+    df = _sorted_pdf(ds)
+    exp = canon_tbl.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                            ignore_index=True)
+    for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
+        assert (df[c] == exp[c]).all(), c
+
+
+def test_csv_matches_parquet(canon_tbl, ray_session, tmp_path):
+    p = str(tmp_path / "t.csv")
+    # CSV drops type info: ts as ISO string — reader must re-coerce
+    iso = pa.compute.strftime(canon_tbl.column("ts"),
+                              format="%Y-%m-%dT%H:%M:%S")
+    tbl = canon_tbl.set_column(
+        canon_tbl.schema.get_field_index("ts"), "ts", iso)
+    pacsv.write_csv(tbl, p)
+    ds = read_transcripts(p, format="csv")
+    assert ds.schema().base_schema == CANONICAL_SCHEMA
+    df = _sorted_pdf(ds)
+    exp = canon_tbl.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                            ignore_index=True)
+    for c in ("conv_id", "turn_idx", "role", "text", "ts"):
+        assert (df[c] == exp[c]).all(), c
+
+
+def test_normalize_loose_types():
+    b = pa.table({
+        "conv_id": pa.array([1, 2]),                   # ints -> string
+        "turn_idx": pa.array(["0", "1"]),              # digit strings
+        "role": pa.array(["user", "assistant"]),
+        "text": pa.array(["hi", None]),                # null -> ""
+        "ts": pa.array([1.5, 2.0], type=pa.float64()),  # epoch seconds
+    })                                                  # no tool column
+    out = normalize_batch(b)
+    assert out.schema == CANONICAL_SCHEMA
+    assert out.column("conv_id").to_pylist() == ["1", "2"]
+    assert out.column("turn_idx").to_pylist() == [0, 1]
+    assert out.column("text").to_pylist() == ["hi", ""]
+    assert out.column("tool").to_pylist() == ["", ""]
+    assert out.column("ts").cast(pa.int64()).to_pylist() == [1_500_000,
+                                                             2_000_000]
