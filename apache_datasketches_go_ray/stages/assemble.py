@@ -34,18 +34,20 @@ def assemble_block(batch: pa.Table) -> pa.Table:
     turn_idx = as_array(batch.column("turn_idx")).to_numpy(zero_copy_only=False)
     order = np.lexsort((turn_idx, codes))  # stable: by conv then turn
     codes_s = codes[order]
-    texts = as_array(batch.column("text")).take(pa.array(order)).to_pylist()
+    texts = as_array(batch.column("text")).take(pa.array(order))
 
     n_convs = len(convs)
     counts = np.bincount(codes_s, minlength=n_convs)
     offsets = np.concatenate([[0], np.cumsum(counts)])
-    out_texts = [
-        TURN_SEP.join(texts[offsets[i] : offsets[i + 1]]) for i in range(n_convs)
-    ]
+    # native list-wrap + binary_join: no Python-string materialization
+    turns = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        texts.cast(pa.string()) if texts.type != pa.string() else texts)
+    joined = pc.binary_join(turns, TURN_SEP)
     return pa.table(
         {
             "conv_id": convs.cast(pa.string()),
-            "text": pa.array(out_texts, type=pa.string()),
+            "text": joined,
             "n_turns": pa.array(counts.astype(np.int32)),
         }
     )
