@@ -303,7 +303,9 @@ def _q_quality_scores(sf_dir: str):
     from apache_datasketches_go_ray.stages.textops import quality_stats_batch
 
     def fn(b):
-        out = quality_stats_batch(b)
+        # raw doubles: both engines run the identical IEEE op sequence,
+        # so values compare exactly with no rounding-mode hazards
+        out = quality_stats_batch(b, round_to=None)
         return pa.table({
             "doc_id": out.column("doc_id"),
             "stopword_ratio": out.column("stopword_ratio"),
@@ -496,6 +498,21 @@ def _q_ann_lsh_topk(sf_dir: str):
     qm = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
     out = lsh_topk(_read(sf_dir, "embeddings"), q_ids, qm, k=10,
                    n_planes=6, round_to=4)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (spherical-k-means coarse
+    quantizer): same 5 queries as ann_topk, n_probe cells scanned."""
+    import pyarrow.parquet as pq
+    from apache_datasketches_go_ray.stages.ann import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(emb_path).slice(0, 5)
+    q_ids = head.column("vec_id").to_pylist()
+    qm = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
+    out = ivf_topk(_read(sf_dir, "embeddings"), q_ids, qm, k=10,
+                   n_clusters=16, n_probe=4, round_to=4)
     return out.select(["query_id", "vec_id", "rank"])
 
 
@@ -882,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -966,6 +984,91 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_price_c,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "quality_scores": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     len(toks) AS nt,
+                     CASE WHEN len(toks) = 0 THEN 0
+                          ELSE list_aggregate(list_transform(
+                                 toks, x -> length(x)), 'sum')
+                     END AS total_chars,
+                     CASE WHEN len(toks) = 0 THEN 0
+                          ELSE list_aggregate(list_transform(
+                                 toks, x -> length(regexp_replace(
+                                   x, '[^0-9]', '', 'g'))), 'sum')
+                     END AS digit_chars,
+                     CASE WHEN len(toks) = 0 THEN 0
+                          ELSE len(list_filter(toks, x -> lower(x) IN
+                            ('the','a','an','and','or','of','to','in',
+                             'is','it','that','for','on','with','as',
+                             'was','at','by','be')))
+                     END AS sw_hits
+              FROM t
+            ), r AS (
+              SELECT doc_id,
+                     CASE WHEN total_chars = 0 THEN 0.0
+                          ELSE digit_chars * 1.0 / total_chars
+                     END AS digit_ratio,
+                     CASE WHEN nt = 0 THEN 0.0
+                          ELSE sw_hits * 1.0 / nt END AS stopword_ratio,
+                     CASE WHEN nt = 0 THEN 0.0
+                          ELSE total_chars * 1.0 / nt END AS mean_tok,
+                     nt
+              FROM c
+            )
+            SELECT doc_id, stopword_ratio, digit_ratio,
+                   least(nt / 50.0, 1.0) * 0.4
+                   + greatest(least(1.0 - digit_ratio * 4, 1.0), 0.0) * 0.2
+                   + least(stopword_ratio * 5, 1.0) * 0.2
+                   + greatest(least(1.0 - abs(mean_tok - 5.0) / 10.0, 1.0),
+                              0.0) * 0.2
+                     AS quality_score
+            FROM r
+        """,
+        "langid": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE list_transform(
+                            string_split_regex(trim(text), '\s+'),
+                            x -> trim(lower(x), '.,;:!?"''()'))
+                     END AS toks
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                len(list_filter(toks, x -> x IN
+                  ('der','die','das','und','oder','von','zu','im','ist',
+                   'es','dass','für','auf','mit','als','war','bei','ein')))
+                  AS hde,
+                len(list_filter(toks, x -> x IN
+                  ('the','a','an','and','or','of','to','in','is','it',
+                   'that','for','on','with','as','was','at','by','be')))
+                  AS hen,
+                len(list_filter(toks, x -> x IN
+                  ('el','la','los','las','y','o','de','a','en','es','que',
+                   'para','sobre','con','como','era','por','un'))) AS hes,
+                len(list_filter(toks, x -> x IN
+                  ('le','la','les','et','ou','de','à','en','est','il',
+                   'que','pour','sur','avec','comme','était','par','un')))
+                  AS hfr
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(hde, hen, hes, hfr) = 0
+                          THEN 'unknown'
+                        WHEN hde >= hen AND hde >= hes AND hde >= hfr
+                          THEN 'de'
+                        WHEN hen >= hes AND hen >= hfr THEN 'en'
+                        WHEN hes >= hfr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM h
         """,
         "events_sessionize": """
             WITH w AS (

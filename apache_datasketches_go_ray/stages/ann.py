@@ -258,6 +258,92 @@ def lsh_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 8),
     ).take_all()
+    return _fold_topk(parts, k, round_to)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant: spherical k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+def _spherical_kmeans(sample: np.ndarray, n_clusters: int,
+                      n_iter: int = 10, seed: int = 9001) -> np.ndarray:
+    """Deterministic spherical k-means over a driver-side sample: unit
+    centroids maximizing cosine similarity (fixed seed + fixed iteration
+    count, so the index is a pure function of the data)."""
+    X = sample.astype(np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    rng = np.random.default_rng(seed)
+    n_clusters = min(n_clusters, len(X))
+    idx = rng.choice(len(X), size=n_clusters, replace=False)
+    C = X[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_clusters):
+            m = assign == j
+            if m.any():
+                v = X[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[j] = v / n
+    return C
+
+
+class _IvfTopkPartial:
+    """Partial top-k against only the corpus rows assigned to one of the
+    query's n_probe nearest centroids. Centroids + query probe lists are
+    broadcast once; per batch the assignment is one matmul."""
+
+    def __init__(self, index_ref, k: int, id_col: str, emb_col: str):
+        q = ray.get(index_ref)
+        self.q_ids = q["ids"]
+        self.qn = q["qn"]
+        self.C = q["centroids"]
+        self.probes = q["probes"]  # (nq, n_probe) centroid ids
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .arrow_util import as_array
+
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        if len(batch) == 0:
+            return empty
+        ids = as_array(batch.column(self.id_col)).to_numpy(
+            zero_copy_only=False)
+        m = _embeddings_matrix(batch, self.emb_col).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        assign = np.argmax(mn @ self.C.T, axis=1)
+        q_out, v_out, s_out = [], [], []
+        for qi in range(len(self.q_ids)):
+            mask = np.isin(assign, self.probes[qi])
+            if not mask.any():
+                continue
+            sub = mn[mask]
+            sub_ids = ids[mask]
+            sc = self.qn[qi] @ sub.T
+            k = min(self.k, len(sc))
+            part = np.argpartition(-sc, k - 1)[:k]
+            for j in part:
+                q_out.append(int(self.q_ids[qi]))
+                v_out.append(int(sub_ids[j]))
+                s_out.append(float(sc[j]))
+        if not q_out:
+            return empty
+        return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
+                         "vec_id": pa.array(v_out, type=pa.int64()),
+                         "score": pa.array(s_out, type=pa.float64())})
+
+
+def _fold_topk(parts, k: int, round_to: int) -> pa.Table:
+    """Driver-side final fold of per-block partial top-k rows (at most
+    k rows per (query, block) arrive)."""
     rows: dict[int, list] = {}
     for r in parts:
         rows.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
@@ -273,3 +359,34 @@ def lsh_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
                      "vec_id": pa.array(v_out, type=pa.int64()),
                      "score": pa.array(s_out, type=pa.float64()),
                      "rank": pa.array(rank_out, type=pa.int64())})
+
+
+def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
+             n_clusters: int = 16, n_probe: int = 4,
+             sample_size: int = 4096, id_col: str = "vec_id",
+             emb_col: str = "embedding", seed: int = 9001,
+             round_to: int = 6) -> pa.Table:
+    """IVF approximate cosine top-k: the second ANN scale path.
+
+    A deterministic driver-side sample trains a spherical k-means coarse
+    quantizer; each query scans only its n_probe nearest cells
+    (~n_probe/n_clusters of the corpus). Corpus cell assignment happens
+    inside the scan batch (one matmul) — the corpus is never reshuffled,
+    so building + querying the index is one streaming pass."""
+    sample_tbl = ds.limit(sample_size).to_arrow_refs()
+    sample = np.concatenate(
+        [_embeddings_matrix(t, emb_col)
+         for t in (ray.get(r) for r in sample_tbl) if len(t)])
+    C = _spherical_kmeans(sample, n_clusters, seed=seed)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    order = np.argsort(-(qn @ C.T), axis=1, kind="stable")
+    probes = order[:, :min(n_probe, C.shape[0])]
+    ref = ray.put({"ids": np.asarray(query_ids), "qn": qn,
+                   "centroids": C, "probes": probes})
+    parts = ds.map_batches(
+        _IvfTopkPartial, fn_constructor_args=(ref, k, id_col, emb_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).take_all()
+    return _fold_topk(parts, k, round_to)

@@ -191,3 +191,36 @@ def test_lsh_topk_overlap_with_brute_force(ray_session):
     ap_top = {(r["query_id"], r["rank"]): r["vec_id"]
               for r in ap.to_pylist() if r["rank"] <= 2}
     assert ap_top == bf_top
+
+
+def test_ivf_topk_overlap_with_brute_force(ray_session):
+    """The IVF-bucketed top-k (second ANN scale path) must recover the
+    planted nearest neighbors, and the whole index must be deterministic
+    (fixed-seed spherical k-means)."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.ann import (
+        brute_force_topk, ivf_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    m = rng.standard_normal((400, 32)).astype(np.float32)
+    for i in range(5):
+        m[100 + i] = m[i] + 0.01 * rng.standard_normal(32).astype(np.float32)
+    ids = np.arange(400, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(m),
+                                          type=pa.list_(pa.float32()))})
+    q_ids = ids[:5]
+    qm = m[:5]
+    bf = brute_force_topk(ray.data.from_arrow(tbl), q_ids, qm, k=5)
+    ap = ivf_topk(ray.data.from_arrow(tbl), q_ids, qm, k=5,
+                  n_clusters=8, n_probe=3)
+    bf_top = {(r["query_id"], r["rank"]): r["vec_id"]
+              for r in bf.to_pylist() if r["rank"] <= 2}
+    ap_top = {(r["query_id"], r["rank"]): r["vec_id"]
+              for r in ap.to_pylist() if r["rank"] <= 2}
+    assert ap_top == bf_top
+    ap2 = ivf_topk(ray.data.from_arrow(tbl), q_ids, qm, k=5,
+                   n_clusters=8, n_probe=3)
+    assert ap.to_pylist() == ap2.to_pylist()
