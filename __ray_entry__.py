@@ -837,6 +837,42 @@ def _q_transcript_turn_gaps(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_curate_docs(sf_dir: str):
+    """End-to-end training-data curation funnel on the documents table
+    with planted exact + near duplicates (ids offset by 10^6/2*10^6):
+    annotate -> filter -> exact dedup -> near dedup -> curated ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.curate import (
+        CurateConfig, run_curate,
+    )
+
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = base.column("doc_id").to_pylist()
+    texts = base.column("text").to_pylist()
+    exact_ids = [i + 1_000_000 for i in ids[:15]]
+    near_ids = [i + 2_000_000 for i in ids[15:30]]
+    near_texts = []
+    for t in texts[15:30]:
+        words = t.split(" ")
+        words[len(words) // 2] = "zzqx"
+        near_texts.append(" ".join(words))
+    aug = pa.table({
+        "doc_id": pa.array(ids + exact_ids + near_ids, type=pa.int64()),
+        "text": pa.array(texts + texts[:15] + near_texts,
+                         type=pa.string()),
+    })
+    res = run_curate(ray.data.from_arrow(aug),
+                     CurateConfig(min_quality=0.2, num_partitions=16))
+
+    def project(b):
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64())})
+    return res["curated"].map_batches(project, batch_format="pyarrow",
+                                      zero_copy_batch=True).sort("doc_id")
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.multimodal import (
@@ -901,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
+        "curate_docs": _q_curate_docs,
     }
 
 

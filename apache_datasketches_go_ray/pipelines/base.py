@@ -1,0 +1,98 @@
+"""Shared checkpoint/lineage machinery for multi-stage pipelines.
+
+Each stage's manifest entry records a fingerprint of (pipeline config,
+stage name, upstream fingerprint); a re-run with an intact checkpoint
+directory skips every stage whose entry is complete and
+fingerprint-matching, re-reading its partitioned-Parquet output instead
+of recomputing. Without a checkpoint dir, stages materialize (or stay
+lazy with ``materialize=False``) and metrics still accumulate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import ray.data
+
+
+class CheckpointedPipeline:
+    def __init__(self, config_dict: dict, checkpoint_dir: str | None = None):
+        self._config_dict = config_dict
+        self.ckpt = checkpoint_dir
+        self.metrics: dict = {"stages": {}, "config": config_dict}
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+
+    # ---- manifest helpers -------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.ckpt, "manifest.json")
+
+    def _load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"stages": {}}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, self._manifest_path())
+
+    def _fingerprint(self, stage: str, upstream_fp: str) -> str:
+        h = hashlib.sha256()
+        h.update(json.dumps(self._config_dict, sort_keys=True).encode())
+        h.update(stage.encode())
+        h.update(upstream_fp.encode())
+        return h.hexdigest()[:16]
+
+    def _stage(self, name: str, upstream_fp: str, build, *,
+               materialize: bool = True):
+        """Run or resume one checkpointed stage; returns (ds, fingerprint).
+
+        ``materialize=False`` (no-checkpoint mode only) leaves the stage
+        lazy so a single-consumer stage fuses into its downstream chain
+        instead of paying a barrier + object-store round-trip.
+        """
+        fp = self._fingerprint(name, upstream_fp)
+        t0 = time.time()
+        if self.ckpt:
+            man = self._load_manifest()
+            ent = man["stages"].get(name)
+            out_dir = os.path.join(self.ckpt, name)
+            if ent and ent.get("complete") and ent.get("fingerprint") == fp \
+                    and os.path.isdir(out_dir):
+                ds = ray.data.read_parquet(out_dir)
+                self.metrics["stages"][name] = {
+                    "resumed": True, "rows": ent.get("rows"), "sec": 0.0,
+                }
+                return ds, fp
+            ds = build()
+            ds.write_parquet(out_dir)
+            ds = ray.data.read_parquet(out_dir)
+            rows = ds.count()
+            man = self._load_manifest()
+            man["stages"][name] = {
+                "complete": True, "fingerprint": fp, "rows": rows,
+                "sec": round(time.time() - t0, 3),
+            }
+            self._save_manifest(man)
+        elif materialize:
+            ds = build().materialize()
+            rows = ds.count()
+        else:
+            ds = build()
+            rows = None
+        self.metrics["stages"][name] = {
+            "resumed": False, "rows": rows, "sec": round(time.time() - t0, 3),
+        }
+        return ds, fp
+
+    def _write_metrics(self) -> None:
+        if self.ckpt:
+            with open(os.path.join(self.ckpt, "metrics.json"), "w") as f:
+                json.dump(self.metrics, f, indent=2)

@@ -18,7 +18,6 @@ byte-identical after canonical sorting.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import time
@@ -33,82 +32,14 @@ from ..stages.signature import sign
 from ..stages.lsh import candidate_pairs
 from ..stages.verify import verify_pairs
 from ..stages.cluster import cluster_edges
+from .base import CheckpointedPipeline
 
 
-class DedupPipeline:
+class DedupPipeline(CheckpointedPipeline):
     def __init__(self, config: DedupConfig, checkpoint_dir: str | None = None):
+        super().__init__(config.to_dict(), checkpoint_dir)
         self.cfg = config
-        self.ckpt = checkpoint_dir
-        self.metrics: dict = {"stages": {}, "config": config.to_dict()}
-        if checkpoint_dir:
-            os.makedirs(checkpoint_dir, exist_ok=True)
         ensure_hash_shuffle()
-
-    # ---- manifest helpers -------------------------------------------------
-    def _manifest_path(self) -> str:
-        return os.path.join(self.ckpt, "manifest.json")
-
-    def _load_manifest(self) -> dict:
-        p = self._manifest_path()
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
-        return {"stages": {}}
-
-    def _save_manifest(self, m: dict) -> None:
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=2)
-        os.replace(tmp, self._manifest_path())
-
-    def _fingerprint(self, stage: str, upstream_fp: str) -> str:
-        h = hashlib.sha256()
-        h.update(json.dumps(self.cfg.to_dict(), sort_keys=True).encode())
-        h.update(stage.encode())
-        h.update(upstream_fp.encode())
-        return h.hexdigest()[:16]
-
-    def _stage(self, name: str, upstream_fp: str, build, *,
-               materialize: bool = True):
-        """Run or resume one checkpointed stage; returns (ds, fingerprint).
-
-        ``materialize=False`` (no-checkpoint mode only) leaves the stage
-        lazy so a single-consumer stage fuses into its downstream chain
-        instead of paying a barrier + object-store round-trip.
-        """
-        fp = self._fingerprint(name, upstream_fp)
-        t0 = time.time()
-        if self.ckpt:
-            man = self._load_manifest()
-            ent = man["stages"].get(name)
-            out_dir = os.path.join(self.ckpt, name)
-            if ent and ent.get("complete") and ent.get("fingerprint") == fp \
-                    and os.path.isdir(out_dir):
-                ds = ray.data.read_parquet(out_dir)
-                self.metrics["stages"][name] = {
-                    "resumed": True, "rows": ent.get("rows"), "sec": 0.0,
-                }
-                return ds, fp
-            ds = build()
-            ds.write_parquet(out_dir)
-            ds = ray.data.read_parquet(out_dir)
-            rows = ds.count()
-            man = self._load_manifest()
-            man["stages"][name] = {
-                "complete": True, "fingerprint": fp, "rows": rows,
-                "sec": round(time.time() - t0, 3),
-            }
-            self._save_manifest(man)
-        elif materialize:
-            ds = build().materialize()
-            rows = ds.count()
-        else:
-            ds = build()
-            rows = None
-        self.metrics["stages"][name] = {
-            "resumed": False, "rows": rows, "sec": round(time.time() - t0, 3),
-        }
-        return ds, fp
 
     # ---- pipeline ---------------------------------------------------------
     def run(self, transcripts_ds, *, input_fingerprint: str = "",
