@@ -286,6 +286,18 @@ def _q_freq_top_tokens(sf_dir: str):
     })
 
 
+def _q_top_tokens_by_lang(sf_dir: str):
+    """Grouped heavy hitters: per-language top-10 tokens via distributed
+    frequent-items sketches. Map capacity exceeds the per-lang vocab at
+    test scale, so offset stays 0 and the sketch output is exact —
+    SQL-oracle-checked."""
+    from apache_datasketches_go_ray.stages.sketch_aggs import approx_top_k_by
+
+    return approx_top_k_by(_read(sf_dir, "documents"), "lang", "text",
+                           k=10, lg_max_map_size=16, tokenize=True,
+                           num_partitions=8)
+
+
 def _q_langid(sf_dir: str):
     import pyarrow as pa
     from apache_datasketches_go_ray.stages.textops import langid_batch
@@ -930,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_top_tokens": _q_freq_top_tokens,
         "kll_partition_bounds": _q_kll_partition_bounds,
         "hll_users_by_type": _q_hll_users_by_type,
+        "top_tokens_by_lang": _q_top_tokens_by_lang,
         "langid": _q_langid,
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_fingerprints,
@@ -1021,6 +1034,24 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_price_c,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_tokens_by_lang": r"""
+            WITH tok AS (
+              SELECT lang,
+                     unnest(string_split_regex(trim(text), '\s+')) AS item
+              FROM documents
+            ), c AS (
+              SELECT lang, item, count(*) AS cnt
+              FROM tok WHERE item <> '' GROUP BY lang, item
+            ), r AS (
+              SELECT lang, item, cnt,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY cnt DESC, item ASC)
+                       AS rank
+              FROM c
+            )
+            SELECT lang, item, cnt AS estimate, rank
+            FROM r WHERE rank <= 10
         """,
         "quality_scores": r"""
             WITH t AS (

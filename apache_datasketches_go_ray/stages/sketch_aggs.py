@@ -156,3 +156,96 @@ def approx_top_k(ds, column: str, k: int = 20, lg_max_map_size: int = 12,
         merged.merge(part)
     rows = merged.get_frequent_items("no_false_negatives")
     return rows[:k]
+
+
+def approx_top_k_by(ds, group_col: str, item_col: str, k: int = 10,
+                    lg_max_map_size: int = 12, tokenize: bool = False,
+                    num_partitions: int = 16):
+    """Grouped heavy hitters: per-group frequent-items top-k, fully
+    distributed (per-block per-group partial sketches -> hash shuffle on
+    the group -> per-block merge + finalize).
+
+    When the per-group item cardinality stays under the map capacity the
+    sketch never purges, offset stays 0 and estimates are EXACT counts
+    (frequencies/longs_sketch.go:286-325: lb == ub) — which makes this
+    operator SQL-oracle-checkable at test scale while keeping sketch
+    behavior (bounded memory, purge-by-median) at corpus scale.
+
+    Returns rows (group, item, estimate, rank), rank by estimate desc
+    then item asc (deterministic)."""
+    import json
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = as_array(batch.column(group_col)).cast(pa.string())
+        col = as_array(batch.column(item_col))
+        if tokenize:
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(col.cast(pa.string())), r"\s+")
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            g = g.take(pa.array(np.repeat(np.arange(len(batch)), lens)))
+            col = pc.list_flatten(toks)
+        t = pa.table({"g": g, "i": col.cast(pa.string())})
+        t = t.filter(pc.not_equal(t.column("i"), ""))
+        vc = t.group_by(["g", "i"]).aggregate([("i", "count")])
+        gs = vc.column("g").to_numpy(zero_copy_only=False)
+        items = vc.column("i").to_numpy(zero_copy_only=False)
+        cnts = vc.column("i_count").to_numpy(zero_copy_only=False)
+        order = np.argsort(gs, kind="stable")
+        out_g, out_blob = [], []
+        i = 0
+        while i < len(order):
+            j = i
+            sk = FrequentItemsSketch(lg_max_map_size)
+            while j < len(order) and gs[order[j]] == gs[order[i]]:
+                sk.update(str(items[order[j]]), int(cnts[order[j]]))
+                j += 1
+            its, cs = sk.to_items()
+            out_g.append(str(gs[order[i]]))
+            out_blob.append(json.dumps({
+                "items": its, "counts": cs, "offset": sk.offset,
+                "weight": sk.stream_weight}))
+            i = j
+        return pa.table({group_col: pa.array(out_g, type=pa.string()),
+                         "sk": pa.array(out_blob, type=pa.string())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        gs = np.asarray(as_array(batch.column(group_col)).to_pylist(),
+                        dtype=object)
+        blobs = as_array(batch.column("sk")).to_pylist()
+        order = np.argsort(gs, kind="stable")
+        out = {"group": [], "item": [], "estimate": [], "rank": []}
+        i = 0
+        while i < len(order):
+            j = i
+            merged = FrequentItemsSketch(lg_max_map_size)
+            while j < len(order) and gs[order[j]] == gs[order[i]]:
+                d = json.loads(blobs[order[j]])
+                part = FrequentItemsSketch(lg_max_map_size)
+                part.counts = dict(zip(d["items"], d["counts"]))
+                part.offset = d["offset"]
+                part.stream_weight = d["weight"]
+                merged.merge(part)
+                j += 1
+            rows = merged.get_frequent_items("no_false_negatives")[:k]
+            for rank, (item, est, _lb, _ub) in enumerate(rows):
+                out["group"].append(str(gs[order[i]]))
+                out["item"].append(item)
+                out["estimate"].append(est)
+                out["rank"].append(rank + 1)
+            i = j
+        return pa.table({
+            group_col: pa.array(out["group"], type=pa.string()),
+            "item": pa.array(out["item"], type=pa.string()),
+            "estimate": pa.array(out["estimate"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+        })
+
+    return (
+        ds.select_columns([group_col, item_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions, keys=[group_col])
+        .map_batches(combine, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

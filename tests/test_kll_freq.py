@@ -134,3 +134,39 @@ def test_freq_merge():
     # item 0: 1000/11 -> 91, 1000/13 -> 77 occurrences
     true0 = (1000 + 10) // 11 + (1000 + 12) // 13
     assert a.get_lower_bound(0) <= true0 <= a.get_upper_bound(0)
+
+
+def test_approx_top_k_by_exact_and_purge(ray_session):
+    """Grouped frequent-items: exact in the no-purge regime; heavy
+    hitters still surface under purge with lb<=true<=ub semantics."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.sketch_aggs import approx_top_k_by
+
+    rng = np.random.default_rng(17)
+    groups, items = [], []
+    for g in ("a", "b"):
+        # zipf-ish: item f"t{j}" appears (50-j) times
+        for j in range(40):
+            groups += [g] * (50 - j)
+            items += [f"{g}t{j:02d}"] * (50 - j)
+    t = pa.table({"g": pa.array(groups), "i": pa.array(items)})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    exact = approx_top_k_by(ds, "g", "i", k=5, lg_max_map_size=10,
+                            num_partitions=2).to_pandas()
+    for g in ("a", "b"):
+        sub = exact[exact["g"] == g].sort_values("rank")
+        assert list(sub["item"]) == [f"{g}t{j:02d}" for j in range(5)]
+        assert list(sub["estimate"]) == [50, 49, 48, 47, 46]
+
+    # purge regime: tiny map (capacity 6) still surfaces the top items
+    purged = approx_top_k_by(ds, "g", "i", k=3, lg_max_map_size=3,
+                             num_partitions=2).to_pandas()
+    for g in ("a", "b"):
+        sub = purged[purged["g"] == g].sort_values("rank")
+        assert len(sub) >= 1
+        # estimates are upper bounds: est >= true count of that item
+        for _, r in sub.iterrows():
+            true = 50 - int(r["item"][-2:])
+            assert r["estimate"] >= true
