@@ -127,3 +127,57 @@ def _semi_anti(left_ds, right_ds, on: tuple[str, str], join_type: str):
         functools.partial(_semi_anti_batch, keys_ref=keys_ref, lk=lk,
                           rk=rk, join_type=join_type),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def range_sort(ds, col: str, *, num_partitions: int = 16,
+               descending: bool = False, kll_k: int = 400):
+    """Globally-ordered output via KLL range partitioning — the
+    reference's GetPartitionBoundaries
+    (kll/items_sketch_partition_boundaries.go:35-59) applied to its
+    stated purpose: sizing a range shuffle.
+
+    One sampling pass builds a merged KLL sketch of the sort column
+    (KB-sized partials, driver merge); evenly-spaced-rank boundaries
+    assign each row a partition id; a hash shuffle on the id co-locates
+    each range; blocks sort locally. Ordering holds across blocks when
+    read in partition order (__part is ascending in the output and
+    dropped after verification). Unlike ds.sort() this exposes the
+    boundary state (checkpointable, reusable across runs)."""
+    from ..state.kll import KllSketch
+
+    def sample(b: pa.Table) -> pa.Table:
+        sk = KllSketch(kll_k)
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        sk.update_many(vals.astype(np.float64))
+        return pa.table({"sk": pa.array([sk.to_bytes()],
+                                        type=pa.large_binary())})
+
+    merged = KllSketch(kll_k)
+    for r in ds.select_columns([col]).map_batches(
+            sample, batch_format="pyarrow",
+            zero_copy_batch=True).take_all():
+        merged.merge(KllSketch.from_bytes(r["sk"]))
+    inner = merged.get_partition_boundaries(num_partitions)[1:-1]
+    bounds = np.unique(inner)
+
+    def assign(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        part = np.searchsorted(bounds, vals, side="right")
+        if descending:
+            part = len(bounds) - part
+        return b.append_column("__part",
+                               pa.array(part.astype(np.int64)))
+
+    def sort_block(b: pa.Table) -> pa.Table:
+        order = "descending" if descending else "ascending"
+        idx = pc.sort_indices(b, sort_keys=[(col, order)])
+        return b.take(idx)
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(len(bounds) + 1, keys=["__part"])
+        .map_batches(sort_block, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

@@ -188,3 +188,29 @@ def test_ngram_hashes_properties():
     # n=1 identity; short input -> empty
     assert (_ngram_hashes(tok, 1) == tok).all()
     assert len(_ngram_hashes(tok[:1], 2)) == 0
+
+
+def test_range_sort_global_order(ray_session):
+    from apache_datasketches_go_ray.stages.relational import range_sort
+
+    rng = np.random.default_rng(23)
+    vals = rng.normal(100, 40, 20_000)
+    t = pa.table({"id": pa.array(np.arange(20_000), type=pa.int64()),
+                  "v": pa.array(vals, type=pa.float64())})
+    out = range_sort(ray.data.from_arrow(t).repartition(8), "v",
+                     num_partitions=6).to_pandas()
+    assert len(out) == 20_000
+    # ranges are disjoint across partitions and sorted within each
+    parts = sorted(out["__part"].unique())
+    prev_max = -np.inf
+    for p in parts:
+        sub = out[out["__part"] == p]["v"].to_numpy()
+        assert (np.diff(sub) >= 0).all()          # intra-block sorted
+        assert sub[0] >= prev_max                  # disjoint ranges
+        prev_max = sub[-1]
+    # global multiset preserved
+    assert np.allclose(np.sort(out["v"].to_numpy()), np.sort(vals))
+    # balanced-ish partitions (KLL boundaries, not hash): no partition
+    # holds more than 3x its fair share
+    sizes = out.groupby("__part").size()
+    assert sizes.max() <= 3 * 20_000 / len(parts)
