@@ -849,6 +849,60 @@ def _q_transcript_turn_gaps(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_containment_dups(sf_dir: str):
+    """Suffix-array containment dedup, standalone: plant docs that are
+    60%-prefix copies of reals (ids offset by 3*10^6) and recover them
+    via sign -> band -> verify with the containment (substring) pass —
+    the pairs where Jaccard alone is below threshold but the shared
+    substring covers the smaller doc (method == 'containment' or
+    jaccard for near-total overlap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        minhash_dedup_documents,
+    )
+    from apache_datasketches_go_ray.stages.signature import sign
+    from apache_datasketches_go_ray.stages.lsh import candidate_pairs
+    from apache_datasketches_go_ray.stages.verify import verify_pairs
+    import numpy as _np
+
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = base.column("doc_id").to_pylist()
+    texts = base.column("text").to_pylist()
+    new_ids, new_texts = [], []
+    for i in range(25):
+        words = texts[i].split(" ")
+        new_ids.append(ids[i] + 3_000_000)
+        # 15 at 60% prefix (Jaccard >= tau path) + 10 at 45% prefix
+        # (Jaccard < tau, containment ~1.0 -> suffix-array path)
+        frac = 3 / 5 if i < 15 else 9 / 20
+        new_texts.append(
+            " ".join(words[:max(3, int(len(words) * frac))]))
+    aug = pa.table({
+        "conv_id": pa.array([str(x) for x in ids + new_ids],
+                            type=pa.string()),
+        "text": pa.array(texts + new_texts, type=pa.string()),
+        "n_turns": pa.array(_np.ones(len(ids) + 25, dtype=_np.int32)),
+    })
+    cfg = _dedup_config()
+    docs = ray.data.from_arrow(aug).materialize()
+    sigs = sign(docs, cfg, keep_text=False).materialize()
+    pairs = candidate_pairs(sigs, cfg, dedup=False)
+    verified = verify_pairs(pairs, sigs, cfg, dedup_pairs=True,
+                            texts_ds=docs)
+    out = verified.filter(expr="is_dup == True")
+
+    def project(b):
+        return pa.table({
+            "a": b.column("a"), "b": b.column("b"),
+            "method": b.column("method"),
+        })
+    return out.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(["a", "b"])
+
+
 def _q_curate_docs(sf_dir: str):
     """End-to-end training-data curation funnel on the documents table
     with planted exact + near duplicates (ids offset by 10^6/2*10^6):
@@ -951,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "curate_docs": _q_curate_docs,
+        "containment_dups": _q_containment_dups,
     }
 
 

@@ -1,0 +1,90 @@
+"""Job entry point: `ray job submit -- python -m apache_datasketches_go_ray ...`
+
+Runs the flagship transcript dedup pipeline (or the document curation
+pipeline) end-to-end against a Parquet/JSONL/CSV corpus, with
+checkpoint/resume and a metrics sidecar — the north_rule's
+cluster-submission surface, runnable identically on a laptop
+(`RAY_ADDRESS=local`) and a multi-node cluster (ray job submit attaches
+to the cluster address; this script only ever calls ray.init when no
+session exists).
+
+Examples:
+  python -m apache_datasketches_go_ray dedup \
+      --input /data/transcripts --format parquet \
+      --output /out/clusters --checkpoint /ckpt/run1 --partitions 256
+  python -m apache_datasketches_go_ray curate \
+      --input /data/docs.parquet --output /out/curated
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="apache_datasketches_go_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="transcript near-dup clustering")
+    d.add_argument("--input", required=True)
+    d.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl", "csv"])
+    d.add_argument("--output", required=True)
+    d.add_argument("--checkpoint", default=None)
+    d.add_argument("--partitions", type=int, default=64)
+    d.add_argument("--shingle-k", type=int, default=None)
+    d.add_argument("--threshold", type=float, default=None)
+
+    c = sub.add_parser("curate", help="document curation funnel")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--checkpoint", default=None)
+    c.add_argument("--partitions", type=int, default=64)
+    c.add_argument("--min-quality", type=float, default=0.35)
+    c.add_argument("--langs", default="en")
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init()
+
+    if args.cmd == "dedup":
+        from .config import DedupConfig
+        from .pipelines.dedup import run_dedup
+        from .sources.readers import read_transcripts
+
+        kw = {"num_partitions": args.partitions}
+        if args.shingle_k is not None:
+            kw["shingle_k"] = args.shingle_k
+        if args.threshold is not None:
+            kw["jaccard_threshold"] = args.threshold
+        cfg = DedupConfig(**kw)
+        ds = read_transcripts(args.input, format=args.format)
+        res = run_dedup(ds, cfg, checkpoint_dir=args.checkpoint)
+        res["clusters"].write_parquet(args.output)
+        print(json.dumps({"clusters": res["clusters"].count(),
+                          "stages": {k: v.get("sec")
+                                     for k, v in
+                                     res["metrics"]["stages"].items()}}))
+    else:
+        import ray.data
+
+        from .pipelines.curate import CurateConfig, run_curate
+
+        cfg = CurateConfig(min_quality=args.min_quality,
+                           allowed_langs=tuple(args.langs.split(",")),
+                           num_partitions=args.partitions)
+        ds = ray.data.read_parquet(args.input)
+        res = run_curate(ds, cfg, checkpoint_dir=args.checkpoint)
+        res["curated"].write_parquet(args.output)
+        print(json.dumps({"rows_in": res["metrics"]["rows_in"],
+                          "rows_out": res["metrics"]["rows_out"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -172,11 +172,14 @@ class CuratePipeline(CheckpointedPipeline):
 
         dropped, fp = self._stage("near_dup_drops", fp, near_build)
 
-        drop_tbl = pa.concat_tables(
-            ray.get(dropped.to_arrow_refs())).combine_chunks()
-        drop_set_ref = ray.put(pa.table({
-            "__drop_id": drop_tbl.column("__drop_id").cast(
-                pa.large_string())}))
+        blocks = [t for t in ray.get(dropped.to_arrow_refs())
+                  if len(t) and "__drop_id" in t.column_names]
+        if blocks:
+            drop_tbl = pa.concat_tables(blocks).combine_chunks()
+            drop_ids = drop_tbl.column("__drop_id").cast(pa.large_string())
+        else:  # no near-duplicates found anywhere
+            drop_ids = pa.array([], type=pa.large_string())
+        drop_set_ref = ray.put(pa.table({"__drop_id": drop_ids}))
 
         def remove_drops(batch: pa.Table, ref) -> pa.Table:
             import ray as _ray

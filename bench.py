@@ -26,10 +26,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # flagship synthetic transcript sizing per sf tier (seed 42, FIXTURES F1/F2)
 BENCH_CONVS = {"sf0.001": 150, "sf0.01": 600, "sf0.1": 100_000}
-# --scaling input: sized so the 8-CPU leg is compute-dominated (~4.5 min;
+# --scaling input: sized so the low-CPU leg is compute-dominated (~7 min;
 # BASELINE.md protocol wants >= ~60s/leg — at 100k convs the fixed Ray
-# overhead still eats the 8-CPU leg and efficiency reads artificially low)
-SCALING_CONVS = 200_000
+# overhead still eats both legs and efficiency reads artificially low).
+# Override with RAY_GRAFT_SCALING_CONVS for bigger amortization runs.
+SCALING_CONVS = int(os.environ.get("RAY_GRAFT_SCALING_CONVS", "300000"))
 
 
 def _bench_transcripts(sf_dir: str, n: int | None = None) -> str:

@@ -1,0 +1,59 @@
+"""Job-entry CLI (`python -m apache_datasketches_go_ray`) smoke: dedup
+over a JSONL corpus and curate over Parquet, in-process via main()."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from apache_datasketches_go_ray.__main__ import main
+from apache_datasketches_go_ray.sources.readers import (
+    write_transcripts_jsonl,
+)
+from apache_datasketches_go_ray.sources.transcripts import (
+    conversations_to_table, generate_conversations, inject_duplicates,
+)
+
+
+def test_cli_dedup_jsonl(ray_session, tmp_path, capsys):
+    convs = generate_conversations(40, seed=5)
+    convs, _groups = inject_duplicates(convs, seed=6)
+    tbl = conversations_to_table(convs)
+    src = str(tmp_path / "in.jsonl")
+    write_transcripts_jsonl(tbl, src)
+    out = str(tmp_path / "clusters")
+    rc = main(["dedup", "--input", src, "--format", "jsonl",
+               "--output", out, "--partitions", "4",
+               "--checkpoint", str(tmp_path / "ck")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["clusters"] > 0
+    clusters = pq.read_table(out)
+    assert set(clusters.column_names) == {"conv_id", "cluster_id"}
+    assert len(clusters) == rep["clusters"]
+
+
+def test_cli_curate_parquet(ray_session, tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    words = ("the quick brown fox jumps over a lazy dog and then runs "
+             "back to this forest with some other animals that live "
+             "there in big warm dens near an old river bank").split()
+    texts = [" ".join(rng.choice(words, size=60)) for _ in range(20)]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(20)) + [100], type=pa.int64()),
+        "text": pa.array(texts + [texts[0]], type=pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "--input", src, "--output", out,
+               "--partitions", "4", "--min-quality", "0.2"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_in"] == 21
+    assert rep["rows_out"] == 20      # the exact dup dropped
+    assert len(pq.read_table(out)) == 20
