@@ -134,73 +134,115 @@ def _digest_matrix(col, n: int) -> np.ndarray:
     return vals[base : base + n * width].reshape(n, width)
 
 
-def _emit_group_pairs(members: np.ndarray, mdig: np.ndarray, max_group: int,
-                      min_matches: int):
-    """Cap-rule pair emission + digest prefilter for one (sub)bucket."""
-    g = len(members)
-    if g <= max_group:
-        ia, ib = np.triu_indices(g, k=1)
-    else:
-        # skew cap: sorted consecutive chain bounds pair count while
-        # preserving bucket connectivity
-        ia = np.arange(g - 1)
-        ib = ia + 1
-    keep = (mdig[ia] == mdig[ib]).sum(axis=1) >= min_matches
-    return members[ia[keep]], members[ib[keep]]
+def _rank_encode(batch: pa.Table):
+    """conv_id column -> (lexicographic int64 ranks, rank -> string map).
+
+    Dictionary-encode once, rank the (small) dictionary with Arrow's
+    sort, and work in int64 ranks from there: bucket scans never touch
+    Python strings, and rank order == UTF-8 order == the lexicographic
+    member order the oracle uses (UTF-8 byte order preserves codepoint
+    order), so pair canonicalization is unchanged."""
+    from .arrow_util import as_array
+
+    import pyarrow.compute as pc
+
+    d = as_array(pc.dictionary_encode(as_array(batch.column("conv_id"))))
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_arr = d.dictionary
+    sort_idx = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
+    rank_of_code = np.empty(len(dict_arr), dtype=np.int64)
+    rank_of_code[sort_idx] = np.arange(len(dict_arr), dtype=np.int64)
+    sorted_strings = dict_arr.take(pa.array(sort_idx))
+    return rank_of_code[codes], sorted_strings
 
 
 def _sorted_groups(batch: pa.Table, with_salt: bool):
-    """Sort the block's band rows and yield (start, end, bh, order arrays).
-
-    Returns (conv_s, dig_s, bh_s, starts, ends)."""
+    """Sort the block's band rows by (band[, salt], member-rank) and
+    reduce to one row per (bucket, member): returns
+    (m_rank, m_dig, bucket_sizes, bucket_offsets, bucket_bh,
+    rank_to_string)."""
     n = len(batch)
     bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
-    conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+    rank, strings = _rank_encode(batch)
     dig = _digest_matrix(batch.column("sig_digest"), n)
     if with_salt:
         salt = batch.column("salt").to_numpy(zero_copy_only=False)
-        order = np.lexsort((conv, salt, bh))
+        order = np.lexsort((rank, salt, bh))
         salt_s = salt[order]
     else:
-        order = np.lexsort((conv, bh))
+        order = np.lexsort((rank, bh))
         salt_s = None
     bh_s = bh[order]
-    conv_s = conv[order]
-    dig_s = dig[order] if n else dig
-    newgrp = np.ones(len(bh_s), dtype=bool)
-    if len(bh_s) > 1:
+    rank_s = rank[order]
+    newgrp = np.ones(n, dtype=bool)
+    if n > 1:
         newgrp[1:] = bh_s[1:] != bh_s[:-1]
         if salt_s is not None:
             newgrp[1:] |= salt_s[1:] != salt_s[:-1]
-    starts = np.flatnonzero(newgrp)
-    ends = np.concatenate([starts[1:], [len(bh_s)]])
-    return conv_s, dig_s, bh_s, starts, ends
+    # first occurrence of each (bucket, member): dedups multi-band hits
+    member_first = newgrp.copy()
+    if n > 1:
+        member_first[1:] |= rank_s[1:] != rank_s[:-1]
+    mrows = np.flatnonzero(member_first)
+    m_rank = rank_s[mrows]
+    m_dig = dig[order][mrows] if n else dig
+    bucket_id = np.cumsum(newgrp[mrows]) - 1 if len(mrows) else \
+        np.empty(0, dtype=np.int64)
+    sizes = np.bincount(bucket_id) if len(mrows) else \
+        np.empty(0, dtype=np.int64)
+    boffs = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    bucket_bh = bh_s[mrows][boffs] if len(mrows) else \
+        np.empty(0, dtype=np.uint64)
+    return m_rank, m_dig, sizes, boffs, bucket_bh, strings
+
+
+def _vector_pairs(m_rank, m_dig, sizes, boffs, max_group, min_matches):
+    """Vectorized pair emission across ALL buckets at once, grouped by
+    bucket size (one numpy pass per distinct size instead of a Python
+    iteration per bucket). Semantics identical to the per-bucket rule:
+    full g*(g-1)/2 set for g <= max_group, sorted consecutive chain
+    above (skew cap), digest prefilter on every pair."""
+    a_out: list = []
+    b_out: list = []
+    for g in np.unique(sizes):
+        if g < 2:
+            continue
+        bsel = np.flatnonzero(sizes == g)
+        idx = boffs[bsel][:, None] + np.arange(g)      # (nb, g)
+        mem = m_rank[idx]
+        md = m_dig[idx]                                # (nb, g, slots)
+        if g <= max_group:
+            ia, ib = np.triu_indices(int(g), k=1)
+        else:
+            ia = np.arange(int(g) - 1)
+            ib = ia + 1
+        keep = (md[:, ia, :] == md[:, ib, :]).sum(axis=2) >= min_matches
+        if keep.any():
+            a_out.append(mem[:, ia][keep])
+            b_out.append(mem[:, ib][keep])
+    if not a_out:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
+def _ranks_to_strings(ranks: np.ndarray, strings) -> pa.Array:
+    if len(ranks) == 0:
+        return pa.array([], type=pa.string())
+    return strings.take(pa.array(ranks)).cast(pa.string())
 
 
 def pairs_in_block(batch: pa.Table, max_group: int,
                    min_matches: int) -> pa.Table:
     """Emit digest-prefiltered candidate pairs for every band bucket in
     this block. A pair survives only if >= min_matches of its sampled
-    signature slots agree — rejecting the mass of low-Jaccard band
+    signature slots agree - rejecting the mass of low-Jaccard band
     collisions here, before any payload ever ships."""
-    conv_s, dig_s, _bh_s, starts, ends = _sorted_groups(batch, False)
-    a_out: list = []
-    b_out: list = []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        members, first = np.unique(conv_s[s:e], return_index=True)
-        if len(members) < 2:
-            continue
-        a, b = _emit_group_pairs(members, dig_s[s:e][first], max_group,
-                                 min_matches)
-        if len(a):
-            a_out.append(a)
-            b_out.append(b)
-    a = np.concatenate(a_out) if a_out else np.empty(0, dtype=object)
-    b = np.concatenate(b_out) if b_out else np.empty(0, dtype=object)
-    return pa.table({"a": pa.array(a, type=pa.string()),
-                     "b": pa.array(b, type=pa.string())})
+    m_rank, m_dig, sizes, boffs, _bh, strings = _sorted_groups(batch, False)
+    a, b = _vector_pairs(m_rank, m_dig, sizes, boffs, max_group,
+                         min_matches)
+    return pa.table({"a": _ranks_to_strings(a, strings),
+                     "b": _ranks_to_strings(b, strings)})
 
 
 def pairs_and_reps_in_block(batch: pa.Table, max_group: int,
@@ -211,37 +253,27 @@ def pairs_and_reps_in_block(batch: pa.Table, max_group: int,
     pair rows (is_rep=false, a/b set) and rep rows (is_rep=true,
     band_hash/conv_id/sig_digest set)."""
     hot, _n_salt = ray.get(hot_ref)
-    conv_s, dig_s, bh_s, starts, ends = _sorted_groups(batch, True)
-    a_out: list = []
-    b_out: list = []
-    rep_bh: list = []
-    rep_conv: list = []
-    rep_dig: list = []
-    for s, e in zip(starts, ends):
-        members, first = np.unique(conv_s[s:e], return_index=True)
-        mdig = dig_s[s:e][first]
-        is_hot = len(hot) and bool(_in_sorted(bh_s[s : s + 1], hot)[0])
-        if is_hot:
-            rep_bh.append(int(bh_s[s]))
-            rep_conv.append(members[0])
-            rep_dig.append(mdig[0].tobytes())
-        if len(members) < 2:
-            continue
-        a, b = _emit_group_pairs(members, mdig, max_group, min_matches)
-        if len(a):
-            a_out.append(a)
-            b_out.append(b)
-    a = np.concatenate(a_out) if a_out else np.empty(0, dtype=object)
-    b = np.concatenate(b_out) if b_out else np.empty(0, dtype=object)
-    n_p = len(a)
-    n_r = len(rep_bh)
+    m_rank, m_dig, sizes, boffs, bucket_bh, strings = \
+        _sorted_groups(batch, True)
+    a, b = _vector_pairs(m_rank, m_dig, sizes, boffs, max_group,
+                         min_matches)
+    hot_sel = np.flatnonzero(_in_sorted(bucket_bh, hot)) \
+        if len(bucket_bh) else np.empty(0, dtype=np.int64)
+    rep_bh = bucket_bh[hot_sel]
+    rep_rank = m_rank[boffs[hot_sel]] if len(hot_sel) else \
+        np.empty(0, dtype=np.int64)
+    rep_dig = [m_dig[o].tobytes() for o in boffs[hot_sel]]
+    n_p, n_r = len(a), len(rep_bh)
+    a_str = _ranks_to_strings(a, strings)
+    b_str = _ranks_to_strings(b, strings)
+    rep_str = _ranks_to_strings(rep_rank, strings)
     return pa.table({
-        "a": pa.array(np.concatenate([a, np.full(n_r, None, dtype=object)]),
-                      type=pa.string()),
-        "b": pa.array(np.concatenate([b, np.full(n_r, None, dtype=object)]),
-                      type=pa.string()),
-        "band_hash": pa.array([0] * n_p + rep_bh, type=pa.uint64()),
-        "conv_id": pa.array([None] * n_p + rep_conv, type=pa.string()),
+        "a": pa.concat_arrays([a_str, pa.nulls(n_r, pa.string())]),
+        "b": pa.concat_arrays([b_str, pa.nulls(n_r, pa.string())]),
+        "band_hash": pa.array(
+            np.concatenate([np.zeros(n_p, dtype=np.uint64), rep_bh]),
+            type=pa.uint64()),
+        "conv_id": pa.concat_arrays([pa.nulls(n_p, pa.string()), rep_str]),
         "sig_digest": pa.array([None] * n_p + rep_dig,
                                type=pa.large_binary()),
         "is_rep": pa.array([False] * n_p + [True] * n_r),
