@@ -158,18 +158,51 @@ def _star(edges, P: int, large: bool):
     )
 
 
+# edge sets at or below this size finish on the driver (vectorized
+# hook + pointer-jump CC): the same bounded-small-side gate as the
+# broadcast join. 2M edges ~= 90 MB of id strings — trivial next to a
+# worker heap; above it, the iterative star rounds take over.
+_LOCAL_EDGE_THRESHOLD = 2_000_000
+
+
+def _cluster_local(edges) -> pa.Table:
+    """Driver-side finish: gather the (pre-shrunk) edge set, code the ids
+    order-preservingly, run vectorized CC, emit min-member labels —
+    identical output to the distributed fixed point."""
+    from ..state.unionfind import connected_components_numpy
+
+    blocks = [t for t in ray.get(edges.to_arrow_refs()) if len(t)]
+    tbl = pa.concat_tables(blocks).combine_chunks()
+    a = np.asarray(tbl.column("a").to_pylist(), dtype=object)
+    b = np.asarray(tbl.column("b").to_pylist(), dtype=object)
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    labels = connected_components_numpy(inv[: len(a)], inv[len(a):],
+                                        len(uniq))
+    return pa.table({
+        "conv_id": pa.array(uniq, type=pa.string()),
+        "cluster_id": pa.array(uniq[labels], type=pa.string()),
+    })
+
+
 def cluster_edges(edges_ds, num_partitions: int, max_rounds: int = 40,
-                  checkpoint_cb=None):
+                  checkpoint_cb=None,
+                  local_threshold: int = _LOCAL_EDGE_THRESHOLD):
     """edge table (a, b) -> cluster assignment (conv_id, cluster_id).
 
     Only nodes appearing in edges are returned (singleton convs are
-    implicit clusters of themselves)."""
+    implicit clusters of themselves). Small edge sets (<= local
+    threshold) finish with one driver-side vectorized CC pass instead of
+    paying per-round shuffle latency; round checkpoints apply to the
+    distributed path only (the local path is a single atomic step under
+    the pipeline's stage checkpoint)."""
     empty = pa.table({"conv_id": pa.array([], type=pa.string()),
                       "cluster_id": pa.array([], type=pa.string())})
     edges = edges_ds.select_columns(["a", "b"]).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(empty)
+    if n_edges <= local_threshold:
+        return ray.data.from_arrow(_cluster_local(edges))
     P = int(np.clip(-(-n_edges // _EDGES_PER_PART), 1, num_partitions))
 
     fp = _fingerprint(edges)

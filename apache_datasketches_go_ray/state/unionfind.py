@@ -65,3 +65,31 @@ def label_propagation_round(
             new[b] = m
             changed += 1
     return new, changed
+
+
+def connected_components_numpy(u: np.ndarray, v: np.ndarray,
+                               k: int) -> np.ndarray:
+    """Vectorized connected components over integer-coded edges.
+
+    Returns labels[0..k): the minimum member code of each node's
+    component. Classic hook + pointer-jumping: every iteration hooks the
+    larger endpoint root to the smaller (np.minimum.at) then compresses
+    parents to roots; converges in O(log k) fully-vectorized rounds.
+    Codes must be order-preserving for min-label == min-id semantics."""
+    parent = np.arange(k, dtype=np.int64)
+    if len(u) == 0:
+        return parent
+    while True:
+        pu, pv = parent[u], parent[v]
+        hi = np.maximum(pu, pv)
+        lo = np.minimum(pu, pv)
+        before = parent.copy()
+        np.minimum.at(parent, hi, lo)
+        # full path compression
+        while True:
+            gp = parent[parent]
+            if (gp == parent).all():
+                break
+            parent = gp
+        if (parent == before).all():
+            return parent

@@ -158,10 +158,17 @@ def test_cluster_chain_convergence(ray_session):
     n = 150
     ids = [f"n{i:05d}" for i in range(n)]
     edges = pa.table({"a": ids[:-1], "b": ids[1:]})
-    out = cluster_edges(ray.data.from_arrow(edges), 4, max_rounds=15)
+    # local_threshold=0 forces the distributed star rounds (the default
+    # gate would finish this tiny chain on the driver)
+    out = cluster_edges(ray.data.from_arrow(edges), 4, max_rounds=15,
+                        local_threshold=0)
     labels = {r["conv_id"]: r["cluster_id"] for r in out.take_all()}
     assert len(labels) == n
     assert set(labels.values()) == {ids[0]}
+    # and the driver-side vectorized path must agree exactly
+    out2 = cluster_edges(ray.data.from_arrow(edges), 4)
+    labels2 = {r["conv_id"]: r["cluster_id"] for r in out2.take_all()}
+    assert labels2 == labels
 
 
 def test_skew_salted_repartitioning(ray_session):
