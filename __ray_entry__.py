@@ -272,6 +272,35 @@ def _q_kll_quantiles_nchars(sf_dir: str):
     })
 
 
+def _q_kll_cdf_nchars(sf_dir: str):
+    """KLL PMF/CDF over documents.n_chars at fixed split points
+    (kll/items_sketch_sorted_view.go:103-139 role)."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.state.kll import KllSketch
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def partial(b):
+        sk = KllSketch(200)
+        sk.update_many(as_array(b.column("n_chars"))
+                       .to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sk": pa.array([sk.to_bytes()],
+                                        type=pa.large_binary())})
+
+    merged = KllSketch(200)
+    for row in _read(sf_dir, "documents").select_columns(["n_chars"]) \
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all():
+        merged.merge(KllSketch.from_bytes(row["sk"]))
+    splits = np.array([200.0, 400.0, 800.0, 1600.0])
+    pmf = merged.get_pmf(splits)
+    cdf = merged.get_cdf(splits)
+    return pa.table({
+        "split": pa.array(list(splits) + [float("inf")]),
+        "pmf": pa.array([round(float(x), 6) for x in pmf]),
+        "cdf": pa.array([round(float(x), 6) for x in cdf]),
+    })
+
+
 def _q_freq_top_tokens(sf_dir: str):
     import pyarrow as pa
     from apache_datasketches_go_ray.stages.sketch_aggs import approx_top_k
@@ -995,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_nchars": _q_kll_quantiles_nchars,
         "freq_top_tokens": _q_freq_top_tokens,
         "kll_partition_bounds": _q_kll_partition_bounds,
+        "kll_cdf_nchars": _q_kll_cdf_nchars,
         "hll_users_by_type": _q_hll_users_by_type,
         "top_tokens_by_lang": _q_top_tokens_by_lang,
         "langid": _q_langid,
