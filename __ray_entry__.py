@@ -932,6 +932,33 @@ def _q_containment_dups(sf_dir: str):
                            zero_copy_batch=True).sort(["a", "b"])
 
 
+def _q_video_frame_features(sf_dir: str):
+    """Video frame-sampling plumbing: fake raw videos -> every-6th-frame
+    rows -> per-frame channel features (actor-pool stages, flat-map
+    batch expansion)."""
+    import ray.data
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.multimodal import (
+        make_fake_video_batch, frame_pipeline,
+    )
+
+    media = ray.data.from_arrow(make_fake_video_batch(list(range(16))))
+    out = frame_pipeline(media, every_k=6, batch_size=4)
+
+    def project(b):
+        feats = [np.frombuffer(x, dtype=np.float32)
+                 for x in b.column("features").to_pylist()]
+        return pa.table({
+            "media_id": b.column("media_id"),
+            "frame_idx": b.column("frame_idx").cast(pa.int32()),
+            "feat_dim": pa.array([len(f) for f in feats], type=pa.int64()),
+            "feat_sum": pa.array([round(float(f.sum()), 2) for f in feats]),
+        })
+    return out.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(["media_id",
+                                                       "frame_idx"])
+
+
 def _q_curate_docs(sf_dir: str):
     """End-to-end training-data curation funnel on the documents table
     with planted exact + near duplicates (ids offset by 10^6/2*10^6):
@@ -1034,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
+        "video_frame_features": _q_video_frame_features,
         "curate_docs": _q_curate_docs,
         "containment_dups": _q_containment_dups,
     }

@@ -153,3 +153,68 @@ def decode_pipeline(ds, *, fake: bool = True, batch_size: int = 32,
                      batch_size=batch_size, zero_copy_batch=True,
                      concurrency=concurrency)
     )
+
+
+def make_fake_video_batch(ids: list[int], n_frames: int = 24,
+                          h: int = 8, w: int = 8) -> pa.Table:
+    """Deterministic fake videos: (n_frames, h, w, 3) uint8 payloads."""
+    payloads, metas = [], []
+    for i in ids:
+        rng = np.random.default_rng(1000 + i)
+        arr = rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+        payloads.append(arr.tobytes())
+        metas.append(json.dumps({"shape": [n_frames, h, w, 3],
+                                 "dtype": "uint8", "fps": 12}))
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "media_type": pa.array(["video/raw"] * len(ids)),
+        "payload": pa.array(payloads, type=pa.large_binary()),
+        "meta": pa.array(metas, type=pa.string()),
+    })
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample every k-th frame of a decoded video
+    payload (the video analogue of the image resize stage). Emits one
+    row per SAMPLED FRAME (flat_map-style batch expansion) so the
+    downstream image stages (resize / feature) apply unchanged."""
+
+    def __init__(self, every_k: int = 6):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = as_array(batch.column("media_id")).to_numpy(
+            zero_copy_only=False)
+        blobs = as_array(batch.column("payload")).to_pylist()
+        metas = [json.loads(s) for s in
+                 as_array(batch.column("meta")).to_pylist()]
+        out_id, out_frame, out_blob, out_shape = [], [], [], []
+        for mid, blob, meta in zip(ids, blobs, metas):
+            arr = np.frombuffer(blob, dtype=meta["dtype"]) \
+                .reshape(meta["shape"])
+            for f in range(0, arr.shape[0], self.k):
+                out_id.append(int(mid))
+                out_frame.append(f)
+                out_blob.append(arr[f].tobytes())
+                out_shape.append(json.dumps(
+                    {"shape": list(arr[f].shape), "dtype": meta["dtype"]}))
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_frame, type=pa.int32()),
+            "decoded": pa.array(out_blob, type=pa.large_binary()),
+            "decoded_shape": pa.array(out_shape, type=pa.string()),
+        })
+
+
+def frame_pipeline(ds, *, every_k: int = 6, batch_size: int = 8,
+                   concurrency=(1, 4)):
+    """video table -> sampled frames + per-frame features (actor pools;
+    small batches: a batch of raw videos is MB-scale)."""
+    return (
+        ds.map_batches(FrameSampleStage, fn_constructor_args=(every_k,),
+                       batch_format="pyarrow", batch_size=batch_size,
+                       zero_copy_batch=True, concurrency=concurrency)
+        .map_batches(FeatureStage, batch_format="pyarrow",
+                     batch_size=batch_size, zero_copy_batch=True,
+                     concurrency=concurrency)
+    )
