@@ -32,3 +32,18 @@ def _tune_malloc() -> None:
 _tune_malloc()
 
 from .config import DedupConfig  # noqa: E402,F401
+
+
+def run_dedup(*args, **kwargs):  # noqa: E402
+    """Convenience re-export: pipelines.dedup.run_dedup (lazy import so
+    `import apache_datasketches_go_ray` stays cheap)."""
+    from .pipelines.dedup import run_dedup as _run
+
+    return _run(*args, **kwargs)
+
+
+def run_curate(*args, **kwargs):  # noqa: E402
+    """Convenience re-export: pipelines.curate.run_curate."""
+    from .pipelines.curate import run_curate as _run
+
+    return _run(*args, **kwargs)
