@@ -186,6 +186,19 @@ def _q_consecutive_jaccard(sf_dir: str):
                                      num_partitions=16)
 
 
+def _q_jaccard_join(sf_dir: str):
+    """Exact all-pairs token-set Jaccard >= 0.9 via prefix filtering
+    (AllPairs/PPJoin family): recall 1.0 by construction, so it carries
+    a value-exact SQL oracle — the only dedup-family operator where the
+    candidate stage provably cannot miss a qualifying pair."""
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        jaccard_similarity_join,
+    )
+
+    return jaccard_similarity_join(_read(sf_dir, "documents"), tau=0.9,
+                                   num_partitions=16)
+
+
 def _q_events_hourly(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1030,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "lang_stats": _q_lang_stats,
         "consecutive_jaccard": _q_consecutive_jaccard,
+        "jaccard_join_dups": _q_jaccard_join,
         "events_hourly": _q_events_hourly,
         "ann_topk": _q_ann_topk,
         "customer_nation_revenue": _q_customer_nation_revenue,
@@ -1125,6 +1139,28 @@ def oracle_sql() -> dict[str, str]:
                          (len(a.toks) + len(b.toks)
                           - len(list_intersect(a.toks, b.toks))), 6) AS jacc
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        "jaccard_join_dups": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                         string_split_regex(trim(text), '\s+'))) AS tk
+              FROM documents
+              WHERE trim(text) <> ''
+            ), sz AS (
+              SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM tok a JOIN tok b
+                ON a.tk = b.tk AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT inter.doc_a, inter.doc_b,
+                   round(i * 1.0 / (sa.s + sb.s - i), 6) AS jacc
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_a
+            JOIN sz sb ON sb.doc_id = inter.doc_b
+            WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.9
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,

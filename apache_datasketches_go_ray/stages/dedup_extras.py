@@ -368,3 +368,368 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
         .map_batches(dedup, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+# per-worker-process cache for the broadcast set table (keyed by ref hex)
+_BCAST_SETS_CACHE: dict = {}
+
+def _token_sets(ds, id_col: str, text_col: str):
+    """Per-doc sorted-unique token-hash sets: (doc_id, toks blob, sz).
+    Docs with zero tokens are dropped (they cannot reach any tau > 0)."""
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = as_array(batch.column(id_col)).to_numpy(zero_copy_only=False)
+        tok, off = tokenize_column(as_array(batch.column(text_col)))
+        out_id, out_blob, out_sz = [], [], []
+        for i, d in enumerate(ids):
+            u = np.unique(tok[off[i]:off[i + 1]])
+            if len(u):
+                out_id.append(int(d))
+                out_blob.append(u.tobytes())
+                out_sz.append(len(u))
+        return pa.table({
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "toks": pa.array(out_blob, type=pa.large_binary()),
+            "sz": pa.array(out_sz, type=pa.int32()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        make, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _hot_token_df(sets_ds, hot_k: int, num_partitions: int):
+    """Exact document frequencies of the globally hottest hot_k token
+    hashes (partial value_counts -> token shuffle -> fold -> driver
+    top-k). Plays the role the reference assigns its frequent-items
+    sketch — detect heavy keys before the wide shuffle
+    (frequencies/longs_sketch.go:345-360, SURVEY.md §2.4) — but exact,
+    since the count table after per-block combining is tiny."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"tok": pa.array([], type=pa.uint64()),
+                             "df": pa.array([], type=pa.int64())})
+        blobs = as_array(batch.column("toks")).to_pylist()
+        flat = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+        toks, counts = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(toks, type=pa.uint64()),
+                         "df": pa.array(counts.astype(np.int64))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        t = batch.group_by("tok").aggregate([("df", "sum")])
+        t = t.rename_columns(["tok", "df"])
+        if len(t) > hot_k:
+            idx = pc.select_k_unstable(
+                t, k=hot_k, sort_keys=[("df", "descending"),
+                                       ("tok", "ascending")])
+            t = t.take(idx)
+        return t
+
+    winners = (
+        sets_ds.select_columns(["toks"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions, keys=["tok"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    ).take_all()
+    if not winners:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    toks = np.array([r["tok"] for r in winners], dtype=np.uint64)
+    dfs = np.array([r["df"] for r in winners], dtype=np.int64)
+    if len(toks) > hot_k:
+        keep = np.argsort(-dfs, kind="stable")[:hot_k]
+        toks, dfs = toks[keep], dfs[keep]
+    order = np.argsort(toks)
+    return toks[order], dfs[order]
+
+
+def jaccard_similarity_join(ds, tau: float = 0.6, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_partitions: int = 32, hot_k: int = 4096,
+                            broadcast_gate_bytes: int = 1 << 30):
+    """Exact token-set Jaccard self-join: all pairs (doc_a < doc_b) with
+    Jaccard >= tau, with guaranteed recall 1.0 (no LSH miss).
+
+    Prefix filtering (AllPairs/PPJoin family): under ANY globally
+    consistent token order, two sets with overlap >= t must share a
+    token within their (s - t + 1)-prefixes; with t = ceil(tau * s)
+    (valid since J >= tau implies overlap >= tau * union >= tau * s for
+    each side), only prefix tokens need to be shuffled. We order tokens
+    by (global df if hot else 0, hash) — exact df for the top hot_k
+    tokens via a combined count pass — so boilerplate tokens sort last
+    and almost never enter a prefix: the same hot-key-aware shuffle
+    discipline as the LSH band stage, with recall untouched (ordering
+    is a performance heuristic only; any consistent order is correct).
+
+    Verification attaches full token sets to candidate pairs: broadcast
+    (ray.put once, read per task) when the set table fits the gate,
+    else a two-step hash-shuffle attach (pairs x sets on a, then on b).
+
+    Returns (doc_a, doc_b, jacc) with jacc half-up-rounded to 6 dp.
+    """
+    import ray
+
+    sets_ds = _token_sets(ds, id_col, text_col).materialize()
+    hot_toks, hot_dfs = _hot_token_df(sets_ds, hot_k, num_partitions)
+
+    def emit_prefix(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], type=pa.uint64()),
+                          "doc": pa.array([], type=pa.int64()),
+                          "sz": pa.array([], type=pa.int32())})
+        if len(batch) == 0:
+            return empty
+        ids = as_array(batch.column("doc_id")).to_numpy(zero_copy_only=False)
+        szs = as_array(batch.column("sz")).to_numpy(zero_copy_only=False)
+        blobs = as_array(batch.column("toks")).to_pylist()
+        flat = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+        off = np.concatenate([[0], np.cumsum(szs)]).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), szs)
+        # global order value: df for hot tokens, 0 (sorts first) otherwise
+        pos = np.searchsorted(hot_toks, flat)
+        pos_c = np.minimum(pos, max(len(hot_toks) - 1, 0))
+        orderval = np.zeros(len(flat), dtype=np.int64)
+        if len(hot_toks):
+            ishot = hot_toks[pos_c] == flat
+            orderval[ishot] = hot_dfs[pos_c[ishot]]
+        srt = np.lexsort((flat, orderval, doc_idx))
+        # prefix length per doc: s - ceil(tau*s) + 1 (epsilon guards the
+        # unsafe direction: too-large ceil would shrink the prefix)
+        plen = szs - np.ceil(tau * szs - 1e-9).astype(np.int64) + 1
+        within = np.arange(len(flat)) - np.repeat(off[:-1], szs)
+        keep = within < np.repeat(plen, szs)
+        return pa.table({
+            "tok": pa.array(flat[srt][keep], type=pa.uint64()),
+            "doc": pa.array(ids[doc_idx[srt]][keep], type=pa.int64()),
+            "sz": pa.array(szs[doc_idx[srt]][keep], type=pa.int32()),
+        })
+
+    def candidate_fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if len(batch) == 0:
+            return empty
+        tok = as_array(batch.column("tok")).to_numpy(zero_copy_only=False)
+        doc = as_array(batch.column("doc")).to_numpy(zero_copy_only=False)
+        sz = as_array(batch.column("sz")).to_numpy(zero_copy_only=False)
+        srt = np.lexsort((doc, tok))
+        tok, doc, sz = tok[srt], doc[srt], sz[srt]
+        first = np.empty(len(tok), dtype=bool)
+        first[0] = True
+        np.not_equal(tok[1:], tok[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        glens = np.diff(np.concatenate([starts, [len(tok)]]))
+        a_o, b_o = [], []
+        for g in np.unique(glens):
+            if g < 2:
+                continue
+            boffs = starts[glens == g]
+            idx = boffs[:, None] + np.arange(g)           # (nb, g)
+            ii, jj = np.triu_indices(g, k=1)
+            da, db = doc[idx][:, ii], doc[idx][:, jj]     # (nb, npair)
+            sa, sb = sz[idx][:, ii], sz[idx][:, jj]
+            lo = np.minimum(sa, sb).astype(np.float64)
+            hi = np.maximum(sa, sb).astype(np.float64)
+            ok = lo >= tau * hi - 1e-9                    # size filter
+            a_o.append(np.minimum(da, db)[ok])
+            b_o.append(np.maximum(da, db)[ok])
+        if not a_o:
+            return empty
+        return pa.table({
+            "a": pa.array(np.concatenate(a_o), type=pa.int64()),
+            "b": pa.array(np.concatenate(b_o), type=pa.int64()),
+        })
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        return batch.group_by(["a", "b"]).aggregate([])
+
+    pairs = (
+        sets_ds.map_batches(emit_prefix, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .repartition(num_partitions, keys=["tok"])
+        .map_batches(candidate_fold, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+        .repartition(num_partitions, keys=["a", "b"])
+        .map_batches(dedup, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+    def jacc_from_blobs(a_blob, b_blob):
+        A = np.frombuffer(a_blob, dtype=np.uint64)
+        B = np.frombuffer(b_blob, dtype=np.uint64)
+        inter = len(np.intersect1d(A, B, assume_unique=True))
+        union = len(A) + len(B) - inter
+        return inter / union if union else 1.0
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jacc", pa.float64())])
+
+    if sets_ds.size_bytes() <= broadcast_gate_bytes:
+        # broadcast verify: the whole set table rides the object store
+        # once; each pair batch resolves both endpoints locally.
+        tbl = pa.concat_tables(
+            [b for b in sets_ds.iter_batches(batch_format="pyarrow",
+                                             batch_size=65536)
+             ] or [pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "toks": pa.array([], type=pa.large_binary()),
+                             "sz": pa.array([], type=pa.int32())})])
+        ids_np = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        srt = np.argsort(ids_np)
+        sets_ref = ray.put((ids_np[srt],
+                            [tbl.column("toks")[int(i)].as_py()
+                             for i in srt]))
+
+        def verify(batch: pa.Table, ref=sets_ref) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                                 "doc_b": pa.array([], type=pa.int64()),
+                                 "jacc": pa.array([], type=pa.float64())})
+            # per-process cache: deserialize the broadcast once per worker
+            key = ref.hex() if hasattr(ref, "hex") else id(ref)
+            cached = _BCAST_SETS_CACHE.get(key)
+            if cached is None:
+                cached = ray.get(ref) if hasattr(ref, "hex") else ref
+                _BCAST_SETS_CACHE.clear()
+                _BCAST_SETS_CACHE[key] = cached
+            ids_sorted, blobs = cached
+            a = as_array(batch.column("a")).to_numpy(zero_copy_only=False)
+            b = as_array(batch.column("b")).to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_sorted, a)
+            ib = np.searchsorted(ids_sorted, b)
+            out_a, out_b, out_j = [], [], []
+            for i in range(len(a)):
+                j = jacc_from_blobs(blobs[ia[i]], blobs[ib[i]])
+                if j >= tau:
+                    out_a.append(int(a[i]))
+                    out_b.append(int(b[i]))
+                    out_j.append(np.floor(j * 1e6 + 0.5) / 1e6)
+            return pa.table({
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jacc": pa.array(out_j, type=pa.float64()),
+            })
+
+        return pairs.map_batches(verify, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # shuffle verify: attach toks_a by co-partitioning on a, then toks_b
+    # on b — two keyed exchanges, no full-table broadcast.
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("a"),
+            "other": batch.column("b"),
+            "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            "toks": pa.array([None] * len(batch), type=pa.large_binary()),
+        })
+
+    def tag_sets(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("doc_id"),
+            "other": pa.array(np.full(len(batch), -1, dtype=np.int64)),
+            "side": pa.array(np.ones(len(batch), dtype=np.int8)),
+            "toks": batch.column("toks"),
+        })
+
+    def attach(batch: pa.Table, out_cols) -> pa.Table:
+        empty = pa.table({c: pa.array([], type=t) for c, t in out_cols})
+        if len(batch) == 0:
+            return empty
+        key = as_array(batch.column("key")).to_numpy(zero_copy_only=False)
+        side = as_array(batch.column("side")).to_numpy(zero_copy_only=False)
+        blob_i = np.flatnonzero(side == 1)
+        lut_keys = key[blob_i]
+        srt = np.argsort(lut_keys)
+        lut_keys = lut_keys[srt]
+        toks_col = batch.column("toks")
+        lut_blobs = [toks_col[int(blob_i[int(i)])].as_py() for i in srt]
+        rows = np.flatnonzero(side == 0)
+        pos = np.searchsorted(lut_keys, key[rows])
+        cols = {name: [] for name, _ in out_cols}
+        other = as_array(batch.column("other")).to_numpy(
+            zero_copy_only=False)
+        prev = batch.column("prev_toks") if "prev_toks" in \
+            batch.column_names else None
+        for r, p in zip(rows, pos):
+            if p >= len(lut_keys) or lut_keys[p] != key[r]:
+                continue  # endpoint had no tokens: cannot reach tau
+            vals = {"a": int(key[r]), "b": int(other[r]),
+                    "toks_a": lut_blobs[p]}
+            if prev is not None:
+                vals = {"a": int(other[r]), "b": int(key[r]),
+                        "toks_a": prev[int(r)].as_py(),
+                        "toks_b": lut_blobs[p]}
+            for name, _ in out_cols:
+                cols[name].append(vals[name])
+        return pa.table({name: pa.array(cols[name], type=t)
+                         for name, t in out_cols})
+
+    step1_cols = [("a", pa.int64()), ("b", pa.int64()),
+                  ("toks_a", pa.large_binary())]
+    # materialize between shuffle rounds: chaining two union+keyed
+    # repartition exchanges in one fused DAG deadlocks small sessions
+    # (same fused-chain pathology the flagship verify stage pins against,
+    # stages/verify.py:336-346)
+    step1 = (
+        pairs.materialize().map_batches(tag_pairs, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+        .union(sets_ds.map_batches(tag_sets, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+        .repartition(num_partitions, keys=["key"])
+        .map_batches(lambda b: attach(b, step1_cols),
+                     batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    ).materialize()
+
+    def tag_step1(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("b"),
+            "other": batch.column("a"),
+            "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            "toks": pa.array([None] * len(batch), type=pa.large_binary()),
+            "prev_toks": batch.column("toks_a"),
+        })
+
+    def tag_sets2(batch: pa.Table) -> pa.Table:
+        t = tag_sets(batch)
+        return t.append_column(
+            "prev_toks", pa.array([None] * len(batch),
+                                  type=pa.large_binary()))
+
+    step2_cols = [("a", pa.int64()), ("b", pa.int64()),
+                  ("toks_a", pa.large_binary()),
+                  ("toks_b", pa.large_binary())]
+    step2 = (
+        step1.map_batches(tag_step1, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .union(sets_ds.map_batches(tag_sets2, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+        .repartition(num_partitions, keys=["key"])
+        .map_batches(lambda b: attach(b, step2_cols),
+                     batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(batch)):
+            j = jacc_from_blobs(batch.column("toks_a")[i].as_py(),
+                                batch.column("toks_b")[i].as_py())
+            if j >= tau:
+                out_a.append(batch.column("a")[i].as_py())
+                out_b.append(batch.column("b")[i].as_py())
+                out_j.append(np.floor(j * 1e6 + 0.5) / 1e6)
+        return pa.table({
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "jacc": pa.array(out_j, type=pa.float64()),
+        })
+
+    return step2.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -266,3 +266,132 @@ def num_digits(n: int) -> int:
     if n % 10 == 0:
         n += 1
     return int(math.ceil(math.log(n) / math.log(10))) if n > 0 else 0
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch (compact or updatable; LIST / SET / HLL modes; HLL_4/6/8)
+# ---------------------------------------------------------------------------
+
+# hll/preamble_utils.go:27-90
+_HLL_FAMILY = 7
+_HLL_SER_VER = 1
+_HLL_LIST_INT_ARR_START = 8
+_HLL_HASH_SET_INT_ARR_START = 12
+_HLL_BYTE_ARR_START = 40
+_HLL_EMPTY_MASK = 4
+_HLL_COMPACT_MASK = 8
+_HLL_OOO_MASK = 16
+_HLL_REBUILD_MASK = 32
+_HLL_AUX_TOKEN = 15  # hll/utils.go:44
+
+
+def _hll6_unpack(arr, k):
+    """get6Bit: startBit = slot*6; LE-short >> (startBit&7) & 0x3F
+    (hll/hll_6array.go:127-132)."""
+    import numpy as np
+    a = np.frombuffer(bytes(arr) + b"\x00", dtype=np.uint8).astype(np.uint16)
+    slots = np.arange(k)
+    start = slots * 6
+    byte_idx = start >> 3
+    shift = (start & 7).astype(np.uint16)
+    return ((a[byte_idx] | (a[byte_idx + 1] << 8)) >> shift) & 0x3F
+
+
+def read_hll(buf: bytes):
+    """Parse the reference HLL wire format into our ``HllSketch``.
+
+    Dispatch mirrors NewHllSketchFromSlice (hll/hll_sketch.go:188-232):
+    mode byte selects LIST/SET (coupon replay — identical promote
+    thresholds reproduce the identical end state) or HLL, where the
+    serialized registers land directly in our uint8 register array.
+    HLL_4 nibbles rebase on curMin with auxToken exceptions resolved
+    from the aux map (hll/hll_4array.go:29-40, aux_hash_map.go:60-95);
+    HLL_6 unpacks 6-bit fields; HLL_8 is byte-per-slot.  Estimator
+    state (hipAccum, kxq0/1, curMin, numAtCurMin, flags) is taken from
+    the preamble so GetEstimate reproduces the reference exactly.
+    """
+    import numpy as np
+
+    from .hll import MODE_HLL, HllSketch
+
+    if len(buf) < 8:
+        raise ValueError("HLL preamble truncated")
+    pre_ints = buf[0] & 0x3F
+    ser_ver = buf[1]
+    family = buf[2]
+    if family != _HLL_FAMILY or ser_ver != _HLL_SER_VER:
+        raise ValueError(f"not an HLL sketch: family={family} ser={ser_ver}")
+    lg_k = buf[3]
+    lg_arr = buf[4]
+    flags = buf[5]
+    cur_mode = buf[7] & 3
+    compact = bool(flags & _HLL_COMPACT_MASK)
+
+    sk = HllSketch(lg_k)
+    if flags & _HLL_EMPTY_MASK:
+        return sk
+
+    if cur_mode in (0, 1):  # LIST / SET: replay coupons
+        if cur_mode == 0:
+            start, count = _HLL_LIST_INT_ARR_START, buf[6]
+        else:
+            start = _HLL_HASH_SET_INT_ARR_START
+            (count,) = struct.unpack_from("<I", buf, 8)
+        n_ints = count if compact else (1 << lg_arr)
+        coupons = np.frombuffer(buf, dtype="<u4", count=n_ints, offset=start)
+        for c in coupons[coupons != 0]:
+            sk.coupon_update(int(c))
+        return sk
+
+    # HLL mode — hll/hll_array.go preamble + register payload
+    del pre_ints  # 10 ints; payload position is fixed by the constants
+    (hip,) = struct.unpack_from("<d", buf, 8)
+    (kxq0,) = struct.unpack_from("<d", buf, 16)
+    (kxq1,) = struct.unpack_from("<d", buf, 24)
+    cur_min = buf[6]
+    (num_at_cur_min,) = struct.unpack_from("<I", buf, 32)
+    (aux_count,) = struct.unpack_from("<I", buf, 36)
+    tgt = (buf[7] >> 2) & 3  # 0=HLL_4, 1=HLL_6, 2=HLL_8
+    k = 1 << lg_k
+
+    if tgt == 2:
+        n_bytes = k
+        regs = np.frombuffer(buf, dtype=np.uint8, count=k,
+                             offset=_HLL_BYTE_ARR_START).copy()
+    elif tgt == 1:
+        n_bytes = ((k * 3) >> 2) + 1  # hll/hll_6array.go:36-39
+        regs = _hll6_unpack(
+            buf[_HLL_BYTE_ARR_START:_HLL_BYTE_ARR_START + n_bytes],
+            k).astype(np.uint8)
+    else:
+        n_bytes = k >> 1
+        nib = np.frombuffer(buf, dtype=np.uint8, count=n_bytes,
+                            offset=_HLL_BYTE_ARR_START)
+        regs = np.empty(k, dtype=np.uint8)
+        regs[0::2] = nib & 0x0F
+        regs[1::2] = nib >> 4
+        is_aux = regs == _HLL_AUX_TOKEN
+        regs = np.where(is_aux, 0, regs + cur_min).astype(np.uint8)
+        aux_off = _HLL_BYTE_ARR_START + n_bytes
+        n_aux_ints = aux_count if compact else (1 << lg_arr)
+        pairs = np.frombuffer(buf, dtype="<u4", count=n_aux_ints,
+                              offset=aux_off)
+        pairs = pairs[pairs != 0]
+        slots = (pairs & ((1 << 26) - 1)) & (k - 1)
+        regs[slots] = (pairs >> 26).astype(np.uint8)
+        if np.count_nonzero(is_aux) != len(pairs):
+            raise ValueError("HLL4 aux map inconsistent with nibble tokens")
+
+    sk.mode = MODE_HLL
+    sk.coupons = set()
+    sk.registers = regs
+    sk.cur_min = cur_min
+    sk.num_at_cur_min = int(num_at_cur_min)
+    sk.hip_accum = hip
+    sk.kxq0 = kxq0
+    sk.kxq1 = kxq1
+    sk.ooo = bool(flags & _HLL_OOO_MASK)
+    sk.rebuild_flag = bool(flags & _HLL_REBUILD_MASK)
+    if sk.rebuild_flag:
+        sk._rebuild_kxq()
+    return sk

@@ -110,3 +110,81 @@ def test_kll_string_java_parity(n):
         for frac in (0.25, 0.5, 0.75):
             item = int_to_fixed_length_string(int(n * frac), digits)
             assert abs(sk.get_rank(item) - frac) <= 2 * eps
+
+
+# ---------------------------------------------------------------------------
+# HLL golden-file parity (hll/hll_sketch_serialization_test.go:69-178)
+# ---------------------------------------------------------------------------
+
+CPP = "/root/reference/serialization_test_data/cpp_generated_files"
+
+
+def _load_any(base: str, name: str) -> bytes:
+    path = os.path.join(base, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden file missing: {name}")
+    with open(path, "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("src,base", [("java", JAVA), ("cpp", CPP)])
+@pytest.mark.parametrize("width", [4, 6, 8])
+@pytest.mark.parametrize("n", N_ARR)
+def test_hll_golden_estimate(src, base, width, n):
+    from apache_datasketches_go_ray.state.serde_compat import read_hll
+
+    sk = read_hll(_load_any(base, f"hll{width}_n{n}_{src}.sk"))
+    assert sk.lg_k == 12
+    assert sk.is_empty() == (n == 0)
+    # same tolerance as the Go cross-compat suite
+    assert sk.get_estimate() == pytest.approx(n, rel=0.02, abs=1e-9)
+
+
+@pytest.mark.parametrize("n", [1000, 10000, 100000, 1000000])
+def test_hll_golden_cross_width_identical_registers(n):
+    """HLL4/6/8 are encodings of one logical register array
+    (hll/cross_counting_test.go) — decoded registers must be identical."""
+    import numpy as np
+
+    from apache_datasketches_go_ray.state.serde_compat import read_hll
+
+    regs = {w: read_hll(_load_any(JAVA, f"hll{w}_n{n}_java.sk")).registers
+            for w in (4, 6, 8)}
+    assert np.array_equal(regs[4], regs[8])
+    assert np.array_equal(regs[6], regs[8])
+
+
+@pytest.mark.parametrize("n", [10, 100, 1000, 100000])
+def test_hll_golden_bit_exact_vs_own_build(n):
+    """Replaying the generating stream (UpdateUInt64 0..n-1, seed 9001)
+    through OUR sketch reproduces the Java wire state bit-for-bit:
+    identical registers and identical hipAccum doubles — the strongest
+    cross-language check available without writing bytes."""
+    import numpy as np
+
+    from apache_datasketches_go_ray.state.hll import HllSketch
+    from apache_datasketches_go_ray.state.serde_compat import read_hll
+
+    wire = read_hll(_load_any(JAVA, f"hll8_n{n}_java.sk"))
+    own = HllSketch(12)
+    for i in range(n):
+        own.update_u64(i)
+    assert own.mode == wire.mode
+    if own.registers is None:
+        assert sorted(own.coupons) == sorted(wire.coupons)
+    else:
+        assert np.array_equal(own.registers, wire.registers)
+        assert own.hip_accum == wire.hip_accum
+        assert own.kxq0 == wire.kxq0 and own.kxq1 == wire.kxq1
+    assert own.get_estimate() == wire.get_estimate()
+
+
+def test_hll_golden_coupon_modes():
+    """n=1 (LIST) and n=100 (SET) files exercise the coupon replay path."""
+    from apache_datasketches_go_ray.state.hll import MODE_HLL
+    from apache_datasketches_go_ray.state.serde_compat import read_hll
+
+    small = read_hll(_load_any(JAVA, "hll8_n1_java.sk"))
+    assert small.mode != MODE_HLL and len(small.coupons) == 1
+    mid = read_hll(_load_any(JAVA, "hll8_n100_java.sk"))
+    assert mid.mode != MODE_HLL and len(mid.coupons) == 100
