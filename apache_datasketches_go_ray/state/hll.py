@@ -216,7 +216,9 @@ class HllSketch:
             raise ValueError(f"lgK out of range: {lg_k}")
         self.lg_k = lg_k
         self.mode = MODE_LIST
-        self.coupons: set[int] = set()
+        # dict-as-ordered-set: insertion order is the reference's LIST
+        # array order, which the wire writer must reproduce
+        self.coupons: dict[int, None] = {}
         self._lg_coupon_arr = LG_INIT_LIST_SIZE
         self.registers: np.ndarray | None = None
         self.cur_min = 0
@@ -264,7 +266,7 @@ class HllSketch:
             return
         if c in self.coupons:
             return
-        self.coupons.add(c)
+        self.coupons[c] = None
         self._check_promote()
 
     def _check_promote(self) -> None:
@@ -302,7 +304,7 @@ class HllSketch:
         self.mode = MODE_HLL
         for c in sorted(self.coupons):
             self._hll_coupon_update(c)
-        self.coupons = set()
+        self.coupons = {}
         self.hip_accum = est
         self.ooo = False
 
@@ -340,7 +342,7 @@ class HllSketch:
             uniq = np.unique(cs)
             # conservative: staying exact while the merged coupon set is
             # below the promotion threshold
-            self.coupons.update(int(x) for x in uniq)
+            self.coupons.update(dict.fromkeys(int(x) for x in uniq))
             self._check_promote_bulk()
             return
         self._bulk_max(cs)
@@ -367,7 +369,7 @@ class HllSketch:
         est = _coupon_estimate(count)
         self.registers = np.zeros(self.k, dtype=np.uint8)
         self.mode = MODE_HLL
-        self.coupons = set()
+        self.coupons = {}
         self._bulk_max(cs)
         self.hip_accum = est  # matches promote semantics; ooo left as-is
 
@@ -415,7 +417,7 @@ class HllSketch:
 
     def _copy_from(self, other: "HllSketch") -> None:
         self.mode = other.mode
-        self.coupons = set(other.coupons)
+        self.coupons = dict.fromkeys(other.coupons)
         self._lg_coupon_arr = other._lg_coupon_arr
         self.registers = None if other.registers is None else other.registers.copy()
         self.cur_min = other.cur_min
@@ -536,7 +538,7 @@ class HllSketch:
         sk = cls(lg_k)
         if kind == 1:
             arr = np.frombuffer(data, dtype=np.uint64, offset=7, count=count)
-            sk.coupons = set(int(x) for x in arr)
+            sk.coupons = dict.fromkeys(int(x) for x in arr)
             sk.mode = mode
             if mode == MODE_SET:
                 sk._lg_coupon_arr = LG_INIT_SET_SIZE

@@ -383,7 +383,7 @@ def read_hll(buf: bytes):
             raise ValueError("HLL4 aux map inconsistent with nibble tokens")
 
     sk.mode = MODE_HLL
-    sk.coupons = set()
+    sk.coupons = {}
     sk.registers = regs
     sk.cur_min = cur_min
     sk.num_at_cur_min = int(num_at_cur_min)
@@ -395,3 +395,235 @@ def read_hll(buf: bytes):
     if sk.rebuild_flag:
         sk._rebuild_kxq()
     return sk
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch writer (bit-exact vs the reference wire format)
+# ---------------------------------------------------------------------------
+
+_HLL_KEY_MASK_26 = (1 << 26) - 1
+# hll/utils.go:99-105 — Log2 aux table sizes indexed by lgK
+_HLL_LG_AUX_ARR_INTS = [0, 2, 2, 2, 2, 2, 2, 3, 3, 3,
+                        4, 4, 5, 5, 6, 7, 8, 9, 10, 11,
+                        12, 13, 14, 15, 16, 17, 18]
+
+
+def _set_probe(arr, lg_arr: int, coupon: int) -> int:
+    """findCoupon (hll/coupon_hash_set.go:176-192): start at
+    coupon & mask, stride = ((coupon & keyMask26) >> lgArr) | 1.
+    Returns ~index for an empty slot, index for a duplicate."""
+    mask = (1 << lg_arr) - 1
+    probe = coupon & mask
+    loop = probe
+    while True:
+        v = arr[probe]
+        if v == 0:
+            return ~probe
+        if v == coupon:
+            return probe
+        probe = (probe + (((coupon & _HLL_KEY_MASK_26) >> lg_arr) | 1)) & mask
+        if probe == loop:
+            raise ValueError("coupon hash set full")
+
+
+def _build_set_table(coupons, lg_k: int):
+    """Reproduce the reference's open-addressed coupon table layout for a
+    SET-mode sketch: insert in arrival order from lgArr=5, grow x2 at 3/4
+    load reinserting in slot-scan order (coupon_hash_set.go:63-144).
+    The compact image serializes this table in slot order, so layout IS
+    the wire format."""
+    lg_arr = 5  # lgInitSetSize, hll/utils.go:30
+    arr = [0] * (1 << lg_arr)
+    count = 0
+    for c in coupons:
+        idx = _set_probe(arr, lg_arr, c)
+        if idx >= 0:
+            continue
+        arr[~idx] = c
+        count += 1
+        if 4 * count > 3 * (1 << lg_arr):  # resizeDenom/resizeNumber
+            lg_arr += 1
+            old = arr
+            arr = [0] * (1 << lg_arr)
+            for v in old:  # growHashSet: slot-scan reinsert
+                if v:
+                    arr[~_set_probe(arr, lg_arr, v)] = v
+    return arr, lg_arr, count
+
+
+def _aux_probe(arr, lg_aux: int, lg_k: int, slot_no: int) -> int:
+    """findAuxHashMap (hll/aux_hash_map.go:197-218): key is the slot
+    number in the low lgK bits of each stored pair."""
+    mask = (1 << lg_aux) - 1
+    k_mask = (1 << lg_k) - 1
+    probe = slot_no & mask
+    loop = probe
+    while True:
+        v = arr[probe]
+        if v == 0:
+            return ~probe
+        if slot_no == (v & k_mask):
+            return probe
+        probe = (probe + ((slot_no >> lg_aux) | 1)) & mask
+        if probe == loop:
+            raise ValueError("aux map full")
+
+
+def _build_aux_table(pairs, lg_k: int):
+    """auxHashMap layout: insert (slot | value<<lgK) pairs in ascending
+    slot order, grow x2 at 3/4 load with slot-scan reinsert
+    (aux_hash_map.go:60-95,165-189). Ascending slot order matches the
+    order HLL4 discovers exceptions for a monotone register build; with
+    no collisions (every golden file here) layout is order-independent
+    anyway."""
+    lg_aux = _HLL_LG_AUX_ARR_INTS[lg_k]
+    arr = [0] * (1 << lg_aux)
+    count = 0
+    for p in pairs:
+        idx = _aux_probe(arr, lg_aux, lg_k, p & ((1 << lg_k) - 1))
+        if idx >= 0:
+            raise ValueError("duplicate aux slot")
+        arr[~idx] = p
+        count += 1
+        if 4 * count > 3 * (1 << lg_aux):
+            lg_aux += 1
+            old = arr
+            arr = [0] * (1 << lg_aux)
+            for v in old:
+                if v:
+                    arr[~_aux_probe(arr, lg_aux, lg_k,
+                                    v & ((1 << lg_k) - 1))] = v
+    return arr, lg_aux, count
+
+
+def _hll6_pack(regs) -> bytes:
+    """put6Bit inverse of _hll6_unpack (hll/hll_6array.go:110-125)."""
+    import numpy as np
+
+    k = len(regs)
+    n_bytes = ((k * 3) >> 2) + 1
+    out = np.zeros(n_bytes + 1, dtype=np.uint16)
+    for slot in range(k):
+        start = slot * 6
+        bi, sh = start >> 3, start & 7
+        merged = (int(out[bi]) | (int(out[bi + 1]) << 8)) | \
+            (int(regs[slot]) << sh)
+        out[bi] = merged & 0xFF
+        out[bi + 1] = (merged >> 8) & 0xFF
+    return out[:n_bytes].astype(np.uint8).tobytes()
+
+
+def write_hll(sk, tgt: int = 8, compact: bool = True,
+              compact_flag: bool | None = None) -> bytes:
+    """Serialize ``HllSketch`` to the reference wire format, bit-exact.
+
+    Layout per to_slice_impl.go:25-168 / preamble_utils.go:27-290:
+    LIST (8-byte preamble + coupons in arrival order), SET (12-byte
+    preamble + open-addressed table image), HLL (40-byte preamble +
+    register payload).  ``tgt`` picks the HLL payload encoding: 8
+    (byte/slot), 6 (6-bit packed), 4 (nibbles rebased on curMin with
+    aux-map exceptions).  Mirrors the Java writer's convention that
+    HLL_6/HLL_8 register images are always in updatable form (compact
+    flag clear), while HLL_4 and coupon modes honor ``compact``
+    (observed in every golden file; Java ToByteArrayImpl).  The C++
+    library instead sets the compact flag on HLL_6/8 images too; pass
+    ``compact_flag=True`` to reproduce its bytes.  The HLL_4 image
+    derives curMin = min(registers) and numAtCurMin from the register
+    array — the end state of Java's lazy shiftToBiggerCurMin rebase
+    (hll/hll_4update.go:25-225) — since our single uint8 representation
+    follows HLL_8 bookkeeping (curMin pinned at 0).
+    ``read_hll(write_hll(sk)) == sk`` for all modes.
+    """
+    import numpy as np
+
+    from .hll import MODE_HLL, MODE_LIST
+
+    tgt_code = {4: 0, 6: 1, 8: 2}[tgt]
+
+    if sk.mode != MODE_HLL:
+        coupons = list(sk.coupons)
+        is_list = sk.mode == MODE_LIST
+        if is_list:
+            pre_ints, start, lg_arr = 2, _HLL_LIST_INT_ARR_START, 3
+            arr = coupons + [0] * ((1 << lg_arr) - len(coupons))
+            count = len(coupons)
+        else:
+            pre_ints, start = 3, _HLL_HASH_SET_INT_ARR_START
+            arr, lg_arr, count = _build_set_table(coupons, sk.lg_k)
+        flags = (_HLL_COMPACT_MASK if compact else 0) | \
+            (_HLL_EMPTY_MASK if not coupons else 0) | \
+            (_HLL_OOO_MASK if sk.ooo else 0)
+        payload = [c for c in arr if c] if compact else arr
+        if is_list and compact:
+            payload = coupons  # arrival order, not table order
+        buf = bytearray(start + 4 * len(payload))
+        buf[0] = pre_ints
+        buf[1] = _HLL_SER_VER
+        buf[2] = _HLL_FAMILY
+        buf[3] = sk.lg_k
+        buf[4] = lg_arr
+        buf[5] = flags
+        buf[7] = sk.mode | (tgt_code << 2)
+        if is_list:
+            buf[6] = count
+        else:
+            struct.pack_into("<I", buf, 8, count)
+        for i, c in enumerate(payload):
+            struct.pack_into("<I", buf, start + 4 * i, c)
+        return bytes(buf)
+
+    # HLL mode
+    regs = np.asarray(sk.registers, dtype=np.uint8)
+    k = 1 << sk.lg_k
+    aux_arr: list = []
+    lg_arr_byte = 0
+    aux_count = 0
+    cur_min = sk.cur_min
+    num_at_cur_min = sk.num_at_cur_min
+    if tgt == 8:
+        payload = regs.tobytes()
+        compact = False  # Java: HLL_8 image is always updatable-form
+    elif tgt == 6:
+        payload = _hll6_pack(regs)
+        compact = False
+    else:
+        cur_min = int(regs.min()) if k else 0
+        num_at_cur_min = int(np.count_nonzero(regs == cur_min))
+        nib = np.minimum(regs.astype(np.int64) - cur_min, 15)
+        # pair = (value << 26) | slot (hll/utils.go:117-118)
+        pairs = [(int(s) | (int(regs[s]) << 26))
+                 for s in np.flatnonzero(nib == 15)
+                 if regs[s] - cur_min >= 15]
+        nib = nib.astype(np.uint8)
+        payload = (nib[0::2] | (nib[1::2] << 4)).tobytes()
+        if pairs:
+            aux_arr, lg_aux, aux_count = _build_aux_table(pairs, sk.lg_k)
+            lg_arr_byte = lg_aux
+            if compact:
+                aux_arr = [p for p in aux_arr if p]
+        elif not compact:
+            lg_arr_byte = _HLL_LG_AUX_ARR_INTS[sk.lg_k]
+            aux_arr = [0] * (1 << lg_arr_byte)
+
+    buf = bytearray(_HLL_BYTE_ARR_START + len(payload) + 4 * len(aux_arr))
+    buf[0] = 10  # preInts for HLL mode
+    buf[1] = _HLL_SER_VER
+    buf[2] = _HLL_FAMILY
+    buf[3] = sk.lg_k
+    buf[4] = lg_arr_byte
+    flag_bit = compact if compact_flag is None else compact_flag
+    buf[5] = (_HLL_COMPACT_MASK if flag_bit else 0) | \
+        (_HLL_OOO_MASK if sk.ooo else 0) | \
+        (_HLL_REBUILD_MASK if getattr(sk, "rebuild_flag", False) else 0)
+    buf[6] = cur_min
+    buf[7] = MODE_HLL | (tgt_code << 2)
+    struct.pack_into("<d", buf, 8, sk.hip_accum)
+    struct.pack_into("<d", buf, 16, sk.kxq0)
+    struct.pack_into("<d", buf, 24, sk.kxq1)
+    struct.pack_into("<I", buf, 32, num_at_cur_min)
+    struct.pack_into("<I", buf, 36, aux_count)
+    buf[_HLL_BYTE_ARR_START:_HLL_BYTE_ARR_START + len(payload)] = payload
+    for i, p in enumerate(aux_arr):
+        struct.pack_into("<I", buf,
+                         _HLL_BYTE_ARR_START + len(payload) + 4 * i, p)
+    return bytes(buf)
