@@ -199,6 +199,18 @@ def _q_jaccard_join(sf_dir: str):
                                    num_partitions=16)
 
 
+def _q_jaccard_join_bigram(sf_dir: str):
+    """n-gram variant of the exact similarity self-join: bigram-set
+    Jaccard >= 0.75 over all pairs, same prefix-filter recall
+    guarantee."""
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        jaccard_similarity_join,
+    )
+
+    return jaccard_similarity_join(_read(sf_dir, "documents"), tau=0.75,
+                                   num_partitions=16, ngram=2)
+
+
 def _q_events_hourly(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1044,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": _q_lang_stats,
         "consecutive_jaccard": _q_consecutive_jaccard,
         "jaccard_join_dups": _q_jaccard_join,
+        "jaccard_join_bigram_dups": _q_jaccard_join_bigram,
         "events_hourly": _q_events_hourly,
         "ann_topk": _q_ann_topk,
         "customer_nation_revenue": _q_customer_nation_revenue,
@@ -1161,6 +1174,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = inter.doc_a
             JOIN sz sb ON sb.doc_id = inter.doc_b
             WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.9
+        """,
+        "jaccard_join_bigram_dups": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS ts
+              FROM documents
+              WHERE trim(text) <> ''
+            ), big AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, len(ts)),
+                         i -> ts[i] || ' ' || ts[i + 1]))) AS tk
+              FROM t
+              WHERE len(ts) >= 2
+            ), sz AS (
+              SELECT doc_id, count(*) AS s FROM big GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM big a JOIN big b
+                ON a.tk = b.tk AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT inter.doc_a, inter.doc_b,
+                   round(i * 1.0 / (sa.s + sb.s - i), 6) AS jacc
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_a
+            JOIN sz sb ON sb.doc_id = inter.doc_b
+            WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.75
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -377,16 +377,17 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
 # per-worker-process cache for the broadcast set table (keyed by ref hex)
 _BCAST_SETS_CACHE: dict = {}
 
-def _token_sets(ds, id_col: str, text_col: str):
-    """Per-doc sorted-unique token-hash sets: (doc_id, toks blob, sz).
-    Docs with zero tokens are dropped (they cannot reach any tau > 0)."""
+def _token_sets(ds, id_col: str, text_col: str, ngram: int = 1):
+    """Per-doc sorted-unique token-hash (or n-gram-hash) sets:
+    (doc_id, toks blob, sz).  Docs with zero grams are dropped (they
+    cannot reach any tau > 0)."""
 
     def make(batch: pa.Table) -> pa.Table:
         ids = as_array(batch.column(id_col)).to_numpy(zero_copy_only=False)
         tok, off = tokenize_column(as_array(batch.column(text_col)))
         out_id, out_blob, out_sz = [], [], []
         for i, d in enumerate(ids):
-            u = np.unique(tok[off[i]:off[i + 1]])
+            u = np.unique(_ngram_hashes(tok[off[i]:off[i + 1]], ngram))
             if len(u):
                 out_id.append(int(d))
                 out_blob.append(u.tobytes())
@@ -452,7 +453,8 @@ def _hot_token_df(sets_ds, hot_k: int, num_partitions: int):
 def jaccard_similarity_join(ds, tau: float = 0.6, id_col: str = "doc_id",
                             text_col: str = "text",
                             num_partitions: int = 32, hot_k: int = 4096,
-                            broadcast_gate_bytes: int = 1 << 30):
+                            broadcast_gate_bytes: int = 1 << 30,
+                            ngram: int = 1):
     """Exact token-set Jaccard self-join: all pairs (doc_a < doc_b) with
     Jaccard >= tau, with guaranteed recall 1.0 (no LSH miss).
 
@@ -475,7 +477,7 @@ def jaccard_similarity_join(ds, tau: float = 0.6, id_col: str = "doc_id",
     """
     import ray
 
-    sets_ds = _token_sets(ds, id_col, text_col).materialize()
+    sets_ds = _token_sets(ds, id_col, text_col, ngram).materialize()
     hot_toks, hot_dfs = _hot_token_df(sets_ds, hot_k, num_partitions)
 
     def emit_prefix(batch: pa.Table) -> pa.Table:

@@ -132,13 +132,15 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if len(tok_hashes) and nonempty.any():
         bits = np.unpackbits(
             tok_hashes.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
-        ).astype(np.int32)  # (total_tokens, 64), MSB first
-        contrib = bits * 2 - 1
+        )  # (total_tokens, 64) uint8, MSB first
         starts = offsets[:-1][nonempty]
-        sums = np.add.reduceat(contrib, starts, axis=0)
-        weights = (sums > 0).astype(np.uint64)
-        powers = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
-        out[nonempty] = (weights * powers).sum(axis=1, dtype=np.uint64)
+        # popcount per bit position; sign(sum of +-1 contribs) > 0
+        # iff popcount > len/2 iff popcount > len // 2 (ties -> 0 bit)
+        acc = np.int16 if lens.max() < (1 << 15) else np.int64
+        sums = np.add.reduceat(bits.astype(acc), starts, axis=0)
+        weights = (sums > (lens[nonempty, None] // 2)).astype(np.uint8)
+        out[nonempty] = np.packbits(weights, axis=1)[:, ::-1].copy() \
+            .view(np.uint64).ravel()
     return batch.append_column("simhash", pa.array(out, type=pa.uint64()))
 
 
