@@ -627,3 +627,420 @@ def write_hll(sk, tgt: int = 8, compact: bool = True,
         struct.pack_into("<I", buf,
                          _HLL_BYTE_ARR_START + len(payload) + 4 * i, p)
     return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# Write-side: frequencies (LongsSketch + ItemsSketch[string])
+#
+# Byte-exact emission parity with the reference's ToSlice() images requires
+# reproducing the reverse-purge hash map's physical table layout, because
+# serialization walks the table in slot order
+# (frequencies/longs_sketch.go:488-536 via getActiveKeys/getActiveValues,
+# reverse_purge_long_hash_map.go:308-332).  So this is a faithful scalar
+# replica of the open-addressed map: linear probe with drift states
+# (reverse_purge_long_hash_map.go:102-130), x2 growth to lgMaxMapSize
+# (longs_sketch.go:424-434), purge = subtract median of the first
+# sampleSize active values in slot order then back-shift-delete
+# non-positive entries cluster-by-cluster
+# (reverse_purge_long_hash_map.go:151-168,190-243).
+# ---------------------------------------------------------------------------
+
+_FREQ_LG_MIN_MAP_SIZE = 3  # frequencies/utils.go:28
+_FREQ_SAMPLE_SIZE = 1024  # frequencies/utils.go:33
+_FREQ_LOAD_FACTOR = 0.75
+_FREQ_MAX_PRE_LONGS = 4  # internal/family.go:36
+
+
+def _freq_hash_fn(key: int) -> int:
+    """murmur3 64-bit finalizer used for longs probing
+    (frequencies/utils.go:57-68)."""
+    key &= 0xFFFFFFFFFFFFFFFF
+    key ^= key >> 33
+    key = (key * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+    key ^= key >> 33
+    key = (key * 0xC4CEB9FE1A85EC53) & 0xFFFFFFFFFFFFFFFF
+    key ^= key >> 33
+    return key
+
+
+class _ReversePurgeHashMap:
+    """Layout-faithful replica of reversePurgeLongHashMap /
+    reversePurgeItemHashMap.  `probe_hash(key)` supplies the initial slot
+    hash (finalizer for longs, murmur3-64 for items)."""
+
+    def __init__(self, map_size: int, probe_hash):
+        self.lg_length = map_size.bit_length() - 1
+        self.load_threshold = int(map_size * _FREQ_LOAD_FACTOR)
+        self.keys = [None] * map_size
+        self.values = [0] * map_size
+        self.states = [0] * map_size
+        self.num_active = 0
+        self._probe_hash = probe_hash
+
+    def __len__(self):
+        return len(self.keys)
+
+    def adjust_or_put(self, key, amount: int) -> None:
+        mask = len(self.keys) - 1
+        probe = self._probe_hash(key) & mask
+        drift = 1
+        while self.states[probe] != 0 and self.keys[probe] != key:
+            probe = (probe + 1) & mask
+            drift += 1
+        if self.states[probe] == 0:
+            self.keys[probe] = key
+            self.values[probe] = amount
+            self.states[probe] = drift
+            self.num_active += 1
+        else:
+            self.values[probe] += amount
+
+    def resize(self, new_size: int) -> None:
+        old = list(zip(self.keys, self.values, self.states))
+        self.keys = [None] * new_size
+        self.values = [0] * new_size
+        self.states = [0] * new_size
+        self.load_threshold = int(new_size * _FREQ_LOAD_FACTOR)
+        self.lg_length = new_size.bit_length() - 1
+        self.num_active = 0
+        for k, v, st in old:
+            if st > 0:
+                self.adjust_or_put(k, v)
+
+    def purge(self, sample_size: int) -> int:
+        limit = min(sample_size, self.num_active)
+        samples = []
+        i = 0
+        while len(samples) < limit:
+            if self.states[i] > 0:
+                samples.append(self.values[i])
+            i += 1
+        val = sorted(samples)[limit // 2]  # QuickSelect pivot limit/2
+        for j in range(len(self.values)):
+            self.values[j] -= val
+        self._keep_only_positive()
+        return val
+
+    def _hash_delete(self, delete_probe: int) -> None:
+        self.states[delete_probe] = 0
+        drift = 1
+        mask = len(self.keys) - 1
+        probe = (delete_probe + drift) & mask
+        while self.states[probe] != 0:
+            if self.states[probe] > drift:
+                self.keys[delete_probe] = self.keys[probe]
+                self.values[delete_probe] = self.values[probe]
+                self.states[delete_probe] = self.states[probe] - drift
+                self.states[probe] = 0
+                drift = 0
+                delete_probe = probe
+            probe = (probe + 1) & mask
+            drift += 1
+
+    def _keep_only_positive(self) -> None:
+        first_probe = len(self.states) - 1
+        while self.states[first_probe] > 0:
+            first_probe -= 1
+        for probe in range(first_probe - 1, -1, -1):
+            if self.states[probe] > 0 and self.values[probe] <= 0:
+                self._hash_delete(probe)
+                self.num_active -= 1
+        for probe in range(len(self.states) - 1, first_probe, -1):
+            if self.states[probe] > 0 and self.values[probe] <= 0:
+                self._hash_delete(probe)
+                self.num_active -= 1
+
+    def active_in_slot_order(self):
+        return [(self.keys[i], self.values[i])
+                for i in range(len(self.keys)) if self.states[i] > 0]
+
+
+class FreqCompatSketch:
+    """Update-path replica of frequencies LongsSketch / ItemsSketch[string]
+    (longs_sketch.go:61-95,399-443); `kind` is 'longs' or 'string'."""
+
+    def __init__(self, max_map_size: int = 64, kind: str = "longs"):
+        lg_max = max_map_size.bit_length() - 1
+        if 1 << lg_max != max_map_size:
+            raise ValueError("maxMapSize must be a power of 2")
+        self.kind = kind
+        self.lg_max_map_size = max(lg_max, _FREQ_LG_MIN_MAP_SIZE)
+        if kind == "longs":
+            probe = _freq_hash_fn
+        else:
+            # The golden corpus is Java-generated: Java's
+            # ReversePurgeItemHashMap probes with the murmur finalizer
+            # over String.hashCode() (31-based rolling hash of UTF-16
+            # code units), NOT Go's murmur3-64 — so Java parity requires
+            # the Java probe.  (Go's own string layout therefore differs
+            # from Java's; the Go test suite only checks estimates for
+            # frequencies, frequencies/sketch_serialization_test.go.)
+            def probe(s: str) -> int:
+                h = 0
+                raw = s.encode("utf-16-be")
+                for i in range(0, len(raw), 2):
+                    h = (31 * h + (raw[i] << 8 | raw[i + 1])) & 0xFFFFFFFF
+                if h >= 1 << 31:  # Java int is signed; sign-extend to long
+                    h -= 1 << 32
+                return _freq_hash_fn(h)
+        self.hash_map = _ReversePurgeHashMap(1 << _FREQ_LG_MIN_MAP_SIZE,
+                                             probe)
+        self.cur_map_cap = self.hash_map.load_threshold
+        max_map_cap = int((1 << self.lg_max_map_size) * _FREQ_LOAD_FACTOR)
+        self.sample_size = min(_FREQ_SAMPLE_SIZE, max_map_cap)
+        self.offset = 0
+        self.stream_weight = 0
+
+    def update(self, item, count: int = 1) -> None:
+        if count == 0:
+            return
+        if count < 0:
+            raise ValueError("count may not be negative")
+        self.stream_weight += count
+        self.hash_map.adjust_or_put(item, count)
+        if self.hash_map.num_active > self.cur_map_cap:
+            if self.hash_map.lg_length < self.lg_max_map_size:
+                self.hash_map.resize(2 * len(self.hash_map))
+                self.cur_map_cap = self.hash_map.load_threshold
+            else:
+                self.offset += self.hash_map.purge(self.sample_size)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.hash_map.num_active == 0
+
+
+def write_frequencies_longs(sk: FreqCompatSketch) -> bytes:
+    """LongsSketch.ToSlice() (frequencies/longs_sketch.go:488-536):
+    preamble long [preLongs, serVer=1, famID=10, lgMax, lgCur, flags],
+    then activeItems / streamWeight / offset longs, then values then keys
+    in hash-table slot order."""
+    active = sk.hash_map.active_in_slot_order()
+    head = bytes([
+        1 if sk.is_empty else _FREQ_MAX_PRE_LONGS, _FREQ_SER_VER,
+        _FAMILY_FREQUENCY, sk.lg_max_map_size, sk.hash_map.lg_length,
+        _FREQ_EMPTY_FLAG_MASK if sk.is_empty else 0, 0, 0,
+    ])
+    if sk.is_empty:
+        return head
+    out = bytearray(head)
+    out += struct.pack("<qqq", len(active), sk.stream_weight, sk.offset)
+    for _, v in active:
+        out += struct.pack("<q", v)
+    for k, _ in active:
+        out += struct.pack("<q", k)
+    return bytes(out)
+
+
+def write_frequencies_items_string(sk: FreqCompatSketch) -> bytes:
+    """ItemsSketch[string].ToSlice() (frequencies/items_sketch.go:397-444):
+    longs layout but keys are 4-byte-length-prefixed UTF-8 strings appended
+    after the values block."""
+    active = sk.hash_map.active_in_slot_order()
+    head = bytes([
+        1 if sk.is_empty else _FREQ_MAX_PRE_LONGS, _FREQ_SER_VER,
+        _FAMILY_FREQUENCY, sk.lg_max_map_size, sk.hash_map.lg_length,
+        _FREQ_EMPTY_FLAG_MASK if sk.is_empty else 0, 0, 0,
+    ])
+    if sk.is_empty:
+        return head
+    out = bytearray(head)
+    out += struct.pack("<qqq", len(active), sk.stream_weight, sk.offset)
+    for _, v in active:
+        out += struct.pack("<q", v)
+    for k, _ in active:
+        raw = k.encode("utf-8")
+        out += struct.pack("<I", len(raw)) + raw
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Write-side: KLL ItemsSketch[string]
+#
+# Byte-exact ToSlice() parity requires the physical items-array layout:
+# level 0 fills from high index downward (kll/items_sketch.go:544-553), so
+# its raw (unsorted) order appears in the output, and every compaction's
+# deterministic offset=1 halving + in-place upward merge
+# (kll/items_sketch.go:692-762,864-905) decides exactly which items
+# survive and where.  This class replays that algorithm verbatim on a
+# single Python list.
+# ---------------------------------------------------------------------------
+
+
+class KllStringCompatSketch:
+    """Layout-faithful replica of kll.ItemsSketch[string]
+    (kll/items_sketch.go:54-84,528-553,692-817)."""
+
+    def __init__(self, k: int = 200, m: int = 8):
+        if not (m <= k <= 65535):
+            raise ValueError("k out of range")
+        self.k = k
+        self.m = m
+        self.n = 0
+        self.min_k = k
+        self.num_levels = 1
+        self.levels = [k, k]
+        self.items: list = [None] * k
+        self.is_level_zero_sorted = False
+        self.min_item: str | None = None
+        self.max_item: str | None = None
+
+    def update(self, item: str) -> None:
+        self.update_many([item])
+
+    def update_many(self, vals: list) -> None:
+        """Bulk update: between compactions the only effect of N single
+        updates is filling level 0 from levels[0]-1 downward
+        (items_sketch.go:544-553), so we slice-fill, which is exactly
+        item-at-a-time equivalent."""
+        if not vals:
+            return
+        lo = min(vals)
+        hi = max(vals)
+        if self.min_item is None:
+            self.min_item, self.max_item = lo, hi
+        else:
+            if lo < self.min_item:
+                self.min_item = lo
+            if hi > self.max_item:
+                self.max_item = hi
+        pos = 0
+        nv = len(vals)
+        while pos < nv:
+            space = self.levels[0]
+            if space == 0:
+                self._compress()
+                space = self.levels[0]
+            take = min(space, nv - pos)
+            chunk = vals[pos:pos + take]
+            self.items[space - take:space] = chunk[::-1]
+            self.levels[0] = space - take
+            self.n += take
+            pos += take
+            self.is_level_zero_sorted = False
+
+    def _level_cap(self, num_levels: int, level: int) -> int:
+        return _kll_level_capacity(self.k, num_levels, level, self.m)
+
+    def _find_level_to_compact(self) -> int:
+        # kll/items_sketch.go:819-830
+        level = 0
+        while True:
+            pop = self.levels[level + 1] - self.levels[level]
+            if pop >= self._level_cap(self.num_levels, level):
+                return level
+            level += 1
+
+    def _add_empty_top_level(self) -> None:
+        # kll/items_sketch.go:768-817
+        cur_total = self.levels[self.num_levels]
+        delta = self._level_cap(self.num_levels + 1, 0)
+        if len(self.levels) < self.num_levels + 2:
+            self.levels.append(0)
+        self.num_levels += 1
+        for lvl in range(self.num_levels):
+            self.levels[lvl] += delta
+        self.levels[self.num_levels] = cur_total + delta
+        self.items = [None] * delta + self.items
+
+    def _compress(self) -> None:
+        # compressWhileUpdatingSketch (kll/items_sketch.go:692-762)
+        level = self._find_level_to_compact()
+        if level == self.num_levels - 1:
+            self._add_empty_top_level()
+        lv = self.levels
+        buf = self.items
+        raw_beg = lv[level]
+        raw_end = lv[level + 1]
+        pop_above = lv[level + 2] - raw_end
+        raw_pop = raw_end - raw_beg
+        odd = raw_pop % 2 == 1
+        adj_beg = raw_beg + 1 if odd else raw_beg
+        adj_pop = raw_pop - 1 if odd else raw_pop
+        half = adj_pop // 2
+        if level == 0:
+            buf[adj_beg:adj_beg + adj_pop] = \
+                sorted(buf[adj_beg:adj_beg + adj_pop])
+        if pop_above == 0:
+            # randomlyHalveUpItems, offset=1 (items_sketch.go:864-874)
+            j = adj_beg + adj_pop - 2
+            for i in range(adj_beg + adj_pop - 1, adj_beg + half - 1, -1):
+                buf[i] = buf[j]
+                j -= 2
+        else:
+            # randomlyHalveDownItems, offset=1 (items_sketch.go:875-884)
+            j = adj_beg + 1
+            for i in range(adj_beg, adj_beg + half):
+                buf[i] = buf[j]
+                j += 2
+            # in-place upward merge (items_sketch.go:886-912; safe because
+            # the write cursor never passes the B read cursor)
+            a, b = adj_beg, raw_end
+            lim_a, lim_b = adj_beg + half, raw_end + pop_above
+            for c in range(adj_beg + half, adj_beg + half + half + pop_above):
+                if a == lim_a:
+                    buf[c] = buf[b]
+                    b += 1
+                elif b == lim_b:
+                    buf[c] = buf[a]
+                    a += 1
+                elif buf[a] < buf[b]:
+                    buf[c] = buf[a]
+                    a += 1
+                else:
+                    buf[c] = buf[b]
+                    b += 1
+        lv[level + 1] = lv[level + 1] - half
+        if odd:
+            lv[level] = lv[level + 1] - 1
+            buf[lv[level]] = buf[raw_beg]
+        else:
+            lv[level] = lv[level + 1]
+        if level > 0:
+            amount = raw_beg - lv[0]
+            for i in range(amount, 0, -1):
+                buf[lv[0] + half + i - 1] = buf[lv[0] + i - 1]
+            for lvl in range(level):
+                lv[lvl] += half
+
+
+def write_kll_string(sk: KllStringCompatSketch) -> bytes:
+    """ItemsSketch[string].ToSlice() (kll/items_sketch.go:332-404):
+    COMPACT_EMPTY (8 B) / COMPACT_SINGLE (preamble + one item) /
+    COMPACT_FULL (preamble, n, minK, numLevels, levels[0..numLevels-1],
+    min/max items, retained items), strings as 4-byte-LE-length-prefixed
+    UTF-8 (kll/items_sketch_test.go:44-83)."""
+    flags = 0
+    if sk.n == 0:
+        flags |= _KLL_EMPTY_BIT
+    if sk.is_level_zero_sorted:
+        flags |= 2
+    if sk.n == 1:
+        flags |= _KLL_SINGLE_ITEM_BIT
+
+    def enc(s: str) -> bytes:
+        raw = s.encode("utf-8")
+        return struct.pack("<I", len(raw)) + raw
+
+    if sk.n == 0:
+        return bytes([_KLL_PRE_INTS_EMPTY_SINGLE, _KLL_SER_VER_EMPTY_FULL,
+                      _FAMILY_KLL, flags]) + struct.pack("<HBB", sk.k,
+                                                         sk.m, 0)
+    if sk.n == 1:
+        single = sk.items[sk.levels[0]]
+        return bytes([_KLL_PRE_INTS_EMPTY_SINGLE, _KLL_SER_VER_SINGLE,
+                      _FAMILY_KLL, flags]) + \
+            struct.pack("<HBB", sk.k, sk.m, 0) + enc(single)
+
+    out = bytearray()
+    out += bytes([_KLL_PRE_INTS_FULL, _KLL_SER_VER_EMPTY_FULL,
+                  _FAMILY_KLL, flags])
+    out += struct.pack("<HBB", sk.k, sk.m, 0)
+    out += struct.pack("<Q", sk.n)
+    out += struct.pack("<HBB", sk.min_k, sk.num_levels, 0)
+    for lvl in range(sk.num_levels):
+        out += struct.pack("<I", sk.levels[lvl])
+    out += enc(sk.min_item) + enc(sk.max_item)
+    for idx in range(sk.levels[0], sk.levels[sk.num_levels]):
+        out += enc(sk.items[idx])
+    return bytes(out)
