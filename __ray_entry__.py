@@ -1020,6 +1020,315 @@ def _q_curate_docs(sf_dir: str):
                                       zero_copy_batch=True).sort("doc_id")
 
 
+def _q_revenue_filter(sf_dir: str):
+    """TPC-H Q6-flavored forecast-revenue filter: one pruned-column
+    read, vectorized predicate, exact-cents partial sums folded to a
+    single row (no shuffle beyond the 1-partition fold)."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lo = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def partial(b):
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(b.column("l_discount"), 0.05),
+                        pc.less_equal(b.column("l_discount"), 0.07)),
+                pc.less(b.column("l_quantity"), 24.0)))
+        t = b.filter(mask)
+        # floor(x*100+0.5): identical IEEE op order as the oracle SQL
+        rev = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * t.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "revenue_c": pa.array([int(rev.sum())], type=pa.int64()),
+            "n_rows": pa.array([len(t)], type=pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return b
+        return pa.table({
+            "revenue_c": pa.array(
+                [pc.sum(b.column("revenue_c")).as_py() or 0],
+                type=pa.int64()),
+            "n_rows": pa.array([pc.sum(b.column("n_rows")).as_py() or 0],
+                               type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "lineitem")
+            .select_columns(["l_shipdate", "l_discount", "l_quantity",
+                             "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_brand_revenue(sf_dir: str):
+    """TPC-H Q14-flavored: lineitem (1997 shipments) joined to part by
+    broadcast hash join, exact-cents revenue per brand."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    lo = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def prep(b):
+        t = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        rev = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_partkey": t.column("l_partkey").cast(pa.int64()),
+            "rev_c": pa.array(rev, type=pa.int64()),
+        })
+
+    li = (_read(sf_dir, "lineitem")
+          .select_columns(["l_partkey", "l_shipdate", "l_extendedprice",
+                           "l_discount"])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    joined = hash_join(
+        li, _read(sf_dir, "part").select_columns(["p_partkey", "p_brand"]),
+        on=("l_partkey", "p_partkey"))
+
+    def partial(b):
+        g = b.group_by("p_brand").aggregate(
+            [("rev_c", "count"), ("rev_c", "sum")])
+        return pa.table({
+            "p_brand": g.column("p_brand"),
+            "n_items": g.column("rev_c_count").cast(pa.int64()),
+            "revenue_c": g.column("rev_c_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("p_brand").aggregate(
+            [("n_items", "sum"), ("revenue_c", "sum")])
+        return pa.table({
+            "p_brand": g.column("p_brand"),
+            "n_items": g.column("n_items_sum").cast(pa.int64()),
+            "revenue_c": g.column("revenue_c_sum").cast(pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(4, keys=["p_brand"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_supplier_balance(sf_dir: str):
+    """supplier ⋈ nation broadcast join; exact-cents account-balance
+    rollup per nation name."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    def prep(b):
+        return pa.table({
+            "s_nationkey": b.column("s_nationkey").cast(pa.int64()),
+            "bal_c": pc.round(pc.multiply(b.column("s_acctbal"), 100))
+                .cast(pa.int64()),
+        })
+
+    def prep_nation(b):
+        return pa.table({
+            "n_nationkey": b.column("n_nationkey").cast(pa.int64()),
+            "n_name": b.column("n_name"),
+        })
+
+    sup = _read(sf_dir, "supplier").map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    nat = _read(sf_dir, "nation") \
+        .select_columns(["n_nationkey", "n_name"]) \
+        .map_batches(prep_nation, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    joined = hash_join(sup, nat, on=("s_nationkey", "n_nationkey"))
+
+    def fold(b):
+        g = b.group_by("n_name").aggregate(
+            [("bal_c", "count"), ("bal_c", "sum")])
+        return pa.table({
+            "n_name": g.column("n_name"),
+            "n_suppliers": g.column("bal_c_count").cast(pa.int64()),
+            "sum_bal_c": g.column("bal_c_sum").cast(pa.int64()),
+        })
+
+    def fold2(b):
+        g = b.group_by("n_name").aggregate(
+            [("n_suppliers", "sum"), ("sum_bal_c", "sum")])
+        return pa.table({
+            "n_name": g.column("n_name"),
+            "n_suppliers": g.column("n_suppliers_sum").cast(pa.int64()),
+            "sum_bal_c": g.column("sum_bal_c_sum").cast(pa.int64()),
+        })
+
+    return (joined.map_batches(fold, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(2, keys=["n_name"])
+            .map_batches(fold2, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-flavored shipping priority: lineitem revenue per order
+    (pre-aggregated partial+fold), BUILDING-segment customers broadcast
+    into orders, then distributed top-10 by revenue."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.join import hash_join
+    from apache_datasketches_go_ray.stages.relational import (
+        semi_join, top_k,
+    )
+
+    cut = pa.scalar(datetime.datetime(1997, 6, 1), type=pa.timestamp("us"))
+
+    def prep_li(b):
+        t = b.filter(pc.greater(b.column("l_shipdate"), cut))
+        rev = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100 + 0.5).astype(np.int64)
+        g = pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "rev_c": pa.array(rev, type=pa.int64()),
+        }).group_by("l_orderkey").aggregate([("rev_c", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "rev_c": g.column("rev_c_sum")})
+
+    def fold_li(b):
+        g = b.group_by("l_orderkey").aggregate([("rev_c", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "revenue_c": g.column("rev_c_sum")
+                         .cast(pa.int64())})
+
+    rev = (_read(sf_dir, "lineitem")
+           .select_columns(["l_orderkey", "l_shipdate", "l_extendedprice",
+                            "l_discount"])
+           .map_batches(prep_li, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .repartition(16, keys=["l_orderkey"])
+           .map_batches(fold_li, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True))
+
+    def prep_orders(b):
+        t = b.filter(pc.less(b.column("o_orderdate"), cut))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+        })
+
+    def prep_cust(b):
+        t = b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
+        return t.select(["c_custkey"])
+
+    orders = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(prep_orders, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    cust = _read(sf_dir, "customer") \
+        .select_columns(["c_custkey", "c_mktsegment"]) \
+        .map_batches(prep_cust, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    building = semi_join(orders, cust, on=("o_custkey", "c_custkey")) \
+        .select_columns(["o_orderkey", "o_orderdate"])
+    joined = hash_join(building, rev, on=("o_orderkey", "l_orderkey"))
+    return top_k(joined.select_columns(["o_orderkey", "revenue_c",
+                                        "o_orderdate"]),
+                 [("revenue_c", "descending"), ("o_orderkey", "ascending")],
+                 k=10)
+
+
+def _q_event_followups(sf_dir: str):
+    """Interval (range) join: for each signup event, count + cents-sum
+    of the same user's events within the following 6 hours (window
+    start inclusive, end exclusive; the signup itself is in-window).
+    Boundary-merge kernel — see stages/rangejoin.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.rangejoin import (
+        interval_join_agg,
+    )
+
+    def signups(b):
+        return b.filter(pc.equal(b.column("event_type"), "signup")) \
+            .select(["event_id", "user_id", "ts"])
+
+    ev = _read(sf_dir, "events")
+    left = ev.map_batches(signups, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = interval_join_agg(
+        left, ev.select_columns(["user_id", "ts", "value"]),
+        on=("user_id", "user_id"), ts=("ts", "ts"),
+        window_us=6 * 3600 * 1_000_000, left_cols=["event_id"],
+        right_val="value", count_name="n_follow", sum_name="sum_cents",
+        num_partitions=16)
+
+    def project(b):
+        return pa.table({
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "n_follow": b.column("n_follow"),
+            "sum_cents": b.column("sum_cents"),
+        })
+    return out.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_props_extract(sf_dir: str):
+    """JSON field extraction from the events.props payload column
+    (vectorized regex capture, no Python-level JSON parsing) + grouped
+    exact rollup per event type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)'),
+            "k"), pa.int64())
+        g = pa.table({"event_type": b.column("event_type"), "k": k}) \
+            .group_by("event_type").aggregate(
+                [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n_events": g.column("k_count").cast(pa.int64()),
+            "sum_k": g.column("k_sum").cast(pa.int64()),
+            "min_k": g.column("k_min").cast(pa.int64()),
+            "max_k": g.column("k_max").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("sum_k", "sum"), ("min_k", "min"),
+             ("max_k", "max")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n_events": g.column("n_events_sum").cast(pa.int64()),
+            "sum_k": g.column("sum_k_sum").cast(pa.int64()),
+            "min_k": g.column("min_k_min").cast(pa.int64()),
+            "max_k": g.column("max_k_max").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "events")
+            .select_columns(["event_type", "props"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["event_type"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.multimodal import (
@@ -1069,6 +1378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": _q_region_revenue,
         "distinct_users_daily": _q_distinct_users_daily,
         "asof_event_order": _q_asof_event_order,
+        "revenue_filter": _q_revenue_filter,
+        "brand_revenue": _q_brand_revenue,
+        "supplier_balance": _q_supplier_balance,
+        "shipping_priority": _q_shipping_priority,
+        "event_followups": _q_event_followups,
+        "props_extract": _q_props_extract,
         "consecutive_bigram_jaccard": _q_consecutive_bigram_jaccard,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
@@ -1432,6 +1747,72 @@ def oracle_sql() -> dict[str, str]:
                             - len(list_intersect(a.grams, b2.grams)), 0),
                      6), 1.0) AS jacc
             FROM b a JOIN b b2 ON b2.doc_id = a.doc_id + 1
+        """,
+        "revenue_filter": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                     AS revenue_c,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "brand_revenue": """
+            SELECT p_brand, count(*) AS n_items,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                  + 0.5) AS BIGINT)) AS revenue_c
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY p_brand
+        """,
+        "supplier_balance": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS sum_bal_c
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "shipping_priority": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 100 + 0.5) AS BIGINT)) AS revenue_c
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1997-06-01'
+              GROUP BY l_orderkey
+            )
+            SELECT o.o_orderkey, rev.revenue_c, o.o_orderdate
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+                           AND c.c_mktsegment = 'BUILDING'
+            JOIN rev ON rev.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate < TIMESTAMP '1997-06-01'
+            ORDER BY rev.revenue_c DESC, o.o_orderkey ASC
+            LIMIT 10
+        """,
+        "event_followups": """
+            SELECT s.event_id,
+                   CAST(count(e.user_id) AS BIGINT) AS n_follow,
+                   CAST(coalesce(sum(CAST(round(e.value * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                     AS sum_cents
+            FROM events s LEFT JOIN events e
+              ON e.user_id = s.user_id
+             AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 6 HOUR
+            WHERE s.event_type = 'signup'
+            GROUP BY s.event_id
+        """,
+        "props_extract": r"""
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         "ann_topk": """
             WITH q AS (

@@ -214,3 +214,71 @@ def test_range_sort_global_order(ray_session):
     # holds more than 3x its fair share
     sizes = out.groupby("__part").size()
     assert sizes.max() <= 3 * 20_000 / len(parts)
+
+
+def test_interval_join_agg_matches_duckdb(events_tbl, ray_session):
+    import duckdb
+    from apache_datasketches_go_ray.stages.rangejoin import (
+        interval_join_agg,
+    )
+
+    # right side restricted to even users -> odd-user windows must
+    # surface with count 0 / sum 0 (left-outer semantics)
+    right = events_tbl.filter(
+        pa.compute.equal(pa.compute.bit_wise_and(
+            events_tbl.column("user_id"), 1), 0))
+    out = interval_join_agg(
+        ray.data.from_arrow(events_tbl).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        on=("user_id", "user_id"), ts=("ts", "ts"),
+        window_us=30 * 60 * 1_000_000, left_cols=["event_id"],
+        right_val="value", count_name="n_in", sum_name="sum_c",
+        num_partitions=4).to_pandas().sort_values(
+            "event_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("ev", events_tbl.to_pandas())
+    con.register("rt", right.to_pandas())
+    exp = con.execute("""
+        SELECT s.event_id,
+               CAST(count(e.user_id) AS BIGINT) AS n_in,
+               CAST(coalesce(sum(CAST(round(e.value * 100) AS BIGINT)),
+                             0) AS BIGINT) AS sum_c
+        FROM ev s LEFT JOIN rt e
+          ON e.user_id = s.user_id
+         AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 30 MINUTE
+        GROUP BY s.event_id ORDER BY s.event_id
+    """).df()
+    assert len(out) == len(exp) == len(events_tbl)
+    assert (out["n_in"] == 0).any()  # the planted zero-match windows
+    for col in ("event_id", "n_in", "sum_c"):
+        assert (out[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+def test_interval_join_agg_empty_and_boundaries(ray_session):
+    from apache_datasketches_go_ray.stages.rangejoin import (
+        interval_join_agg,
+    )
+
+    # window [t, t+10): right rows exactly at start count, at end do not
+    t0 = BASE
+    left = pa.table({
+        "k": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([t0, t0], type=pa.timestamp("us")),
+        "lid": pa.array([10, 20], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 3], type=pa.int64()),
+        "ts": pa.array([t0, t0 + datetime.timedelta(microseconds=9),
+                        t0 + datetime.timedelta(microseconds=10), t0],
+                       type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0], type=pa.float64()),
+    })
+    out = interval_join_agg(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on=("k", "k"), ts=("ts", "ts"), window_us=10, left_cols=["lid"],
+        right_val="value", count_name="n", sum_name="s",
+        num_partitions=2).to_pandas().sort_values("lid",
+                                                  ignore_index=True)
+    assert out["lid"].tolist() == [10, 20]
+    assert out["n"].tolist() == [2, 0]  # start inclusive, end exclusive
+    assert out["s"].tolist() == [300, 0]
