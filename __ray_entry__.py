@@ -1020,6 +1020,22 @@ def _q_curate_docs(sf_dir: str):
                                       zero_copy_batch=True).sort("doc_id")
 
 
+def _q_kll_quantiles_by_lang(sf_dir: str):
+    """Grouped KLL quantiles of documents.n_chars per language; k=4096
+    exceeds every per-group count through sf0.1, so the sketch stays in
+    the exact no-compaction regime and the DuckDB oracle checks it
+    value-exact (at corpus scale the same operator degrades gracefully
+    to the error-bounded sketch)."""
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        approx_quantiles_by,
+    )
+
+    return approx_quantiles_by(
+        _read(sf_dir, "documents").select_columns(["lang", "n_chars"]),
+        "lang", "n_chars", ranks=[0.25, 0.5, 0.75], k=4096,
+        num_partitions=8)
+
+
 def _q_revenue_filter(sf_dir: str):
     """TPC-H Q6-flavored forecast-revenue filter: one pruned-column
     read, vectorized predicate, exact-cents partial sums folded to a
@@ -1379,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": _q_distinct_users_daily,
         "asof_event_order": _q_asof_event_order,
         "revenue_filter": _q_revenue_filter,
+        "kll_quantiles_by_lang": _q_kll_quantiles_by_lang,
         "brand_revenue": _q_brand_revenue,
         "supplier_balance": _q_supplier_balance,
         "shipping_priority": _q_shipping_priority,
@@ -1747,6 +1764,26 @@ def oracle_sql() -> dict[str, str]:
                             - len(list_intersect(a.grams, b2.grams)), 0),
                      6), 1.0) AS jacc
             FROM b a JOIN b b2 ON b2.doc_id = a.doc_id + 1
+        """,
+        "kll_quantiles_by_lang": """
+            WITH r AS (
+              SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents
+            )
+            SELECT lang, CAST(max(cnt) AS BIGINT) AS n,
+                   min(CASE WHEN rn >= greatest(
+                         CAST(ceil(0.25 * cnt) AS BIGINT), 1)
+                       THEN v END) AS q25,
+                   min(CASE WHEN rn >= greatest(
+                         CAST(ceil(0.5 * cnt) AS BIGINT), 1)
+                       THEN v END) AS q50,
+                   min(CASE WHEN rn >= greatest(
+                         CAST(ceil(0.75 * cnt) AS BIGINT), 1)
+                       THEN v END) AS q75
+            FROM r GROUP BY lang
         """,
         "revenue_filter": """
             SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100

@@ -119,6 +119,79 @@ def approx_quantiles(ds, column: str, ranks, k: int = 200) -> dict:
     }
 
 
+def approx_quantiles_by(ds, group_col: str, value_col: str, ranks,
+                        k: int = 200, num_partitions: int = 16):
+    """Grouped KLL quantiles: per-group partial sketches per block, hash
+    shuffle on the group, per-block merge + finalize at the given
+    normalized ranks (inclusive semantics,
+    kll/items_sketch_sorted_view.go:75-101).
+
+    Like approx_top_k_by, when k >= the per-group item count the sketch
+    never compacts, the sorted view is the exact multiset and
+    get_quantile returns the exact ceil(r*n)-th order statistic — making
+    this SQL-oracle-checkable at test scale while keeping bounded-memory
+    sketch behavior (deterministic offset=1 halving) at corpus scale.
+
+    Returns rows (group, n, q_<rank> per requested rank)."""
+    ranks = [float(r) for r in ranks]
+    rank_cols = [f"q{int(round(r * 100)):02d}" for r in ranks]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gs = as_array(batch.column(group_col)).cast(pa.string()) \
+            .to_numpy(zero_copy_only=False)
+        vals = as_array(batch.column(value_col)) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(gs, kind="stable")
+        gs, vals = gs[order], vals[order]
+        newgrp = np.ones(len(gs), dtype=bool)
+        if len(gs) > 1:
+            newgrp[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(newgrp)
+        ends = np.concatenate([starts[1:], [len(gs)]])
+        out_g, out_s = [], []
+        for s, e in zip(starts, ends):
+            sk = KllSketch(k)
+            sk.update_many(vals[s:e])
+            out_g.append(gs[s])
+            out_s.append(sk.to_bytes())
+        return pa.table({group_col: pa.array(out_g, type=pa.string()),
+                         "sk": pa.array(out_s, type=pa.large_binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        gs = np.asarray(as_array(batch.column(group_col)).to_pylist(),
+                        dtype=object)
+        sks = as_array(batch.column("sk")).to_pylist()
+        order = np.argsort(gs, kind="stable")
+        out = {group_col: [], "n": []}
+        for c in rank_cols:
+            out[c] = []
+        i = 0
+        while i < len(order):
+            j = i
+            sk = KllSketch.from_bytes(sks[order[i]])
+            while j + 1 < len(order) and gs[order[j + 1]] == gs[order[i]]:
+                j += 1
+                sk.merge(KllSketch.from_bytes(sks[order[j]]))
+            out[group_col].append(str(gs[order[i]]))
+            out["n"].append(sk.n)
+            for r, c in zip(ranks, rank_cols):
+                out[c].append(sk.get_quantile(r))
+            i = j + 1
+        cols = {group_col: pa.array(out[group_col], type=pa.string()),
+                "n": pa.array(out["n"], type=pa.int64())}
+        for c in rank_cols:
+            cols[c] = pa.array(out[c], type=pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions, keys=[group_col])
+        .map_batches(combine, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
 def approx_top_k(ds, column: str, k: int = 20, lg_max_map_size: int = 12,
                  tokenize: bool = False):
     """Frequent-items top-k over a column (optionally over whitespace

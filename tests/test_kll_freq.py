@@ -170,3 +170,47 @@ def test_approx_top_k_by_exact_and_purge(ray_session):
         for _, r in sub.iterrows():
             true = 50 - int(r["item"][-2:])
             assert r["estimate"] >= true
+
+
+def test_approx_quantiles_by_exact_and_compressed(ray_session):
+    """Grouped KLL quantiles: exact order statistics in the
+    no-compaction regime (k >= group n); within the published rank
+    error bound once the sketch compresses."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        approx_quantiles_by,
+    )
+
+    rng = np.random.default_rng(23)
+    gs, vs = [], []
+    sizes = {"a": 500, "b": 137, "c": 1}
+    for g, n in sizes.items():
+        gs += [g] * n
+        vs += list(rng.normal(100 * len(gs), 25, n))
+    t = pa.table({"g": pa.array(gs), "v": pa.array(np.asarray(vs))})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    out = approx_quantiles_by(ds, "g", "v", ranks=[0.25, 0.5, 0.75],
+                              k=1024, num_partitions=2).to_pandas() \
+        .set_index("g")
+    arr = np.asarray(vs)
+    off = 0
+    for g, n in sizes.items():
+        sub = np.sort(arr[off:off + n])
+        off += n
+        assert out.loc[g, "n"] == n
+        for r, c in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75")]:
+            exact = sub[max(int(np.ceil(r * n)), 1) - 1]
+            assert out.loc[g, c] == exact, (g, c)
+
+    # compressed regime: k=32 over 5000 values -> rank error bound holds
+    big = np.sort(rng.uniform(0, 1, 5000))
+    t2 = pa.table({"g": pa.array(["x"] * 5000), "v": pa.array(big)})
+    out2 = approx_quantiles_by(ray.data.from_arrow(t2).repartition(4),
+                               "g", "v", ranks=[0.5], k=32,
+                               num_partitions=2).to_pandas()
+    got = out2["q50"].iloc[0]
+    true_rank = np.searchsorted(big, got) / 5000
+    from apache_datasketches_go_ray.state.kll import normalized_rank_error
+    assert abs(true_rank - 0.5) < 3 * normalized_rank_error(32, False)
