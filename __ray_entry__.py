@@ -1020,6 +1020,58 @@ def _q_curate_docs(sf_dir: str):
                                       zero_copy_batch=True).sort("doc_id")
 
 
+def _q_sliding_window(sf_dir: str):
+    """Row-based sliding window (3-row trailing sum) per user over
+    events — prefix-sum difference kernel, one hash shuffle."""
+    from apache_datasketches_go_ray.stages.windows import (
+        sliding_window_sum,
+    )
+
+    return sliding_window_sum(_read(sf_dir, "events"), preceding=2,
+                              num_partitions=16)
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    """BPE-ish pretokenizer counts per document: one vectorized RE2
+    scan (pc.count_substring_regex); the identical pattern runs in the
+    DuckDB oracle (both engines are RE2)."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.textops import (
+        bpe_token_count_batch,
+    )
+
+    def project(b):
+        out = bpe_token_count_batch(b)
+        return pa.table({"doc_id": out.column("doc_id"),
+                         "n_bpe_tokens": out.column("n_bpe_tokens")})
+
+    return (_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def _q_train_eval_split(sf_dir: str):
+    """Deterministic train/eval split by Knuth multiplicative hash of
+    doc_id (~10% eval) — the reproducible splitter every training-data
+    pipeline needs; pure int64 arithmetic so it is SQL-expressible and
+    stable across engines, runs and partitionings."""
+    import pyarrow as pa
+
+    def project(b):
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % 4294967296
+        split = np.where(h % 100 < 10, "eval", "train")
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    return (_read(sf_dir, "documents").select_columns(["doc_id"])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def _q_kll_quantiles_by_lang(sf_dir: str):
     """Grouped KLL quantiles of documents.n_chars per language; k=4096
     exceeds every per-group count through sf0.1, so the sketch stays in
@@ -1396,6 +1448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_event_order": _q_asof_event_order,
         "revenue_filter": _q_revenue_filter,
         "kll_quantiles_by_lang": _q_kll_quantiles_by_lang,
+        "events_sliding_window": _q_sliding_window,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "train_eval_split": _q_train_eval_split,
         "brand_revenue": _q_brand_revenue,
         "supplier_balance": _q_supplier_balance,
         "shipping_priority": _q_shipping_priority,
@@ -1764,6 +1819,29 @@ def oracle_sql() -> dict[str, str]:
                             - len(list_intersect(a.grams, b2.grams)), 0),
                      6), 1.0) AS jacc
             FROM b a JOIN b b2 ON b2.doc_id = a.doc_id + 1
+        """,
+        "events_sliding_window": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS win_n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          OVER w AS BIGINT) AS win_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "train_eval_split": """
+            SELECT doc_id,
+                   CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100
+                             < 10
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM documents
         """,
         "kll_quantiles_by_lang": """
             WITH r AS (

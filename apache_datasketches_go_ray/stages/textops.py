@@ -178,3 +178,19 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
 def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (a ^ b).view(np.uint8).reshape(len(a), 8)
     return np.unpackbits(x, axis=1).sum(axis=1)
+
+
+# BPE-ish pretokenizer: letter runs, digit runs, punctuation runs, each
+# with an optional leading space (GPT-2-style pretokenization shape).
+# RE2 syntax on purpose: pyarrow and DuckDB both run RE2, so the exact
+# same pattern string is SQL-oracle-checkable.
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count_batch(batch: pa.Table,
+                          text_col: str = "text") -> pa.Table:
+    """Append n_bpe_tokens: count of BPE-ish pretokens (vectorized RE2
+    scan, no Python-level tokenization)."""
+    counts = pc.count_substring_regex(
+        as_array(batch.column(text_col)), BPE_ISH_PATTERN)
+    return batch.append_column("n_bpe_tokens", counts.cast(pa.int64()))

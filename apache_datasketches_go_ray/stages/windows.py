@@ -159,3 +159,55 @@ def running_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def sliding_window_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id", value_col: str = "value",
+                       preceding: int = 2, num_partitions: int = 64):
+    """Row-based sliding window (``ROWS BETWEEN preceding PRECEDING AND
+    CURRENT ROW``): per-key ordered by (ts, id), exact cents sum and
+    row count of the trailing window. Same one-shuffle shape as
+    running_sum; the window is a prefix-sum difference with the lower
+    edge clamped to the key's first row — no per-row loop."""
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "ts": b.column(ts_col).cast(pa.int64()),
+            "id": b.column(id_col).cast(pa.int64()),
+            "cents": _cents(b.column(value_col)),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "win_n": pa.array([], type=pa.int64()),
+                "win_cents": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("k")).to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        cents = as_array(b.column("cents")).to_numpy(zero_copy_only=False)
+        order, first = _sorted_key_segments(k, ts, ids)
+        n = len(order)
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = idx[np.flatnonzero(first)][np.cumsum(first) - 1]
+        lo = np.maximum(idx - preceding, seg_start)
+        prefix = np.concatenate([[0], np.cumsum(cents[order])])
+        return pa.table({
+            "event_id": pa.array(ids[order], type=pa.int64()),
+            "user_id": pa.array(k[order], type=pa.int64()),
+            "win_n": pa.array(idx - lo + 1, type=pa.int64()),
+            "win_cents": pa.array(prefix[idx + 1] - prefix[lo],
+                                  type=pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([key_col, ts_col, id_col, value_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

@@ -282,3 +282,29 @@ def test_interval_join_agg_empty_and_boundaries(ray_session):
     assert out["lid"].tolist() == [10, 20]
     assert out["n"].tolist() == [2, 0]  # start inclusive, end exclusive
     assert out["s"].tolist() == [300, 0]
+
+
+def test_sliding_window_sum_matches_duckdb(events_tbl, ray_session):
+    import duckdb
+    from apache_datasketches_go_ray.stages.windows import (
+        sliding_window_sum,
+    )
+
+    out = sliding_window_sum(
+        ray.data.from_arrow(events_tbl).repartition(4), preceding=2,
+        num_partitions=4).to_pandas().sort_values(
+            "event_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("ev", events_tbl.to_pandas())
+    exp = con.execute("""
+        SELECT event_id,
+               CAST(count(*) OVER w AS BIGINT) AS win_n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS win_cents
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """).df()
+    for col in ("event_id", "win_n", "win_cents"):
+        assert (out[col].to_numpy() == exp[col].to_numpy()).all(), col
