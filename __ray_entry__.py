@@ -1020,6 +1020,166 @@ def _q_curate_docs(sf_dir: str):
                                       zero_copy_batch=True).sort("doc_id")
 
 
+def _q_largest_event_per_user(sf_dir: str):
+    """Per-group argmax: each user's single largest event (by cents,
+    deterministic event_id tie-break) — per-block partial argmax
+    combiner, then one keyed shuffle and a final argmax fold. Only one
+    row per (block, user) ever moves through the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def argmax_block(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "cents": pa.array([], type=pa.int64()),
+            })
+        u = as_array(b.column("user_id")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        e = as_array(b.column("event_id")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        c = as_array(b.column("cents")).to_numpy(zero_copy_only=False)
+        # sort by (user, cents desc, event_id asc); take first per user
+        order = np.lexsort((e, -c, u))
+        uu = u[order]
+        first = np.ones(len(uu), dtype=bool)
+        first[1:] = uu[1:] != uu[:-1]
+        keep = order[first]
+        return pa.table({
+            "user_id": pa.array(u[keep], type=pa.int64()),
+            "event_id": pa.array(e[keep], type=pa.int64()),
+            "cents": pa.array(c[keep], type=pa.int64()),
+        })
+
+    def prep(b):
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "events")
+            .select_columns(["user_id", "event_id", "value"])
+            .map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(argmax_block, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(8, keys=["user_id"])
+            .map_batches(argmax_block, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+def _q_event_type_pivot(sf_dir: str):
+    """Pivot: per-user event counts spread into one column per event
+    type (conditional partial counts + keyed fold — the columnar
+    reshape every feature pipeline needs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(b):
+        cols = {"user_id": b.column("user_id").cast(pa.int64())}
+        et = b.column("event_type")
+        for t in types:
+            cols[f"n_{t}"] = pc.equal(et, t).cast(pa.int64())
+        g = pa.table(cols).group_by("user_id").aggregate(
+            [(f"n_{t}", "sum") for t in types])
+        return pa.table(
+            {"user_id": g.column("user_id"),
+             **{f"n_{t}": g.column(f"n_{t}_sum").cast(pa.int64())
+                for t in types}})
+
+    def fold(b):
+        g = b.group_by("user_id").aggregate(
+            [(f"n_{t}", "sum") for t in types])
+        return pa.table(
+            {"user_id": g.column("user_id"),
+             **{f"n_{t}": g.column(f"n_{t}_sum").cast(pa.int64())
+                for t in types}})
+
+    return (_read(sf_dir, "events")
+            .select_columns(["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(8, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_kll_rank_annotate(sf_dir: str):
+    """KLL GetRank as an annotator: each document's inclusive
+    normalized rank of n_chars (== cume_dist when the sketch is in the
+    exact no-compaction regime, k=4096 > corpus size at sf0.01). The
+    merged sketch is KB-sized and ships once via broadcast; the
+    annotate pass is a vectorized searchsorted per batch."""
+    import pyarrow as pa
+    import ray
+    from apache_datasketches_go_ray.state.kll import KllSketch
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"])
+
+    def partial(b):
+        sk = KllSketch(4096)
+        sk.update_many(as_array(b.column("n_chars"))
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.float64))
+        return pa.table({"sk": pa.array([sk.to_bytes()],
+                                        type=pa.large_binary())})
+
+    merged = KllSketch(4096)
+    for row in docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all():
+        merged.merge(KllSketch.from_bytes(row["sk"]))
+    items, cum = merged._sorted_view()
+    n = merged.n
+    ref = ray.put((items, cum, n))
+
+    def annotate(b):
+        it, cw, total = ray.get(ref)
+        v = as_array(b.column("n_chars")).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        idx = np.searchsorted(it, v, side="right")
+        rank = np.where(idx > 0, cw[np.maximum(idx - 1, 0)], 0) / total
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "chars_rank": pa.array(np.round(rank, 6), type=pa.float64()),
+        })
+
+    return docs.map_batches(annotate, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _q_sample_docs_bottomk(sf_dir: str):
+    """Deterministic uniform sample without replacement via bottom-k
+    hashing — the KMV idea behind the reference's coupon/k-minimum-
+    values machinery (hll/hll_sketch.go:338-343) as a sampling
+    operator: keep the k rows with the smallest hash of the key.
+    Mergeable (bottom-k of a union = bottom-k of per-block bottom-ks),
+    so it runs as per-block partial top-k with no shuffle. Knuth
+    multiplicative hash keeps it SQL-oracle-exact."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.relational import top_k
+
+    def prep(b):
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % 4294967296
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "h": pa.array(h, type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k(ds, [("h", "ascending"), ("doc_id", "ascending")], k=100)
+
+
 def _q_sliding_window(sf_dir: str):
     """Row-based sliding window (3-row trailing sum) per user over
     events — prefix-sum difference kernel, one hash shuffle."""
@@ -1449,6 +1609,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_filter": _q_revenue_filter,
         "kll_quantiles_by_lang": _q_kll_quantiles_by_lang,
         "events_sliding_window": _q_sliding_window,
+        "largest_event_per_user": _q_largest_event_per_user,
+        "event_type_pivot": _q_event_type_pivot,
+        "kll_rank_annotate": _q_kll_rank_annotate,
+        "sample_docs_bottomk": _q_sample_docs_bottomk,
         "bpe_token_counts": _q_bpe_token_counts,
         "train_eval_split": _q_train_eval_split,
         "brand_revenue": _q_brand_revenue,
@@ -1819,6 +1983,46 @@ def oracle_sql() -> dict[str, str]:
                             - len(list_intersect(a.grams, b2.grams)), 0),
                      6), 1.0) AS jacc
             FROM b a JOIN b b2 ON b2.doc_id = a.doc_id + 1
+        """,
+        "sample_docs_bottomk": """
+            SELECT doc_id,
+                   CAST((doc_id * 2654435761) % 4294967296 AS BIGINT)
+                     AS h
+            FROM documents
+            ORDER BY h ASC, doc_id ASC
+            LIMIT 100
+        """,
+        "largest_event_per_user": """
+            WITH r AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                event_id ASC) AS rn
+              FROM events
+            )
+            SELECT user_id, event_id, cents FROM r WHERE rn = 1
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                     AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "kll_rank_annotate": """
+            SELECT doc_id,
+                   round(cume_dist() OVER (ORDER BY n_chars), 6)
+                     AS chars_rank
+            FROM documents
         """,
         "events_sliding_window": """
             SELECT event_id, user_id,
