@@ -1155,6 +1155,53 @@ def _q_kll_rank_annotate(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def _q_partitioned_sink_roundtrip(sf_dir: str):
+    """Resumable-output path as a first-class operator: write documents
+    as hive-partitioned Parquet (one directory per lang — the per-key
+    layout a failed 100 TB run resumes from), read the partitioned
+    layout back, and aggregate per partition. Value-exact vs SQL on the
+    original table, so the sink+source round-trip is lossless."""
+    import shutil
+    import pyarrow as pa
+    import ray.data
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/adgr_sink/{name}/documents_by_lang"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"]).write_parquet(
+        out_dir, partition_cols=["lang"])
+
+    back = ray.data.read_parquet(out_dir)
+
+    def partial(b):
+        g = pa.table({
+            "lang": b.column("lang").cast(pa.string()),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+        }).group_by("lang").aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "n_docs": g.column("n_chars_count").cast(pa.int64()),
+            "sum_chars": g.column("n_chars_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "n_docs": g.column("n_docs_sum").cast(pa.int64()),
+            "sum_chars": g.column("sum_chars_sum").cast(pa.int64()),
+        })
+
+    return (back.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .repartition(2, keys=["lang"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_sample_docs_bottomk(sf_dir: str):
     """Deterministic uniform sample without replacement via bottom-k
     hashing — the KMV idea behind the reference's coupon/k-minimum-
@@ -1613,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_type_pivot,
         "kll_rank_annotate": _q_kll_rank_annotate,
         "sample_docs_bottomk": _q_sample_docs_bottomk,
+        "partitioned_sink_roundtrip": _q_partitioned_sink_roundtrip,
         "bpe_token_counts": _q_bpe_token_counts,
         "train_eval_split": _q_train_eval_split,
         "brand_revenue": _q_brand_revenue,
@@ -1983,6 +2031,11 @@ def oracle_sql() -> dict[str, str]:
                             - len(list_intersect(a.grams, b2.grams)), 0),
                      6), 1.0) AS jacc
             FROM b a JOIN b b2 ON b2.doc_id = a.doc_id + 1
+        """,
+        "partitioned_sink_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(CAST(n_chars AS BIGINT)) AS sum_chars
+            FROM documents GROUP BY lang
         """,
         "sample_docs_bottomk": """
             SELECT doc_id,
