@@ -340,6 +340,76 @@ def _q_freq_top_tokens(sf_dir: str):
     })
 
 
+def _q_kll_quantiles_nchars_exact(sf_dir: str):
+    """Global KLL quantiles in the exact no-compaction regime (k=8192 >
+    corpus size at the oracle tier): the same operator as
+    kll_quantiles_nchars but SQL-oracle-checked value-exact."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        approx_quantiles,
+    )
+
+    r = approx_quantiles(_read(sf_dir, "documents"), "n_chars",
+                         [0.25, 0.5, 0.75], k=8192)
+    return pa.table({
+        "n": pa.array([r["n"]], type=pa.int64()),
+        "min": pa.array([r["min"]]),
+        "max": pa.array([r["max"]]),
+        "q25": pa.array([r["quantiles"][0.25]]),
+        "q50": pa.array([r["quantiles"][0.5]]),
+        "q75": pa.array([r["quantiles"][0.75]]),
+    })
+
+
+def _q_kll_cdf_nchars_exact(sf_dir: str):
+    """Global KLL PMF/CDF at fixed splits, exact regime (k=8192):
+    GetRank(split, exclusive) == count(x < split)/n, SQL-checked."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.state.kll import KllSketch
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def partial(b):
+        sk = KllSketch(8192)
+        sk.update_many(as_array(b.column("n_chars"))
+                       .to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sk": pa.array([sk.to_bytes()],
+                                        type=pa.large_binary())})
+
+    merged = KllSketch(8192)
+    for row in _read(sf_dir, "documents").select_columns(["n_chars"]) \
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all():
+        merged.merge(KllSketch.from_bytes(row["sk"]))
+    splits = np.array([200.0, 400.0, 800.0, 1600.0])
+    # finite splits only: the +inf tail bucket is 1 - cdf[-1] (the
+    # driver compare can't float-diff infinities)
+    pmf = merged.get_pmf(splits)[:-1]
+    cdf = merged.get_cdf(splits)[:-1]
+    return pa.table({
+        "split": pa.array(splits),
+        "pmf": pa.array([round(float(x), 6) for x in pmf]),
+        "cdf": pa.array([round(float(x), 6) for x in cdf]),
+    })
+
+
+def _q_freq_top_tokens_exact(sf_dir: str):
+    """Global frequent-items top-15 tokens, exact regime (map capacity
+    49k > corpus vocab at the oracle tier, offset stays 0 so
+    lb == estimate == ub == true count) — SQL-checked including the
+    deterministic (estimate desc, item asc) ordering."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.sketch_aggs import approx_top_k
+
+    rows = approx_top_k(_read(sf_dir, "documents"), "text", k=15,
+                        lg_max_map_size=16, tokenize=True)
+    return pa.table({
+        "item": pa.array([r[0] for r in rows], type=pa.string()),
+        "estimate": pa.array([r[1] for r in rows], type=pa.int64()),
+        "lower_bound": pa.array([r[2] for r in rows], type=pa.int64()),
+        "upper_bound": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
 def _q_top_tokens_by_lang(sf_dir: str):
     """Grouped heavy hitters: per-language top-10 tokens via distributed
     frequent-items sketches. Map capacity exceeds the per-lang vocab at
@@ -1661,6 +1731,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_rank_annotate": _q_kll_rank_annotate,
         "sample_docs_bottomk": _q_sample_docs_bottomk,
         "partitioned_sink_roundtrip": _q_partitioned_sink_roundtrip,
+        "kll_quantiles_nchars_exact": _q_kll_quantiles_nchars_exact,
+        "kll_cdf_nchars_exact": _q_kll_cdf_nchars_exact,
+        "freq_top_tokens_exact": _q_freq_top_tokens_exact,
         "bpe_token_counts": _q_bpe_token_counts,
         "train_eval_split": _q_train_eval_split,
         "brand_revenue": _q_brand_revenue,
@@ -2031,6 +2104,54 @@ def oracle_sql() -> dict[str, str]:
                             - len(list_intersect(a.grams, b2.grams)), 0),
                      6), 1.0) AS jacc
             FROM b a JOIN b b2 ON b2.doc_id = a.doc_id + 1
+        """,
+        "kll_quantiles_nchars_exact": """
+            WITH r AS (
+              SELECT CAST(n_chars AS DOUBLE) AS v,
+                     row_number() OVER (ORDER BY n_chars) AS rn,
+                     count(*) OVER () AS cnt
+              FROM documents
+            )
+            SELECT CAST(max(cnt) AS BIGINT) AS n,
+                   min(v) AS min, max(v) AS max,
+                   min(CASE WHEN rn >= greatest(
+                         CAST(ceil(0.25 * cnt) AS BIGINT), 1)
+                       THEN v END) AS q25,
+                   min(CASE WHEN rn >= greatest(
+                         CAST(ceil(0.5 * cnt) AS BIGINT), 1)
+                       THEN v END) AS q50,
+                   min(CASE WHEN rn >= greatest(
+                         CAST(ceil(0.75 * cnt) AS BIGINT), 1)
+                       THEN v END) AS q75
+            FROM r
+        """,
+        "kll_cdf_nchars_exact": """
+            WITH s AS (
+              SELECT unnest([200.0, 400.0, 800.0, 1600.0]) AS split
+            ), c AS (
+              SELECT s.split,
+                     (SELECT count(*) FROM documents
+                      WHERE n_chars < s.split) * 1.0
+                       / (SELECT count(*) FROM documents) AS cd
+              FROM s
+            )
+            SELECT split,
+                   round(cd - coalesce(lag(cd) OVER (ORDER BY split),
+                                       0.0), 6) AS pmf,
+                   round(cd, 6) AS cdf
+            FROM c
+        """,
+        "freq_top_tokens_exact": r"""
+            WITH tok AS (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS item
+              FROM documents
+            ), c AS (
+              SELECT item, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok WHERE item <> '' GROUP BY item
+            )
+            SELECT item, cnt AS estimate, cnt AS lower_bound,
+                   cnt AS upper_bound
+            FROM c ORDER BY cnt DESC, item ASC LIMIT 15
         """,
         "partitioned_sink_roundtrip": """
             SELECT lang, count(*) AS n_docs,
