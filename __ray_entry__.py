@@ -973,6 +973,122 @@ def _q_transcript_turn_gaps(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_transcript_role_stats(sf_dir: str):
+    """Per-conversation role profile over the transcript table: turn
+    counts by role (user/assistant/tool), tool-call count and text
+    volume — the conversation-level pivot (conditional partial counts
+    + one conv_id shuffle, same shape as event_type_pivot). Rows-only:
+    transcripts are synthesized, not a driver table; exactness is
+    pinned by the pandas ground-truth test."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    def partial(b):
+        role = b.column("role")
+        t = pa.table({
+            "conv_id": b.column("conv_id"),
+            "n_user": pc.equal(role, "user").cast(pa.int64()),
+            "n_assistant": pc.equal(role, "assistant").cast(pa.int64()),
+            "n_tool": pc.equal(role, "tool").cast(pa.int64()),
+            "n_tool_calls": pc.not_equal(b.column("tool"), "")
+                .cast(pa.int64()),
+            "n_chars": pc.utf8_length(b.column("text")).cast(pa.int64()),
+        })
+        g = t.group_by("conv_id").aggregate(
+            [(c, "sum") for c in ("n_user", "n_assistant", "n_tool",
+                                  "n_tool_calls", "n_chars")])
+        return g.rename_columns(
+            ["conv_id", "n_user", "n_assistant", "n_tool",
+             "n_tool_calls", "n_chars"])
+
+    def fold(b):
+        if len(b) == 0:
+            return b
+        g = b.group_by("conv_id").aggregate(
+            [(c, "sum") for c in ("n_user", "n_assistant", "n_tool",
+                                  "n_tool_calls", "n_chars")])
+        return g.rename_columns(
+            ["conv_id", "n_user", "n_assistant", "n_tool",
+             "n_tool_calls", "n_chars"])
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    return (ds.select_columns(["conv_id", "role", "tool", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(8, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_boilerplate_turns(sf_dir: str):
+    """Boilerplate-turn detection: turn texts repeated across many
+    conversations (the skew source the LSH stage salts against —
+    SURVEY §7.8). Exact distributed count-distinct-conv per turn-text
+    hash: in-block (hash, conv) dedup, one keyed shuffle, exact fold;
+    only 16-byte rows cross the wire, never the texts; top-20 by conv
+    count with the text resolved by a second cheap pass. Rows-only:
+    transcripts are synthesized (pinned by test vs pandas)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.functions.murmur3 import hash_strings
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+
+    def pre(b):
+        h1, _ = hash_strings(as_array(b.column("text")).to_pylist())
+        t = pa.table({
+            "h": pa.array(h1.view(np.int64), type=pa.int64()),
+            "conv_id": b.column("conv_id"),
+        })
+        g = t.group_by(["h", "conv_id"]).aggregate([])
+        return g
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "n_convs": pa.array([], type=pa.int64())})
+        g = b.group_by(["h", "conv_id"]).aggregate([]) \
+            .group_by("h").aggregate([("conv_id", "count")])
+        return pa.table({"h": g.column("h"),
+                         "n_convs": g.column("conv_id_count")
+                         .cast(pa.int64())})
+
+    from apache_datasketches_go_ray.stages.relational import top_k
+    hot = top_k(
+        ds.select_columns(["conv_id", "text"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8, keys=["h"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True),
+        [("n_convs", "descending"), ("h", "ascending")], k=20)
+    hot_tbl = hot.to_pandas()
+    wanted = set(hot_tbl["h"].tolist())
+
+    def resolve(b):
+        h1, _ = hash_strings(as_array(b.column("text")).to_pylist())
+        h = h1.view(np.int64)
+        mask = np.isin(h, np.fromiter(wanted, dtype=np.int64))
+        if not mask.any():
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string())})
+        t = pa.table({"h": pa.array(h[mask], type=pa.int64()),
+                      "text": as_array(b.column("text"))
+                      .filter(pa.array(mask))})
+        return t.group_by(["h", "text"]).aggregate([])
+
+    texts = ds.select_columns(["text"]).map_batches(
+        resolve, batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas().drop_duplicates("h")
+    out = hot_tbl.merge(texts, on="h", how="left")
+    return pa.table({
+        "text": pa.array(out["text"], type=pa.string()),
+        "n_convs": pa.array(out["n_convs"], type=pa.int64()),
+    })
+
+
 def _q_containment_dups(sf_dir: str):
     """Suffix-array containment dedup, standalone: plant docs that are
     60%-prefix copies of reals (ids offset by 3*10^6) and recover them
@@ -1702,6 +1818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_dedup_clusters": _q_transcript_dedup,
         "transcript_assemble_stats": _q_transcript_assemble,
         "transcript_turn_gaps": _q_transcript_turn_gaps,
+        "transcript_role_stats": _q_transcript_role_stats,
+        "boilerplate_turns": _q_boilerplate_turns,
         # exact, SQL-oracled operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_counts": _q_token_counts,

@@ -37,3 +37,53 @@ def test_turn_gaps_matches_pandas(ray_session):
     assert (out["n_long_gaps"].to_numpy()
             == exp["n_long_gaps"].to_numpy()).all()
     assert np.allclose(out["mean_gap_s"], exp["mean_gap_s"], atol=1e-9)
+
+
+def test_role_stats_matches_pandas(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["transcript_role_stats"](
+        "/root/testdata/sf0.001").to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+
+    tdir = entrymod._transcripts_dir("/root/testdata/sf0.001")
+    df = ray.data.read_parquet(tdir).to_pandas()
+    exp = df.assign(
+        n_user=(df["role"] == "user").astype(int),
+        n_assistant=(df["role"] == "assistant").astype(int),
+        n_tool=(df["role"] == "tool").astype(int),
+        n_tool_calls=(df["tool"] != "").astype(int),
+        n_chars=df["text"].str.len(),
+    ).groupby("conv_id", sort=True, as_index=False)[
+        ["n_user", "n_assistant", "n_tool", "n_tool_calls", "n_chars"]
+    ].sum()
+    assert len(out) == len(exp)
+    assert (out["conv_id"] == exp["conv_id"]).all()
+    for c in ("n_user", "n_assistant", "n_tool", "n_tool_calls",
+              "n_chars"):
+        assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_boilerplate_turns_matches_pandas(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["boilerplate_turns"](
+        "/root/testdata/sf0.001").to_pandas()
+
+    tdir = entrymod._transcripts_dir("/root/testdata/sf0.001")
+    df = ray.data.read_parquet(tdir).to_pandas()
+    exp = (df.drop_duplicates(["text", "conv_id"])
+           .groupby("text", as_index=False).size()
+           .rename(columns={"size": "n_convs"})
+           .sort_values("n_convs", ascending=False, ignore_index=True))
+    assert len(out) == 20
+    # top-20 multiset of conv-counts must agree (hash tie order may
+    # differ from text tie order at equal counts)
+    assert sorted(out["n_convs"].tolist(), reverse=True) == \
+        exp["n_convs"].head(20).tolist()
+    # and every reported text's count must be its true count
+    truth = dict(zip(exp["text"], exp["n_convs"]))
+    for _, r in out.iterrows():
+        assert truth[r["text"]] == r["n_convs"]
