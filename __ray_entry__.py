@@ -1812,6 +1812,172 @@ def _q_multimodal_features(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def _q_lag_delta(sf_dir: str):
+    """lag() window: each event's previous value (exact cents) and the
+    delta, per user ordered by (ts, event_id) — shifted-view kernel
+    after one hash shuffle (stages/windows.lag_delta)."""
+    from apache_datasketches_go_ray.stages.windows import lag_delta
+
+    return lag_delta(_read(sf_dir, "events"), num_partitions=16)
+
+
+def _q_time_window(sf_dir: str):
+    """Time-range sliding window: trailing 1-hour sum/count per user
+    (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW,
+    peer-inclusive like SQL)."""
+    from apache_datasketches_go_ray.stages.windows import time_window_sum
+
+    return time_window_sum(_read(sf_dir, "events"),
+                           preceding_seconds=3600, num_partitions=16)
+
+
+def _q_dense_rank_orders(sf_dir: str):
+    """dense_rank() of each customer's orders by total price desc —
+    per-group ranking with tie sharing, one hash shuffle + cumsum-of-
+    change-flags kernel."""
+    from apache_datasketches_go_ray.stages.windows import dense_rank_in_group
+
+    return dense_rank_in_group(_read(sf_dir, "orders"), "o_custkey",
+                               "o_totalprice", "o_orderkey",
+                               num_partitions=8)
+
+
+def _q_event_paths(sf_dir: str):
+    """Per-user ordered event-type path (string_agg ORDER BY ts, id) —
+    the conversation-assembly shape (groupby + stable sort + native
+    binary_join) applied to behavioral sequences."""
+    from apache_datasketches_go_ray.stages.sequence import event_paths
+
+    return event_paths(_read(sf_dir, "events"), num_partitions=16)
+
+
+def _q_funnel_depth(sf_dir: str):
+    """Ordered funnel view->click->purchase per user: depth of the
+    min-chained stage sequence plus first/deepest stage timestamps.
+    Vectorized masked minimum.reduceat chain, one shuffle."""
+    from apache_datasketches_go_ray.stages.sequence import funnel_depth
+
+    return funnel_depth(_read(sf_dir, "events"),
+                        ["view", "click", "purchase"], num_partitions=16)
+
+
+def _q_top3_events_per_user(sf_dir: str):
+    """Top-3 events per user by cents (row_number QUALIFY pattern):
+    per-block partial keeps <=3 rows per (block,user) before the
+    shuffle, so the exchange is O(3 * users)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import top_n_per_group
+
+    def prep(b):
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+
+    ds = (_read(sf_dir, "events")
+          .select_columns(["user_id", "event_id", "value"])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    return top_n_per_group(ds, "user_id", "cents", "event_id", 3,
+                           num_partitions=8)
+
+
+def _q_lang_quantiles_exact(sf_dir: str):
+    """Exact per-language quartiles of document length — ANSI
+    percentile_disc semantics (element at 1-based index ceil(q*n)),
+    one shuffle + one lexsort serving all three quantiles."""
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_quantile_disc,
+    )
+
+    return grouped_quantile_disc(_read(sf_dir, "documents"), "lang",
+                                 "n_chars", (0.25, 0.5, 0.75),
+                                 num_partitions=4)
+
+
+def _q_order_quartiles(sf_dir: str):
+    """Exact global ntile(4) of orders by (totalprice, orderkey) —
+    distributed exact ranking: KLL range boundaries -> per-range counts
+    -> offsets -> range shuffle + local sort. No single-node sort ever
+    sees the whole table."""
+    from apache_datasketches_go_ray.stages.relational import global_ntile
+
+    return global_ntile(_read(sf_dir, "orders"), "o_totalprice",
+                        "o_orderkey", 4, num_partitions=16)
+
+
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day): counts and exact cents at the
+    (type, day), (type, ALL) and (ALL, ALL) levels, with 'ALL' sentinel
+    labels. Per-block partial counts shrink to the tiny (type, day)
+    grid before a single-block rollup expansion — the grouping-sets
+    operator as partial+fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "day": day,
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "day": g.column("day"),
+            "sum_cents": g.column("cents_sum").cast(pa.int64()),
+            "n": g.column("cents_count").cast(pa.int64()),
+        })
+
+    def rollup(b):
+        if len(b) == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "day": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_cents": pa.array([], type=pa.int64()),
+            })
+        fine = b.group_by(["event_type", "day"]).aggregate(
+            [("sum_cents", "sum"), ("n", "sum")])
+        fine = pa.table({
+            "event_type": fine.column("event_type"),
+            "day": fine.column("day"),
+            "n": fine.column("n_sum").cast(pa.int64()),
+            "sum_cents": fine.column("sum_cents_sum").cast(pa.int64()),
+        })
+        mid_g = fine.group_by("event_type").aggregate(
+            [("sum_cents", "sum"), ("n", "sum")])
+        mid = pa.table({
+            "event_type": mid_g.column("event_type"),
+            "day": pa.array(["ALL"] * len(mid_g), type=pa.string()),
+            "n": mid_g.column("n_sum").cast(pa.int64()),
+            "sum_cents": mid_g.column("sum_cents_sum").cast(pa.int64()),
+        })
+        top = pa.table({
+            "event_type": pa.array(["ALL"], type=pa.string()),
+            "day": pa.array(["ALL"], type=pa.string()),
+            "n": pa.array([pc.sum(fine.column("n")).as_py() or 0],
+                          type=pa.int64()),
+            "sum_cents": pa.array(
+                [pc.sum(fine.column("sum_cents")).as_py() or 0],
+                type=pa.int64()),
+        })
+        return pa.concat_tables([fine, mid, top])
+
+    return (_read(sf_dir, "events")
+            .select_columns(["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(rollup, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -1860,6 +2026,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_followups": _q_event_followups,
         "props_extract": _q_props_extract,
         "consecutive_bigram_jaccard": _q_consecutive_bigram_jaccard,
+        "events_lag_delta": _q_lag_delta,
+        "events_time_window": _q_time_window,
+        "order_rank_per_customer": _q_dense_rank_orders,
+        "event_paths": _q_event_paths,
+        "funnel_depth": _q_funnel_depth,
+        "top3_events_per_user": _q_top3_events_per_user,
+        "lang_quantiles_exact": _q_lang_quantiles_exact,
+        "order_quartiles": _q_order_quartiles,
+        "events_rollup": _q_events_rollup,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -2443,5 +2618,95 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+        """,
+        "events_lag_delta": """
+            WITH t AS (
+              SELECT event_id, user_id, ts,
+                     cast(round(value * 100) AS bigint) AS cents
+              FROM events
+            ), o AS (
+              SELECT event_id, user_id, cents,
+                     lag(cents, 1, 0) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+              FROM t
+            )
+            SELECT event_id, user_id, prev AS prev_cents,
+                   cents - prev AS delta_cents
+            FROM o
+        """,
+        "events_time_window": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS win_n,
+                   sum(cast(round(value * 100) AS bigint)) OVER w
+                     AS win_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "order_rank_per_customer": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   dense_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC) AS rnk
+            FROM orders
+        """,
+        "event_paths": """
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                     AS path
+            FROM events GROUP BY user_id
+        """,
+        "funnel_depth": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                   GROUP BY 1)
+            SELECT u.user_id,
+                   CASE WHEN s3.t3 IS NOT NULL THEN 3
+                        WHEN s2.t2 IS NOT NULL THEN 2
+                        WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+                   s1.t1 AS t_first,
+                   coalesce(s3.t3, s2.t2, s1.t1) AS t_deepest
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+        """,
+        "top3_events_per_user": """
+            SELECT user_id, event_id,
+                   cast(round(value * 100) AS bigint) AS cents,
+                   row_number() OVER (
+                     PARTITION BY user_id
+                     ORDER BY cast(round(value * 100) AS bigint) DESC,
+                              event_id) AS rnk
+            FROM events
+            QUALIFY rnk <= 3
+        """,
+        "lang_quantiles_exact": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.25) AS q25,
+                   quantile_disc(n_chars, 0.50) AS q50,
+                   quantile_disc(n_chars, 0.75) AS q75
+            FROM documents GROUP BY lang
+        """,
+        "order_quartiles": """
+            SELECT o_orderkey, o_totalprice,
+                   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)
+                     AS bucket
+            FROM orders
+        """,
+        "events_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+                   count(*) AS n,
+                   sum(cast(round(value * 100) AS bigint)) AS sum_cents
+            FROM events
+            GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
         """,
     }

@@ -181,3 +181,193 @@ def range_sort(ds, col: str, *, num_partitions: int = 16,
         .map_batches(sort_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def _keep_first_n_per_key(b: pa.Table, key: str, order_col: str,
+                          id_col: str, n: int, descending: bool,
+                          with_rank: bool) -> pa.Table:
+    """Sort rows by (key, order_col [desc], id) and keep the first n of
+    each key segment — the shared kernel for both the per-block partial
+    and the post-shuffle final of top_n_per_group."""
+    if len(b) == 0:
+        if with_rank and "rnk" not in b.schema.names:
+            b = b.append_column("rnk", pa.array([], type=pa.int64()))
+        return b
+    k = b.column(key).to_numpy(zero_copy_only=False)
+    v = b.column(order_col).to_numpy(zero_copy_only=False)
+    ids = b.column(id_col).to_numpy(zero_copy_only=False)
+    vv = -v if descending else v
+    order = np.lexsort((ids, vv, k))
+    sk = k[order]
+    first = np.empty(len(sk), dtype=bool)
+    first[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=first[1:])
+    idx = np.arange(len(sk), dtype=np.int64)
+    seg_start = idx[np.flatnonzero(first)][np.cumsum(first) - 1]
+    pos = idx - seg_start
+    keep = pos < n
+    out = b.take(pa.array(order[keep], type=pa.int64()))
+    if with_rank:
+        out = out.append_column("rnk", pa.array(pos[keep] + 1,
+                                                type=pa.int64()))
+    return out
+
+
+def top_n_per_group(ds, key: str, order_col: str, id_col: str, n: int,
+                    *, descending: bool = True, num_partitions: int = 16):
+    """Top-n rows per group under (order_col [desc], id) — the
+    ``row_number() OVER (PARTITION BY key ORDER BY ...) <= n`` QUALIFY
+    pattern. Per-block partial keeps at most n rows per (block, key)
+    before the shuffle (the combiner), so the exchange carries
+    O(n * keys) rows; the post-shuffle final re-applies the same kernel
+    and emits the 1-based rank."""
+    partial = functools.partial(
+        _keep_first_n_per_key, key=key, order_col=order_col,
+        id_col=id_col, n=n, descending=descending, with_rank=False)
+    final = functools.partial(
+        _keep_first_n_per_key, key=key, order_col=order_col,
+        id_col=id_col, n=n, descending=descending, with_rank=True)
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (
+        ds.select_columns([key, order_col, id_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=[key])
+        .map_batches(final, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def grouped_quantile_disc(ds, key: str, value_col: str,
+                          qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                          *, num_partitions: int = 8):
+    """Exact discrete quantiles per group (ANSI percentile_disc /
+    DuckDB quantile_disc: the element at 1-based index ceil(q*n) of the
+    sorted group). One hash shuffle on the key co-locates each group,
+    then one lexsort per block serves every requested q via direct
+    indexing — no second pass per quantile. Exact counterpart of the
+    approximate grouped-KLL aggregate in stages/sketch_aggs.py."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        cols: dict = {key: []}
+        cols.update({f"q{int(q * 100)}": [] for q in qs})
+        if len(b) == 0:
+            t = b.schema.field(value_col).type if value_col in \
+                b.schema.names else pa.int64()
+            return pa.table(
+                {key: pa.array([], type=pa.string()),
+                 **{c: pa.array([], type=t) for c in cols if c != key}})
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        sk, sv = k[order], v[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(sk)))
+        out = {key: pa.array(sk[starts])}
+        for q in qs:
+            pos = starts + np.maximum(
+                np.ceil(q * lens).astype(np.int64), 1) - 1
+            out[f"q{int(q * 100)}"] = pa.array(sv[pos])
+        return pa.table(out)
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (
+        ds.select_columns([key, value_col])
+        .repartition(P, keys=[key])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def global_ntile(ds, order_col: str, id_col: str, k: int, *,
+                 num_partitions: int = 16, kll_k: int = 4096):
+    """Exact global ntile(k) under total order (order_col, id_col) —
+    distributed exact ranking. Three passes over a slim 2-column
+    projection (never the full table): (1) KLL sample -> range
+    boundaries on order_col (same template as range_sort /
+    GetPartitionBoundaries, SURVEY.md §2.3); (2) per-range counts ->
+    driver-side prefix offsets (tiny: num_partitions rows); (3) range
+    shuffle -> per-block sort -> global rank = range offset + local
+    position -> SQL ntile bucketing (first N % k buckets get one extra
+    row). Ties on a boundary value share a range by construction, so
+    ranks are exact."""
+    from ..state.kll import KllSketch
+
+    proj = ds.select_columns([order_col, id_col])
+
+    def sample(b: pa.Table) -> pa.Table:
+        sk = KllSketch(kll_k)
+        sk.update_many(b.column(order_col)
+                       .to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sk": pa.array([sk.to_bytes()],
+                                        type=pa.large_binary())})
+
+    merged = KllSketch(kll_k)
+    for r in proj.map_batches(sample, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        merged.merge(KllSketch.from_bytes(r["sk"]))
+    bounds = np.unique(merged.get_partition_boundaries(
+        num_partitions)[1:-1])
+
+    def assign(b: pa.Table) -> pa.Table:
+        vals = b.column(order_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        part = np.searchsorted(bounds, vals, side="right")
+        return b.append_column(
+            "__part", pa.array(part.astype(np.int64)))
+
+    def part_counts(b: pa.Table) -> pa.Table:
+        g = b.select(["__part"]).group_by("__part").aggregate(
+            [("__part", "count")])
+        return pa.table({"__part": g.column("__part"),
+                         "n": g.column("__part_count").cast(pa.int64())})
+
+    assigned = proj.map_batches(assign, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    counts = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in assigned.map_batches(part_counts, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all():
+        counts[r["__part"]] += r["n"]
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offsets[-1])
+    q, rem = divmod(total, k) if total else (0, 0)
+    pivot = rem * (q + 1)  # ranks 1..pivot live in the wide buckets
+
+    def rank_block(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                order_col: pa.array(
+                    [], type=b.schema.field(order_col).type
+                    if order_col in b.schema.names else pa.float64()),
+                "bucket": pa.array([], type=pa.int64()),
+            })
+        p = b.column("__part").to_numpy(zero_copy_only=False)
+        v = b.column(order_col).to_numpy(zero_copy_only=False)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v, p))
+        sp = p[order]
+        first = np.empty(len(sp), dtype=bool)
+        first[0] = True
+        np.not_equal(sp[1:], sp[:-1], out=first[1:])
+        idx = np.arange(len(sp), dtype=np.int64)
+        seg_start = idx[np.flatnonzero(first)][np.cumsum(first) - 1]
+        rank = offsets[sp] + (idx - seg_start) + 1
+        bucket = np.where(
+            rank <= pivot,
+            (rank - 1) // (q + 1) if q + 1 else 0,
+            rem + (np.maximum(rank - pivot, 1) - 1) // max(q, 1),
+        ) + 1
+        return pa.table({
+            id_col: pa.array(ids[order], type=pa.int64()),
+            order_col: pa.array(v[order]),
+            "bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    return (
+        assigned.repartition(len(bounds) + 1, keys=["__part"])
+        .map_batches(rank_block, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

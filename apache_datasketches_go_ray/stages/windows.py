@@ -161,6 +161,178 @@ def running_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
     )
 
 
+def lag_delta(ds, key_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id", value_col: str = "value",
+              num_partitions: int = 64):
+    """Per-key lag(): each event's previous value (exact cents) and the
+    delta to it, ordered by (ts, id) within the key. First row of a key
+    lags to 0 — ``lag(x, 1, 0) OVER (PARTITION BY k ORDER BY ts, id)``
+    (the explicit default keeps the output null-free and exactly
+    SQL-comparable). Same one-shuffle shape as running_sum; the lag
+    itself is a shifted view of the sorted block, zeroed at segment
+    starts."""
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "ts": b.column(ts_col).cast(pa.int64()),
+            "id": b.column(id_col).cast(pa.int64()),
+            "cents": _cents(b.column(value_col)),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "prev_cents": pa.array([], type=pa.int64()),
+                "delta_cents": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("k")).to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        cents = as_array(b.column("cents")).to_numpy(zero_copy_only=False)
+        order, first = _sorted_key_segments(k, ts, ids)
+        sc = cents[order]
+        prev = np.empty_like(sc)
+        prev[1:] = sc[:-1]
+        prev[0] = 0
+        prev[first] = 0
+        return pa.table({
+            "event_id": pa.array(ids[order], type=pa.int64()),
+            "user_id": pa.array(k[order], type=pa.int64()),
+            "prev_cents": pa.array(prev, type=pa.int64()),
+            "delta_cents": pa.array(sc - prev, type=pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([key_col, ts_col, id_col, value_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def time_window_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", value_col: str = "value",
+                    preceding_seconds: int = 3600,
+                    num_partitions: int = 64):
+    """Time-range sliding window (``RANGE BETWEEN INTERVAL t PRECEDING
+    AND CURRENT ROW``): per-key trailing sum/count of everything within
+    ``preceding_seconds`` of the current timestamp. SQL RANGE frames are
+    peer-inclusive — rows sharing the current ts are in the frame even
+    if they sort later — so the frame is [searchsorted(ts-t, left),
+    searchsorted(ts, right)) per key segment. One hash shuffle; the
+    edges come from two searchsorted calls per key segment (bounded by
+    distinct keys per block, not rows)."""
+    gap_us = np.int64(preceding_seconds) * 1_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "ts": b.column(ts_col).cast(pa.int64()),
+            "id": b.column(id_col).cast(pa.int64()),
+            "cents": _cents(b.column(value_col)),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "win_n": pa.array([], type=pa.int64()),
+                "win_cents": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("k")).to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        cents = as_array(b.column("cents")).to_numpy(zero_copy_only=False)
+        order, first = _sorted_key_segments(k, ts, ids)
+        sts = ts[order]
+        n = len(order)
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = sts[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - gap_us, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        prefix = np.concatenate([[0], np.cumsum(cents[order])])
+        return pa.table({
+            "event_id": pa.array(ids[order], type=pa.int64()),
+            "user_id": pa.array(k[order], type=pa.int64()),
+            "win_n": pa.array(hi - lo, type=pa.int64()),
+            "win_cents": pa.array(prefix[hi] - prefix[lo],
+                                  type=pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([key_col, ts_col, id_col, value_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def dense_rank_in_group(ds, key_col: str, order_col: str, id_col: str,
+                        descending: bool = True,
+                        num_partitions: int = 16):
+    """Per-group dense_rank() over an exact-comparable order column
+    (ties share a rank, no gaps). One hash shuffle on the group key,
+    then a vectorized rank kernel per block: cumsum of value-change
+    flags, rebased at each key segment. Returns (id, key, order, rnk)
+    under the original column names."""
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "v": b.column(order_col),
+            "id": b.column(id_col).cast(pa.int64()),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        v_type = b.schema.field("v").type if len(b.schema) else None
+        if len(b) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                key_col: pa.array([], type=pa.int64()),
+                order_col: pa.array([], type=v_type or pa.float64()),
+                "rnk": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("k")).to_numpy(zero_copy_only=False)
+        v = as_array(b.column("v")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        vv = -v if descending else v
+        order, first = _sorted_key_segments(k, vv, ids)
+        sv = vv[order]
+        chg = np.empty(len(sv), dtype=np.int64)
+        chg[0] = 1
+        chg[1:] = (sv[1:] != sv[:-1]) | first[1:]
+        dr = np.cumsum(chg)
+        seg_id = np.cumsum(first) - 1
+        base = dr[np.flatnonzero(first)][seg_id] - 1
+        return pa.table({
+            id_col: pa.array(ids[order], type=pa.int64()),
+            key_col: pa.array(k[order], type=pa.int64()),
+            order_col: pa.array(v[order], type=v_type),
+            "rnk": pa.array(dr - base, type=pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([key_col, order_col, id_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
 def sliding_window_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
                        id_col: str = "event_id", value_col: str = "value",
                        preceding: int = 2, num_partitions: int = 64):

@@ -1,0 +1,249 @@
+"""Tests for the ordered-sequence / ranking operators added on top of
+the base window suite: lag, time-range sliding window, dense_rank,
+event paths (ordered string_agg), funnel depth, top-n per group, exact
+grouped quantiles and global ntile — each against an exact DuckDB
+window/aggregate oracle on a small deterministic table."""
+
+import datetime
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+BASE = datetime.datetime(2024, 3, 1)
+
+
+def _events(n_users=9, n_events=600, seed=11) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    user = rng.integers(0, n_users, n_events)
+    gaps = rng.choice([30, 900, 7200], size=n_events, p=[0.5, 0.35, 0.15])
+    ts = np.cumsum(gaps) + user * 131
+    value = np.round(rng.uniform(0, 80, n_events), 2)
+    etype = rng.choice(["view", "click", "purchase", "error"], n_events,
+                       p=[0.4, 0.3, 0.15, 0.15])
+    return pa.table({
+        "event_id": pa.array(np.arange(n_events), type=pa.int64()),
+        "user_id": pa.array(user, type=pa.int64()),
+        "ts": pa.array([BASE + datetime.timedelta(seconds=int(s))
+                        for s in ts], type=pa.timestamp("us")),
+        "event_type": pa.array(etype.tolist(), type=pa.string()),
+        "value": pa.array(value, type=pa.float64()),
+    })
+
+
+@pytest.fixture(scope="module")
+def events_tbl(ray_session):
+    return _events()
+
+
+@pytest.fixture(scope="module")
+def con(events_tbl):
+    c = duckdb.connect()
+    c.register("events_arrow", events_tbl)
+    c.execute("CREATE VIEW events AS SELECT * FROM events_arrow")
+    return c
+
+
+def _cmp(mine: pd.DataFrame, oracle: pd.DataFrame):
+    cols = sorted(mine.columns)
+    assert cols == sorted(oracle.columns)
+    m = mine[cols].sort_values(cols, ignore_index=True)
+    o = oracle[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(m, o, check_dtype=False)
+
+
+def test_lag_delta(events_tbl, con):
+    from apache_datasketches_go_ray.stages.windows import lag_delta
+
+    mine = lag_delta(ray.data.from_arrow(events_tbl),
+                     num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        WITH t AS (SELECT event_id, user_id, ts,
+                          cast(round(value*100) AS bigint) AS cents
+                   FROM events)
+        SELECT event_id, user_id,
+               lag(cents, 1, 0) OVER w AS prev_cents,
+               cents - lag(cents, 1, 0) OVER w AS delta_cents
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_time_window_sum(events_tbl, con):
+    from apache_datasketches_go_ray.stages.windows import time_window_sum
+
+    mine = time_window_sum(ray.data.from_arrow(events_tbl),
+                           preceding_seconds=1800,
+                           num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        SELECT event_id, user_id,
+               count(*) OVER w AS win_n,
+               sum(cast(round(value*100) AS bigint)) OVER w AS win_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                     AND CURRENT ROW)
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_time_window_peer_rows_included(ray_session):
+    """RANGE frames are peer-inclusive: rows sharing the current ts
+    count even when they sort later within the key."""
+    from apache_datasketches_go_ray.stages.windows import time_window_sum
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        "ts": pa.array([BASE, BASE, BASE], type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0], type=pa.float64()),
+    })
+    out = time_window_sum(ray.data.from_arrow(t), preceding_seconds=60,
+                          num_partitions=1).to_pandas()
+    assert set(out["win_n"]) == {3}
+    assert set(out["win_cents"]) == {700}
+
+
+def test_dense_rank(events_tbl, con):
+    from apache_datasketches_go_ray.stages.windows import dense_rank_in_group
+
+    ds = ray.data.from_arrow(events_tbl)
+    mine = dense_rank_in_group(ds, "user_id", "value", "event_id",
+                               num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        SELECT event_id, user_id, value,
+               dense_rank() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC) AS rnk
+        FROM events
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_event_paths(events_tbl, con):
+    from apache_datasketches_go_ray.stages.sequence import event_paths
+
+    mine = event_paths(ray.data.from_arrow(events_tbl),
+                       num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        SELECT user_id, count(*) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_funnel_depth(events_tbl, con):
+    from apache_datasketches_go_ray.stages.sequence import funnel_depth
+
+    mine = funnel_depth(ray.data.from_arrow(events_tbl),
+                        ["view", "click", "purchase"],
+                        num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2
+               FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3
+               FROM events e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+               GROUP BY 1)
+        SELECT u.user_id,
+               CASE WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2
+                    WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+               s1.t1 AS t_first, coalesce(s3.t3, s2.t2, s1.t1) AS t_deepest
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_funnel_requires_order(ray_session):
+    """A purchase BEFORE the first view must not complete the funnel."""
+    from apache_datasketches_go_ray.stages.sequence import funnel_depth
+
+    def row(i, uid, secs, et):
+        return {"event_id": i, "user_id": uid,
+                "ts": BASE + datetime.timedelta(seconds=secs),
+                "event_type": et}
+
+    rows = [row(1, 1, 0, "purchase"), row(2, 1, 10, "view"),
+            row(3, 1, 20, "click"),
+            row(4, 2, 0, "view"), row(5, 2, 5, "click"),
+            row(6, 2, 9, "purchase")]
+    t = pa.Table.from_pylist(rows)
+    out = funnel_depth(ray.data.from_arrow(t),
+                       ["view", "click", "purchase"],
+                       num_partitions=1).to_pandas() \
+        .set_index("user_id")["depth"].to_dict()
+    assert out == {1: 2, 2: 3}
+
+
+def test_top_n_per_group(events_tbl, con):
+    from apache_datasketches_go_ray.stages.relational import top_n_per_group
+
+    ds = ray.data.from_arrow(events_tbl).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "cents": pa.compute.round(
+                pa.compute.multiply(b.column("value"), 100))
+            .cast(pa.int64()),
+        }), batch_format="pyarrow")
+    mine = top_n_per_group(ds, "user_id", "cents", "event_id", 4,
+                           num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        SELECT user_id, event_id,
+               cast(round(value*100) AS bigint) AS cents,
+               row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY cast(round(value*100) AS bigint) DESC,
+                          event_id) AS rnk
+        FROM events QUALIFY rnk <= 4
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_grouped_quantile_disc(events_tbl, con):
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_quantile_disc,
+    )
+
+    ds = ray.data.from_arrow(events_tbl).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "cents": pa.compute.round(
+                pa.compute.multiply(b.column("value"), 100))
+            .cast(pa.int64()),
+        }), batch_format="pyarrow")
+    mine = grouped_quantile_disc(ds, "user_id", "cents",
+                                 (0.1, 0.5, 0.9),
+                                 num_partitions=4).to_pandas()
+    mine = mine.rename(columns={"user_id": "k"})
+    oracle = con.execute("""
+        SELECT user_id AS k,
+               quantile_disc(cast(round(value*100) AS bigint), 0.1) AS q10,
+               quantile_disc(cast(round(value*100) AS bigint), 0.5) AS q50,
+               quantile_disc(cast(round(value*100) AS bigint), 0.9) AS q90
+        FROM events GROUP BY user_id
+    """).df()
+    _cmp(mine, oracle)
+
+
+@pytest.mark.parametrize("k", [3, 4, 7])
+def test_global_ntile(events_tbl, con, k):
+    from apache_datasketches_go_ray.stages.relational import global_ntile
+
+    mine = global_ntile(ray.data.from_arrow(events_tbl), "value",
+                        "event_id", k, num_partitions=5).to_pandas()
+    oracle = con.execute(f"""
+        SELECT event_id, value,
+               ntile({k}) OVER (ORDER BY value, event_id) AS bucket
+        FROM events
+    """).df()
+    _cmp(mine, oracle)
