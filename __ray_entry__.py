@@ -1877,11 +1877,12 @@ def _q_top3_events_per_user(sf_dir: str):
                 .cast(pa.int64()),
         })
 
-    ds = (_read(sf_dir, "events")
-          .select_columns(["user_id", "event_id", "value"])
+    raw = _read(sf_dir, "events")
+    nrows = raw.count()  # metadata-only on an untransformed parquet read
+    ds = (raw.select_columns(["user_id", "event_id", "value"])
           .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
     return top_n_per_group(ds, "user_id", "cents", "event_id", 3,
-                           num_partitions=8)
+                           num_partitions=8, nrows=nrows)
 
 
 def _q_lang_quantiles_exact(sf_dir: str):
@@ -1978,6 +1979,76 @@ def _q_events_rollup(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_users_intersect_customers(sf_dir: str):
+    """INTERSECT (distinct): event user ids that are also customer keys
+    — tagged-union hash shuffle + per-key presence-bit fold."""
+    from apache_datasketches_go_ray.stages.relational import set_op_keys
+
+    return set_op_keys(_read(sf_dir, "events"), _read(sf_dir, "customer"),
+                       ("user_id", "c_custkey"), "intersect",
+                       num_partitions=8)
+
+
+def _q_customers_except_users(sf_dir: str):
+    """EXCEPT (distinct): customer keys with no event activity — same
+    tagged-union presence fold, left-only filter."""
+    from apache_datasketches_go_ray.stages.relational import set_op_keys
+
+    return set_op_keys(_read(sf_dir, "customer"), _read(sf_dir, "events"),
+                       ("c_custkey", "user_id"), "except",
+                       num_partitions=8)
+
+
+def _q_doc_token_positions(sf_dir: str):
+    """Explode tokens with 1-based ordinal (unnest WITH ORDINALITY) —
+    pure offsets arithmetic, no shuffle, row count fans out ~200x."""
+    from apache_datasketches_go_ray.stages.textops import (
+        explode_tokens_batch,
+    )
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["doc_id", "text"])
+            .map_batches(explode_tokens_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def _q_docs_normalized(sf_dir: str):
+    """Canonical text cleaning (lower, strip non-alnum, collapse
+    whitespace) as a stateless vectorized map — the normalize step every
+    dedup/shingle pipeline runs first."""
+    from apache_datasketches_go_ray.stages.textops import (
+        normalize_text_batch,
+    )
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["doc_id", "text"])
+            .map_batches(normalize_text_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def _q_lang_quantiles_cont(sf_dir: str):
+    """Exact interpolated median/p90 of document length per language
+    (ANSI percentile_cont: linear interpolation at q*(n-1))."""
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_quantile_cont,
+    )
+
+    return grouped_quantile_cont(_read(sf_dir, "documents"), "lang",
+                                 "n_chars", (0.5, 0.9),
+                                 num_partitions=4)
+
+
+def _q_order_share_of_customer(sf_dir: str):
+    """Each order's integer ppm share of its customer's total spend —
+    the ratio-to-group-total window in pure int64 (exact vs SQL
+    integer division)."""
+    from apache_datasketches_go_ray.stages.windows import share_of_group
+
+    return share_of_group(_read(sf_dir, "orders"), key_col="o_custkey",
+                          id_col="o_orderkey", value_col="o_totalprice",
+                          num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2035,6 +2106,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quantiles_exact": _q_lang_quantiles_exact,
         "order_quartiles": _q_order_quartiles,
         "events_rollup": _q_events_rollup,
+        "users_intersect_customers": _q_users_intersect_customers,
+        "customers_except_users": _q_customers_except_users,
+        "doc_token_positions": _q_doc_token_positions,
+        "docs_normalized": _q_docs_normalized,
+        "lang_quantiles_cont": _q_lang_quantiles_cont,
+        "order_share_of_customer": _q_order_share_of_customer,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -2708,5 +2785,53 @@ def oracle_sql() -> dict[str, str]:
                    sum(cast(round(value * 100) AS bigint)) AS sum_cents
             FROM events
             GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "users_intersect_customers": """
+            SELECT DISTINCT user_id FROM events
+            INTERSECT
+            SELECT DISTINCT c_custkey FROM customer
+        """,
+        "customers_except_users": """
+            SELECT DISTINCT c_custkey FROM customer
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+        """,
+        "doc_token_positions": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest(generate_series(1, len(toks))) AS ord
+            FROM t
+        """,
+        "docs_normalized": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                       regexp_replace(lower(text), '\s+', ' ', 'g'),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+                     AS norm_text
+            FROM documents
+        """,
+        "lang_quantiles_cont": """
+            SELECT lang,
+                   quantile_cont(cast(n_chars AS double), 0.5) AS q50,
+                   quantile_cont(cast(n_chars AS double), 0.9) AS q90
+            FROM documents GROUP BY lang
+        """,
+        "order_share_of_customer": """
+            WITH t AS (
+              SELECT o_orderkey, o_custkey,
+                     cast(round(o_totalprice * 100) AS bigint) AS cents
+              FROM orders
+            )
+            SELECT o_orderkey, o_custkey, cents,
+                   sum(cents) OVER (PARTITION BY o_custkey)
+                     AS group_cents,
+                   (cents * 1000000) //
+                     sum(cents) OVER (PARTITION BY o_custkey)
+                     AS share_ppm
+            FROM t
         """,
     }

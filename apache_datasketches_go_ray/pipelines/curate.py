@@ -172,7 +172,7 @@ class CuratePipeline(CheckpointedPipeline):
 
         dropped, fp = self._stage("near_dup_drops", fp, near_build)
 
-        blocks = [t for t in ray.get(dropped.to_arrow_refs())
+        blocks = [t for t in ray.get(dropped.materialize().to_arrow_refs())
                   if len(t) and "__drop_id" in t.column_names]
         if blocks:
             drop_tbl = pa.concat_tables(blocks).combine_chunks()

@@ -373,7 +373,7 @@ def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
     (~n_probe/n_clusters of the corpus). Corpus cell assignment happens
     inside the scan batch (one matmul) — the corpus is never reshuffled,
     so building + querying the index is one streaming pass."""
-    sample_tbl = ds.limit(sample_size).to_arrow_refs()
+    sample_tbl = ds.limit(sample_size).materialize().to_arrow_refs()
     sample = np.concatenate(
         [_embeddings_matrix(t, emb_col)
          for t in (ray.get(r) for r in sample_tbl) if len(t)])

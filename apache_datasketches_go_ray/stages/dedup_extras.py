@@ -258,9 +258,13 @@ def exact_top_tokens(ds, text_col: str = "text", k: int = 20,
 
     winners = folded.map_batches(topk_block, batch_format="pyarrow",
                                  batch_size=None, zero_copy_batch=True)
-    allw = pa.concat_tables([pa.Table.from_pylist(
-        [r], schema=pa.schema([("token", pa.string()), ("cnt", pa.int64())]))
-        for r in winners.take_all()]) if winners.count() else None
+    # one execution: materialize the tiny winner set (k rows per block),
+    # then gather the blocks — to_arrow_refs on the materialized dataset
+    # reuses the blocks instead of re-running the pipeline
+    import ray as _ray
+    parts = [p for p in _ray.get(winners.materialize().to_arrow_refs())
+             if len(p)]
+    allw = pa.concat_tables(parts) if parts else None
     if allw is None or allw.num_rows == 0:
         return pa.table({"token": pa.array([], type=pa.string()),
                          "cnt": pa.array([], type=pa.int64())})

@@ -90,8 +90,11 @@ def _distinct_keys_table(ds, col: str) -> pa.Table:
     def pre(b: pa.Table) -> pa.Table:
         return pa.table({col: pc.unique(b.column(col).combine_chunks())})
 
+    # materialize before to_arrow_refs: on a lazy dataset that call runs
+    # the pipeline twice (once more for a limit-1 schema pass)
     parts = ray.get(ds.map_batches(
-        pre, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
+        pre, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs())
     allk = pa.concat_tables([p for p in parts if len(p)]) if parts \
         else pa.table({col: pa.array([])})
     return pa.table({col: pc.unique(allk.column(col).combine_chunks())})
@@ -214,7 +217,8 @@ def _keep_first_n_per_key(b: pa.Table, key: str, order_col: str,
 
 
 def top_n_per_group(ds, key: str, order_col: str, id_col: str, n: int,
-                    *, descending: bool = True, num_partitions: int = 16):
+                    *, descending: bool = True, num_partitions: int = 16,
+                    nrows: int | None = None):
     """Top-n rows per group under (order_col [desc], id) — the
     ``row_number() OVER (PARTITION BY key ORDER BY ...) <= n`` QUALIFY
     pattern. Per-block partial keeps at most n rows per (block, key)
@@ -227,7 +231,10 @@ def top_n_per_group(ds, key: str, order_col: str, id_col: str, n: int,
     final = functools.partial(
         _keep_first_n_per_key, key=key, order_col=order_col,
         id_col=id_col, n=n, descending=descending, with_rank=True)
-    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    # nrows lets callers whose ds already has transforms avoid an extra
+    # execution just to size the shuffle (count() re-runs the pipeline)
+    P = auto_partitions(ds.count() if nrows is None else nrows,
+                        500_000, num_partitions)
     return (
         ds.select_columns([key, order_col, id_col])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -369,5 +376,98 @@ def global_ntile(ds, order_col: str, id_col: str, k: int, *,
     return (
         assigned.repartition(len(bounds) + 1, keys=["__part"])
         .map_batches(rank_block, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def set_op_keys(left_ds, right_ds, on: tuple[str, str], op: str, *,
+                num_partitions: int = 16, out_col: str | None = None):
+    """Distinct-set INTERSECT / EXCEPT over one key column per side —
+    the SQL set operators as a tagged-union shuffle: each side is
+    pre-distincted per block and tagged 0/1, the union is hash-
+    partitioned on the key, and one in-block fold computes per-key
+    presence bits (a key lives in exactly one block, so presence is
+    global). op is 'intersect' (both sides) or 'except' (left only)."""
+    lk, rk = on
+    out = out_col or lk
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown set op: {op}")
+
+    def tag(side: int, col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            u = pc.unique(b.column(col).combine_chunks())
+            return pa.table({
+                out: u,
+                "__side": pa.array(
+                    np.full(len(u), side, dtype=np.int8)),
+            })
+        return fn
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({out: pa.array([], type=pa.int64())})
+        g = b.group_by(out).aggregate([("__side", "min"),
+                                       ("__side", "max")])
+        lo, hi = g.column("__side_min"), g.column("__side_max")
+        if op == "intersect":
+            keep = pc.and_(pc.equal(lo, 0), pc.equal(hi, 1))
+        else:  # except: left (0) only
+            keep = pc.equal(hi, 0)
+        return g.filter(keep).select([out])
+
+    tagged = (
+        left_ds.select_columns([lk])
+        .map_batches(tag(0, lk), batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .union(right_ds.select_columns([rk])
+               .map_batches(tag(1, rk), batch_format="pyarrow",
+                            zero_copy_batch=True))
+    )
+    return (
+        tagged.repartition(num_partitions, keys=[out])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def grouped_quantile_cont(ds, key: str, value_col: str,
+                          qs: tuple[float, ...] = (0.5,),
+                          *, num_partitions: int = 8):
+    """Exact interpolated quantiles per group (ANSI percentile_cont:
+    linear interpolation at position q*(n-1) of the sorted group).
+    Same one-shuffle + one-lexsort shape as grouped_quantile_disc."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        names = [f"q{int(q * 100)}" for q in qs]
+        if len(b) == 0:
+            return pa.table(
+                {key: pa.array([], type=pa.string()),
+                 **{c: pa.array([], type=pa.float64()) for c in names}})
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        order = np.lexsort((v, k))
+        sk, sv = k[order], v[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(sk)))
+        out = {key: pa.array(sk[starts])}
+        for q, name in zip(qs, names):
+            pos = q * (lens - 1)
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            vlo = sv[starts + lo]
+            vhi = sv[starts + np.minimum(lo + 1, lens - 1)]
+            out[name] = pa.array(vlo + frac * (vhi - vlo),
+                                 type=pa.float64())
+        return pa.table(out)
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (
+        ds.select_columns([key, value_col])
+        .repartition(P, keys=[key])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )

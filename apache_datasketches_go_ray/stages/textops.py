@@ -194,3 +194,47 @@ def bpe_token_count_batch(batch: pa.Table,
     counts = pc.count_substring_regex(
         as_array(batch.column(text_col)), BPE_ISH_PATTERN)
     return batch.append_column("n_bpe_tokens", counts.cast(pa.int64()))
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Canonical text cleaning for dedup/shingling: lowercase, strip
+    every char outside [a-z0-9 ], collapse runs of whitespace, trim.
+    All four steps are RE2/utf8 pyarrow kernels (identical semantics to
+    DuckDB's lower + regexp_replace(..., 'g'), which tests pin)."""
+    col = as_array(batch.column(text_col)).cast(pa.string())
+    low = pc.utf8_lower(col)
+    # collapse whitespace BEFORE the charclass strip so tabs/newlines
+    # become separators instead of vanishing and gluing words together
+    collapsed = pc.replace_substring_regex(low, r"\s+", " ")
+    kept = pc.replace_substring_regex(collapsed, "[^a-z0-9 ]", "")
+    return pa.table({
+        id_col: batch.column(id_col),
+        "norm_text": pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(kept, " +", " ")),
+    })
+
+
+def explode_tokens_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Explode whitespace tokens with their 1-based ordinal — the
+    flat_map (unnest WITH ORDINALITY) operator. Offsets arithmetic
+    only: token lists are flattened natively and ordinals come from one
+    arange minus each row's start offset; rows with blank text emit
+    nothing."""
+    col = as_array(batch.column(text_col)).cast(pa.string())
+    trimmed = pc.utf8_trim_whitespace(col)
+    nonblank = pc.not_equal(trimmed, "")
+    ids = as_array(batch.column(id_col)).filter(nonblank)
+    toks = pc.split_pattern_regex(trimmed.filter(nonblank), r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    offsets = np.asarray(toks.offsets)
+    starts = offsets[:-1]
+    pos = np.arange(len(flat), dtype=np.int64) + offsets[0] \
+        - starts[parent] + 1
+    return pa.table({
+        id_col: ids.take(pa.array(parent, type=pa.int64())),
+        "tok": flat,
+        "ord": pa.array(pos, type=pa.int64()),
+    })

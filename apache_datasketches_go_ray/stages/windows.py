@@ -383,3 +383,55 @@ def sliding_window_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def share_of_group(ds, key_col: str = "user_id", id_col: str = "event_id",
+                   value_col: str = "value", num_partitions: int = 64):
+    """Each row's exact integer share (parts-per-million, floor) of its
+    group's total — ``(cents * 1e6) // sum(cents) OVER (PARTITION BY
+    key)`` in pure int64 so the result is bit-identical to SQL integer
+    division. One hash shuffle; the group total is a segment sum
+    broadcast back to rows by segment id."""
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "id": b.column(id_col).cast(pa.int64()),
+            "cents": _cents(b.column(value_col)),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                key_col: pa.array([], type=pa.int64()),
+                "cents": pa.array([], type=pa.int64()),
+                "group_cents": pa.array([], type=pa.int64()),
+                "share_ppm": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("k")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        cents = as_array(b.column("cents")).to_numpy(zero_copy_only=False)
+        order, first = _sorted_key_segments(k, ids)
+        sc = cents[order]
+        seg_id = np.cumsum(first) - 1
+        totals = np.add.reduceat(sc, np.flatnonzero(first))
+        gt = totals[seg_id]
+        share = np.where(gt != 0, (sc * 1_000_000) // np.where(
+            gt == 0, 1, gt), 0)
+        return pa.table({
+            id_col: pa.array(ids[order], type=pa.int64()),
+            key_col: pa.array(k[order], type=pa.int64()),
+            "cents": pa.array(sc, type=pa.int64()),
+            "group_cents": pa.array(gt, type=pa.int64()),
+            "share_ppm": pa.array(share, type=pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([key_col, id_col, value_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

@@ -247,3 +247,84 @@ def test_global_ntile(events_tbl, con, k):
         FROM events
     """).df()
     _cmp(mine, oracle)
+
+
+def test_set_op_keys(events_tbl, con):
+    from apache_datasketches_go_ray.stages.relational import set_op_keys
+
+    left = ray.data.from_arrow(events_tbl)
+    right_tbl = pa.table({
+        "uid": pa.array([0, 1, 2, 3, 100, 200], type=pa.int64())})
+    right = ray.data.from_arrow(right_tbl)
+    con.register("right_arrow", right_tbl)
+    inter = set_op_keys(left, right, ("user_id", "uid"), "intersect",
+                        num_partitions=3).to_pandas()
+    exc = set_op_keys(left, right, ("user_id", "uid"), "except",
+                      num_partitions=3).to_pandas()
+    o_inter = con.execute("""
+        SELECT DISTINCT user_id FROM events
+        INTERSECT SELECT DISTINCT uid FROM right_arrow""").df()
+    o_exc = con.execute("""
+        SELECT DISTINCT user_id FROM events
+        EXCEPT SELECT DISTINCT uid FROM right_arrow""").df()
+    _cmp(inter, o_inter)
+    _cmp(exc, o_exc)
+
+
+def test_grouped_quantile_cont(events_tbl, con):
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_quantile_cont,
+    )
+
+    ds = ray.data.from_arrow(events_tbl).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "value": b.column("value"),
+        }), batch_format="pyarrow")
+    mine = grouped_quantile_cont(ds, "user_id", "value", (0.5, 0.9),
+                                 num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        SELECT user_id, quantile_cont(value, 0.5) AS q50,
+               quantile_cont(value, 0.9) AS q90
+        FROM events GROUP BY user_id
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_share_of_group(events_tbl, con):
+    from apache_datasketches_go_ray.stages.windows import share_of_group
+
+    mine = share_of_group(ray.data.from_arrow(events_tbl),
+                          num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        WITH t AS (SELECT event_id, user_id,
+                          cast(round(value*100) AS bigint) AS cents
+                   FROM events)
+        SELECT event_id, user_id, cents,
+               sum(cents) OVER (PARTITION BY user_id) AS group_cents,
+               (cents * 1000000) //
+                 sum(cents) OVER (PARTITION BY user_id) AS share_ppm
+        FROM t
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_normalize_and_explode(ray_session):
+    from apache_datasketches_go_ray.stages.textops import (
+        explode_tokens_batch,
+        normalize_text_batch,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": ["Hello,  WORLD! 42", "", "  ", "one\ttwo\nthree"],
+    })
+    norm = normalize_text_batch(t).to_pydict()
+    assert norm["norm_text"] == ["hello world 42", "", "", "one two three"]
+    ex = explode_tokens_batch(t).to_pydict()
+    assert ex["doc_id"] == [1, 1, 1, 4, 4, 4]
+    assert ex["tok"] == ["Hello,", "WORLD!", "42", "one", "two", "three"]
+    assert ex["ord"] == [1, 2, 3, 1, 2, 3]
+    # sliced batch: offsets arithmetic must respect the slice start
+    ex2 = explode_tokens_batch(t.slice(3)).to_pydict()
+    assert ex2["ord"] == [1, 2, 3]
