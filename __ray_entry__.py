@@ -2049,6 +2049,84 @@ def _q_order_share_of_customer(sf_dir: str):
                           num_partitions=8)
 
 
+def _q_user_top_event_type(sf_dir: str):
+    """Grouped mode: each user's most frequent event type (count desc,
+    type asc tie-break) — per-block (key,value) count combiner, one
+    keyed shuffle, argmax fold."""
+    from apache_datasketches_go_ray.stages.relational import mode_per_group
+
+    return mode_per_group(_read(sf_dir, "events"), "user_id",
+                          "event_type", num_partitions=8)
+
+
+def _q_nchars_histogram(sf_dir: str):
+    """Fixed-width histogram (width_bucket): document length bucketed
+    by 200 chars with count/min/max per bucket — in-block combiner +
+    tiny keyed fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        n = b.column("n_chars").cast(pa.int64())
+        t = pa.table({
+            "bucket": pc.divide(n, 200),
+            "n_chars": n,
+        })
+        g = t.group_by("bucket").aggregate(
+            [("n_chars", "count"), ("n_chars", "min"),
+             ("n_chars", "max")])
+        return pa.table({
+            "bucket": g.column("bucket"),
+            "n": g.column("n_chars_count").cast(pa.int64()),
+            "min_chars": g.column("n_chars_min"),
+            "max_chars": g.column("n_chars_max"),
+        })
+
+    def fold(b):
+        g = b.group_by("bucket").aggregate(
+            [("n", "sum"), ("min_chars", "min"), ("max_chars", "max")])
+        return pa.table({
+            "bucket": g.column("bucket"),
+            "n": g.column("n_sum").cast(pa.int64()),
+            "min_chars": g.column("min_chars_min"),
+            "max_chars": g.column("max_chars_max"),
+        })
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["n_chars"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["bucket"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_orders_bloom_semi(sf_dir: str):
+    """Semi-join with a broadcast bloom prefilter: orders of BUILDING-
+    segment customers. The bloom bitset (~1.25 B/key) drops non-member
+    orders map-side before the exact verify — the shape that cuts
+    shuffle volume when the right side is too big to broadcast raw."""
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import bloom_semi_join
+
+    right = (_read(sf_dir, "customer")
+             .map_batches(lambda b: b.filter(
+                 pc.equal(b.column("c_mktsegment"), "BUILDING")),
+                 batch_format="pyarrow", zero_copy_batch=True))
+    left = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+    return bloom_semi_join(left, right, ("o_custkey", "c_custkey"))
+
+
+def _q_event_value_cume(sf_dir: str):
+    """Per-user cume_dist of event value (peer-inclusive ties) — the
+    grouped percentile-rank window via a tie-run kernel."""
+    from apache_datasketches_go_ray.stages.windows import cume_dist_in_group
+
+    return cume_dist_in_group(_read(sf_dir, "events"), "user_id",
+                              "value", "event_id", num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2112,6 +2190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalized": _q_docs_normalized,
         "lang_quantiles_cont": _q_lang_quantiles_cont,
         "order_share_of_customer": _q_order_share_of_customer,
+        "user_top_event_type": _q_user_top_event_type,
+        "nchars_histogram": _q_nchars_histogram,
+        "orders_bloom_semi": _q_orders_bloom_semi,
+        "event_value_cume": _q_event_value_cume,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -2819,6 +2901,33 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(cast(n_chars AS double), 0.5) AS q50,
                    quantile_cont(cast(n_chars AS double), 0.9) AS q90
             FROM documents GROUP BY lang
+        """,
+        "user_top_event_type": """
+            SELECT user_id, event_type AS top_value, cnt
+            FROM (
+              SELECT user_id, event_type, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC,
+                                                 event_type ASC) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "nchars_histogram": """
+            SELECT n_chars // 200 AS bucket, count(*) AS n,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY 1
+        """,
+        "orders_bloom_semi": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+        """,
+        "event_value_cume": """
+            SELECT event_id, user_id, value,
+                   cume_dist() OVER (PARTITION BY user_id
+                                     ORDER BY value) AS cume
+            FROM events
         """,
         "order_share_of_customer": """
             WITH t AS (

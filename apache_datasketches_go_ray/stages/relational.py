@@ -471,3 +471,117 @@ def grouped_quantile_cont(ds, key: str, value_col: str,
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def mode_per_group(ds, key: str, value_col: str, *,
+                   num_partitions: int = 16):
+    """Most frequent value per group with deterministic tie-break
+    (count desc, value asc) — grouped mode. Per-block (key, value)
+    counts are the combiner; one hash shuffle on the key, then a count
+    fold + argmax kernel per block. Only (key, value, partial_count)
+    rows cross the wire."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([key, value_col]).group_by([key, value_col]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            key: g.column(key),
+            value_col: g.column(value_col),
+            "cnt": g.column("count_all").cast(pa.int64()),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                key: pa.array([], type=pa.int64()),
+                "top_value": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by([key, value_col]).aggregate([("cnt", "sum")])
+        # sort (key, cnt desc, value asc), keep first per key
+        idx = pc.sort_indices(g, sort_keys=[
+            (key, "ascending"), ("cnt_sum", "descending"),
+            (value_col, "ascending")])
+        g = g.take(idx)
+        k = g.column(key).to_numpy(zero_copy_only=False)
+        first = np.empty(len(k), dtype=bool)
+        first[0] = True
+        np.not_equal(k[1:], k[:-1], out=first[1:])
+        keep = np.flatnonzero(first)
+        out = g.take(pa.array(keep, type=pa.int64()))
+        return pa.table({
+            key: out.column(key),
+            "top_value": out.column(value_col),
+            "cnt": out.column("cnt_sum").cast(pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (
+        ds.select_columns([key, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=[key])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_HASHES = 7
+
+
+def _bloom_build(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """Deterministic split-hash bloom bitset over int64 keys (two
+    fmix64-style mixes combined k times — the standard double-hash
+    construction)."""
+    from ..functions.murmur3 import fmix64
+
+    h1 = fmix64(keys.astype(np.uint64))
+    h2 = fmix64(keys.astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
+    h2 = h2 | np.uint64(1)
+    bits = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+    for i in range(_BLOOM_HASHES):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return bits
+
+
+def _bloom_contains(bits: np.ndarray, m_bits: int,
+                    keys: np.ndarray) -> np.ndarray:
+    from ..functions.murmur3 import fmix64
+
+    h1 = fmix64(keys.astype(np.uint64))
+    h2 = fmix64(keys.astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
+    h2 = h2 | np.uint64(1)
+    ok = np.ones(len(keys), dtype=bool)
+    for i in range(_BLOOM_HASHES):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        ok &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+    return ok
+
+
+def bloom_semi_join(left_ds, right_ds, on: tuple[str, str], *,
+                    bits_per_key: int = _BLOOM_BITS_PER_KEY):
+    """Semi-join with a broadcast bloom prefilter — the 100-TB shape for
+    'left rows whose key appears in right' when right is too big to
+    broadcast exactly but its *bitset* is not: a ~1.25 bytes/key bloom
+    ships once via ray.put, each left block drops non-members map-side
+    (no shuffle), and the surviving ~(sel + fpr) fraction is verified
+    with the exact broadcast semi-join. Result is exact; the bloom only
+    cuts shuffle/verify volume."""
+    lk, rk = on
+    rkeys = _distinct_keys_table(right_ds, rk).column(rk) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    m_bits = max(64, bits_per_key * max(1, len(rkeys)))
+    bits_ref = ray.put(_bloom_build(rkeys, m_bits))
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keys = b.column(lk).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return b.filter(pa.array(_bloom_contains(bits, m_bits, keys)))
+
+    pre = left_ds.map_batches(prefilter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return semi_join(pre, right_ds, on)

@@ -435,3 +435,62 @@ def share_of_group(ds, key_col: str = "user_id", id_col: str = "event_id",
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def cume_dist_in_group(ds, key_col: str, value_col: str, id_col: str,
+                       num_partitions: int = 16):
+    """Per-group cume_dist(): fraction of the key's rows with value <=
+    the current row's value (peer-inclusive, SQL semantics). One hash
+    shuffle on the key, then a tie-run kernel over the sorted block:
+    each row's numerator is the last index of its value run within the
+    key segment. Division is double-over-int like SQL, so results are
+    bit-identical."""
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "v": b.column(value_col),
+            "id": b.column(id_col).cast(pa.int64()),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        v_type = b.schema.field("v").type if len(b.schema) else None
+        if len(b) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                key_col: pa.array([], type=pa.int64()),
+                value_col: pa.array([], type=v_type or pa.float64()),
+                "cume": pa.array([], type=pa.float64()),
+            })
+        k = as_array(b.column("k")).to_numpy(zero_copy_only=False)
+        v = as_array(b.column("v")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        order, first = _sorted_key_segments(k, v, ids)
+        sv = v[order]
+        n = len(order)
+        chg = first.copy()
+        chg[1:] |= sv[1:] != sv[:-1]
+        run_id = np.cumsum(chg) - 1
+        run_starts = np.flatnonzero(chg)
+        run_last = np.append(run_starts[1:], n) - 1
+        last_idx = run_last[run_id]
+        seg_id = np.cumsum(first) - 1
+        seg_starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(seg_starts, n))
+        cume = (last_idx - seg_starts[seg_id] + 1).astype(np.float64) \
+            / seg_len[seg_id].astype(np.float64)
+        return pa.table({
+            id_col: pa.array(ids[order], type=pa.int64()),
+            key_col: pa.array(k[order], type=pa.int64()),
+            value_col: pa.array(v[order], type=v_type),
+            "cume": pa.array(cume, type=pa.float64()),
+        })
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([key_col, value_col, id_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

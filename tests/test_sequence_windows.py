@@ -328,3 +328,66 @@ def test_normalize_and_explode(ray_session):
     # sliced batch: offsets arithmetic must respect the slice start
     ex2 = explode_tokens_batch(t.slice(3)).to_pydict()
     assert ex2["ord"] == [1, 2, 3]
+
+
+def test_mode_per_group(events_tbl, con):
+    from apache_datasketches_go_ray.stages.relational import mode_per_group
+
+    mine = mode_per_group(ray.data.from_arrow(events_tbl), "user_id",
+                          "event_type", num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        SELECT user_id, event_type AS top_value, cnt FROM (
+          SELECT user_id, event_type, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC,
+                                             event_type ASC) AS rn
+          FROM events GROUP BY user_id, event_type) WHERE rn = 1
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_cume_dist(events_tbl, con):
+    from apache_datasketches_go_ray.stages.windows import cume_dist_in_group
+
+    mine = cume_dist_in_group(ray.data.from_arrow(events_tbl),
+                              "user_id", "value", "event_id",
+                              num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        SELECT event_id, user_id, value,
+               cume_dist() OVER (PARTITION BY user_id
+                                 ORDER BY value) AS cume
+        FROM events
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_bloom_semi_join(events_tbl, con):
+    from apache_datasketches_go_ray.stages.relational import bloom_semi_join
+
+    right_tbl = pa.table({
+        "uid": pa.array(list(range(0, 9, 2)), type=pa.int64())})
+    con.register("bloom_right", right_tbl)
+    mine = bloom_semi_join(
+        ray.data.from_arrow(events_tbl).select_columns(
+            ["event_id", "user_id"]),
+        ray.data.from_arrow(right_tbl),
+        ("user_id", "uid")).to_pandas()
+    oracle = con.execute("""
+        SELECT event_id, user_id FROM events
+        WHERE user_id IN (SELECT uid FROM bloom_right)
+    """).df()
+    _cmp(mine, oracle)
+
+
+def test_bloom_kernel_no_false_negatives():
+    from apache_datasketches_go_ray.stages.relational import (
+        _bloom_build,
+        _bloom_contains,
+    )
+
+    keys = np.arange(0, 40000, 4, dtype=np.int64)
+    m = 10 * len(keys)
+    bits = _bloom_build(keys, m)
+    assert _bloom_contains(bits, m, keys).all()
+    others = np.arange(1, 200001, 2, dtype=np.int64)
+    assert _bloom_contains(bits, m, others).mean() < 0.02
