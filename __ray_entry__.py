@@ -2127,6 +2127,18 @@ def _q_event_value_cume(sf_dir: str):
                               "value", "event_id", num_partitions=8)
 
 
+def _q_events_debounce(sf_dir: str):
+    """Windowed dedup (debounce): per (user, event_type), keep a row
+    only when the last KEPT row is >= 5 min older — the cascade
+    semantics event pipelines want (a burst collapses to one row per
+    window). Oracle is a recursive CTE; the kernel jumps between kept
+    rows with searchsorted."""
+    from apache_datasketches_go_ray.stages.windows import debounce
+
+    return debounce(_read(sf_dir, "events"), ["user_id", "event_type"],
+                    min_gap_seconds=300, num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2194,6 +2206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nchars_histogram": _q_nchars_histogram,
         "orders_bloom_semi": _q_orders_bloom_semi,
         "event_value_cume": _q_event_value_cume,
+        "events_debounce": _q_events_debounce,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -2928,6 +2941,26 @@ def oracle_sql() -> dict[str, str]:
                    cume_dist() OVER (PARTITION BY user_id
                                      ORDER BY value) AS cume
             FROM events
+        """,
+        "events_debounce": """
+            WITH RECURSIVE k AS (
+              (SELECT user_id, event_type, ts, event_id
+               FROM (SELECT user_id, event_type, ts, event_id,
+                            row_number() OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+                     FROM events) WHERE rn = 1)
+              UNION ALL
+              SELECT n.user_id, n.event_type, n.ts, n.event_id
+              FROM k, LATERAL (
+                SELECT e.user_id, e.event_type, e.ts, e.event_id
+                FROM events e
+                WHERE e.user_id = k.user_id
+                  AND e.event_type = k.event_type
+                  AND e.ts >= k.ts + INTERVAL 300 SECONDS
+                ORDER BY e.ts, e.event_id LIMIT 1) n
+            )
+            SELECT user_id, event_type, event_id, ts FROM k
         """,
         "order_share_of_customer": """
             WITH t AS (

@@ -494,3 +494,84 @@ def cume_dist_in_group(ds, key_col: str, value_col: str, id_col: str,
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def debounce(ds, key_cols: list[str], ts_col: str = "ts",
+             id_col: str = "event_id", min_gap_seconds: int = 300,
+             num_partitions: int = 64):
+    """Windowed deduplication (throttle/debounce): within each composite
+    key, keep a row only if the previous kept row is at least
+    ``min_gap_seconds`` older. The first row of a key is always kept.
+
+    NOTE the cascade: a suppressed row does NOT reset the window (gap is
+    measured against the last *kept* row), which is the semantics event
+    pipelines want — a burst collapses to one row per window, not one
+    row per quiet moment. That cascade makes a plain lag() oracle wrong;
+    the per-segment kernel is an O(runs) cumulative scan, still no
+    Python loop per row."""
+    gap_us = np.int64(min_gap_seconds) * 1_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        cols = {f"k{i}": b.column(c) for i, c in enumerate(key_cols)}
+        cols["ts"] = b.column(ts_col).cast(pa.int64())
+        cols["id"] = b.column(id_col).cast(pa.int64())
+        return pa.table(cols)
+
+    def fold(b: pa.Table) -> pa.Table:
+        ts_type = pa.timestamp("us")
+        if len(b) == 0:
+            out = {c: pa.array([], type=pa.string()) for c in key_cols}
+            out[id_col] = pa.array([], type=pa.int64())
+            out[ts_col] = pa.array([], type=ts_type)
+            return pa.table(out)
+        karrs = [as_array(b.column(f"k{i}"))
+                 for i in range(len(key_cols))]
+        # per-column dictionary codes (struct encode has no kernel);
+        # a segment starts when ANY key column changes
+        kcodes = [
+            pc.dictionary_encode(a).indices
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+            if pa.types.is_string(a.type) or pa.types.is_large_string(
+                a.type)
+            else a.to_numpy(zero_copy_only=False).astype(np.int64)
+            for a in karrs
+        ]
+        ts = as_array(b.column("ts")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, *reversed(kcodes)))
+        first = np.zeros(len(order), dtype=bool)
+        first[0] = True
+        for kc in kcodes:
+            sk = kc[order]
+            first[1:] |= sk[1:] != sk[:-1]
+        sts = ts[order]
+        n = len(order)
+        keep = np.zeros(n, dtype=bool)
+        # per segment: greedy scan — kept rows are >= gap apart. Runs
+        # python-loop per *kept row*, bounded by n/„gap density", and
+        # vectorized between kept rows via searchsorted jumps.
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            i = s
+            while i < e:
+                keep[i] = True
+                # next candidate: first index with ts >= ts[i] + gap
+                i = s + np.searchsorted(sts[s:e], sts[i] + gap_us,
+                                        side="left")
+        sel = order[keep]
+        out = {}
+        for c, arr in zip(key_cols, karrs):
+            out[c] = arr.take(pa.array(sel, type=pa.int64()))
+        out[id_col] = pa.array(ids[sel], type=pa.int64())
+        out[ts_col] = pa.array(ts[sel], type=pa.int64()).cast(ts_type)
+        return pa.table(out)
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([*key_cols, ts_col, id_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k0"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

@@ -391,3 +391,52 @@ def test_bloom_kernel_no_false_negatives():
     assert _bloom_contains(bits, m, keys).all()
     others = np.arange(1, 200001, 2, dtype=np.int64)
     assert _bloom_contains(bits, m, others).mean() < 0.02
+
+
+def test_debounce_cascade(ray_session):
+    """A burst collapses to one kept row per window, measured against
+    the last KEPT row (suppressed rows must not reset the window)."""
+    from apache_datasketches_go_ray.stages.windows import debounce
+
+    # one key, events at t = 0,100,200,300,400,700 s; gap 300 s
+    # greedy keep: 0 (then next >= 300) -> 300 (next >= 600) -> 700
+    secs = [0, 100, 200, 300, 400, 700]
+    t = pa.table({
+        "event_id": pa.array(range(len(secs)), type=pa.int64()),
+        "user_id": pa.array([1] * len(secs), type=pa.int64()),
+        "event_type": pa.array(["x"] * len(secs)),
+        "ts": pa.array([BASE + datetime.timedelta(seconds=s)
+                        for s in secs], type=pa.timestamp("us")),
+    })
+    out = debounce(ray.data.from_arrow(t), ["user_id", "event_type"],
+                   min_gap_seconds=300, num_partitions=1).to_pandas()
+    assert sorted(out["event_id"]) == [0, 3, 5]
+
+
+def test_debounce_matches_recursive_oracle(events_tbl, con):
+    from apache_datasketches_go_ray.stages.windows import debounce
+
+    mine = debounce(ray.data.from_arrow(events_tbl),
+                    ["user_id", "event_type"], min_gap_seconds=600,
+                    num_partitions=4).to_pandas()
+    oracle = con.execute("""
+        WITH RECURSIVE k AS (
+          (SELECT user_id, event_type, ts, event_id
+           FROM (SELECT user_id, event_type, ts, event_id,
+                        row_number() OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS rn
+                 FROM events) WHERE rn = 1)
+          UNION ALL
+          SELECT n.user_id, n.event_type, n.ts, n.event_id
+          FROM k, LATERAL (
+            SELECT e.user_id, e.event_type, e.ts, e.event_id
+            FROM events e
+            WHERE e.user_id = k.user_id
+              AND e.event_type = k.event_type
+              AND e.ts >= k.ts + INTERVAL 600 SECONDS
+            ORDER BY e.ts, e.event_id LIMIT 1) n
+        )
+        SELECT user_id, event_type, event_id, ts FROM k
+    """).df()
+    _cmp(mine, oracle)
