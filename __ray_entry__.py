@@ -1299,9 +1299,12 @@ def _q_event_type_pivot(sf_dir: str):
 def _q_kll_rank_annotate(sf_dir: str):
     """KLL GetRank as an annotator: each document's inclusive
     normalized rank of n_chars (== cume_dist when the sketch is in the
-    exact no-compaction regime, k=4096 > corpus size at sf0.01). The
-    merged sketch is KB-sized and ships once via broadcast; the
-    annotate pass is a vectorized searchsorted per batch."""
+    exact no-compaction regime). k is sized to the corpus (next pow2
+    >= row count, metadata-only count on the untransformed read) so the
+    regime holds at every sf tier; at true scale one would fix k and
+    accept the published rank error instead. The merged sketch ships
+    once via broadcast; the annotate pass is a vectorized searchsorted
+    per batch."""
     import pyarrow as pa
     import ray
     from apache_datasketches_go_ray.state.kll import KllSketch
@@ -1309,16 +1312,17 @@ def _q_kll_rank_annotate(sf_dir: str):
 
     docs = _read(sf_dir, "documents").select_columns(
         ["doc_id", "n_chars"])
+    k = max(4096, 1 << int(np.ceil(np.log2(max(docs.count(), 1)))))
 
     def partial(b):
-        sk = KllSketch(4096)
+        sk = KllSketch(k)
         sk.update_many(as_array(b.column("n_chars"))
                        .to_numpy(zero_copy_only=False)
                        .astype(np.float64))
         return pa.table({"sk": pa.array([sk.to_bytes()],
                                         type=pa.large_binary())})
 
-    merged = KllSketch(4096)
+    merged = KllSketch(k)
     for row in docs.map_batches(partial, batch_format="pyarrow",
                                 zero_copy_batch=True).take_all():
         merged.merge(KllSketch.from_bytes(row["sk"]))
