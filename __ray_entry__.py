@@ -2143,6 +2143,148 @@ def _q_events_debounce(sf_dir: str):
                     min_gap_seconds=300, num_partitions=8)
 
 
+def _q_stratified_sample_docs(sf_dir: str):
+    """Stratified deterministic sample: 3 docs per language, ordered by
+    Knuth hash of doc_id (same substrate as train_eval_split, so the
+    sample is reproducible across runs/partitionings and
+    SQL-expressible). Per-block ≤3-per-lang partial (combiner) before
+    the keyed shuffle; langs are dictionary-coded block-locally for the
+    segment kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def project(b):
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": b.column("lang"),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "h": pa.array((ids * 2654435761) % 4294967296,
+                          type=pa.int64()),
+        })
+
+    def keep3(b):
+        if len(b) == 0:
+            return b
+        codes = pc.dictionary_encode(
+            b.column("lang").combine_chunks()).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, codes))
+        sk = codes[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        idx = np.arange(len(sk), dtype=np.int64)
+        seg_start = idx[np.flatnonzero(first)][np.cumsum(first) - 1]
+        keep = (idx - seg_start) < 3
+        return b.take(pa.array(order[keep], type=pa.int64()))
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["lang", "doc_id"])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(keep3, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["lang"])
+            .map_batches(keep3, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_user_customer_full_outer(sf_dir: str):
+    """Distributed FULL OUTER join (co-partition path): per-user event
+    counts against the customer table — unmatched users AND unmatched
+    customers both survive, with sentinel fills so the output is
+    null-free and exactly SQL-comparable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    def count_partial(b):
+        g = b.select(["user_id"]).group_by("user_id").aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "user_id": g.column("user_id").cast(pa.int64()),
+            "n_events": g.column("count_all").cast(pa.int64()),
+        })
+
+    def count_fold(b):
+        g = b.group_by("user_id").aggregate([("n_events", "sum")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "n_events": g.column("n_events_sum").cast(pa.int64()),
+        })
+
+    counts = (_read(sf_dir, "events")
+              .select_columns(["user_id"])
+              .map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(4, keys=["user_id"])
+              .map_batches(count_fold, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True))
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_acctbal"])
+    joined = hash_join(counts, cust, ("user_id", "c_custkey"),
+                       join_type="full outer", broadcast_threshold=0,
+                       num_partitions=8)
+
+    def finish(b):
+        return pa.table({
+            "ukey": b.column("user_id"),
+            "n_events": pc.coalesce(b.column("n_events"),
+                                    pa.scalar(0, type=pa.int64())),
+            "acctbal": pc.coalesce(b.column("c_acctbal"),
+                                   pa.scalar(-1.0, type=pa.float64())),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _q_events_weekly(sf_dir: str):
+    """Weekly rollup: ISO-Monday week truncation (pc.floor_temporal ==
+    date_trunc('week')), exact cents — temporal binning beyond the
+    hourly/daily queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        wk = pc.strftime(
+            pc.floor_temporal(b.column("ts"), unit="week",
+                              week_starts_monday=True),
+            format="%Y-%m-%d")
+        t = pa.table({
+            "week": wk,
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+        g = t.group_by("week").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "week": g.column("week"),
+            "n": g.column("cents_count").cast(pa.int64()),
+            "sum_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("week").aggregate(
+            [("n", "sum"), ("sum_cents", "sum")])
+        return pa.table({
+            "week": g.column("week"),
+            "n": g.column("n_sum").cast(pa.int64()),
+            "sum_cents": g.column("sum_cents_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "events")
+            .select_columns(["ts", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(2, keys=["week"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2211,6 +2353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semi": _q_orders_bloom_semi,
         "event_value_cume": _q_event_value_cume,
         "events_debounce": _q_events_debounce,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "user_customer_full_outer": _q_user_customer_full_outer,
+        "events_weekly": _q_events_weekly,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -2945,6 +3090,34 @@ def oracle_sql() -> dict[str, str]:
                    cume_dist() OVER (PARTITION BY user_id
                                      ORDER BY value) AS cume
             FROM events
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, doc_id, h FROM (
+              SELECT lang, doc_id,
+                     (doc_id * 2654435761) % 4294967296 AS h,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296,
+                                doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 3
+        """,
+        "user_customer_full_outer": """
+            WITH ec AS (
+              SELECT user_id, count(*) AS n_events
+              FROM events GROUP BY user_id
+            )
+            SELECT coalesce(ec.user_id, c.c_custkey) AS ukey,
+                   coalesce(ec.n_events, 0) AS n_events,
+                   coalesce(c.c_acctbal, -1.0) AS acctbal
+            FROM ec FULL OUTER JOIN customer c
+              ON ec.user_id = c.c_custkey
+        """,
+        "events_weekly": """
+            SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                   count(*) AS n,
+                   sum(cast(round(value * 100) AS bigint)) AS sum_cents
+            FROM events GROUP BY 1
         """,
         "events_debounce": """
             WITH RECURSIVE k AS (

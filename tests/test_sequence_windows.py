@@ -440,3 +440,48 @@ def test_debounce_matches_recursive_oracle(events_tbl, con):
         SELECT user_id, event_type, event_id, ts FROM k
     """).df()
     _cmp(mine, oracle)
+
+
+def test_full_outer_hash_join(events_tbl, con):
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    counts = ray.data.from_arrow(events_tbl).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+        }), batch_format="pyarrow").map_batches(
+        lambda b: pa.table({
+            "user_id": b.group_by("user_id").aggregate(
+                [([], "count_all")]).column("user_id"),
+            "n": b.group_by("user_id").aggregate(
+                [([], "count_all")]).column("count_all").cast(pa.int64()),
+        }), batch_format="pyarrow").repartition(2, keys=["user_id"]) \
+        .map_batches(lambda b: pa.table({
+            "user_id": b.group_by("user_id").aggregate(
+                [("n", "sum")]).column("user_id"),
+            "n": b.group_by("user_id").aggregate(
+                [("n", "sum")]).column("n_sum").cast(pa.int64()),
+        }), batch_format="pyarrow", batch_size=None)
+    right_tbl = pa.table({
+        "uid": pa.array([0, 1, 2, 50, 51], type=pa.int64()),
+        "flag": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+    })
+    con.register("fo_right", right_tbl)
+    joined = hash_join(counts, ray.data.from_arrow(right_tbl),
+                       ("user_id", "uid"), join_type="full outer",
+                       broadcast_threshold=0, num_partitions=3)
+    mine = joined.map_batches(lambda b: pa.table({
+        "ukey": b.column("user_id"),
+        "n": pa.compute.coalesce(b.column("n"),
+                                 pa.scalar(0, type=pa.int64())),
+        "flag": pa.compute.coalesce(b.column("flag"),
+                                    pa.scalar(-1, type=pa.int64())),
+    }), batch_format="pyarrow").to_pandas()
+    oracle = con.execute("""
+        WITH ec AS (SELECT user_id, count(*) AS n FROM events
+                    GROUP BY user_id)
+        SELECT coalesce(ec.user_id, r.uid) AS ukey,
+               coalesce(ec.n, 0) AS n,
+               coalesce(r.flag, -1) AS flag
+        FROM ec FULL OUTER JOIN fo_right r ON ec.user_id = r.uid
+    """).df()
+    _cmp(mine, oracle)
