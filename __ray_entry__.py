@@ -2285,6 +2285,79 @@ def _q_events_weekly(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_consecutive_edit_distance(sf_dir: str):
+    """Exact Levenshtein (UTF-8 byte costs, 32-codepoint prefixes)
+    between each doc and the next — fuzzy near-exact-dup signal; pair-
+    key shuffle + one vectorized DP per block."""
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        consecutive_edit_distance,
+    )
+
+    return consecutive_edit_distance(_read(sf_dir, "documents"),
+                                     num_partitions=8)
+
+
+def _q_exact_dedup_normalized(sf_dir: str):
+    """Exact dedup AFTER canonical normalization — the compose-then-
+    dedup shape real cleaning pipelines run (catches case/punctuation
+    variants plain text equality misses)."""
+    from apache_datasketches_go_ray.stages.dedup_extras import exact_dedup
+    from apache_datasketches_go_ray.stages.textops import (
+        normalize_text_batch,
+    )
+
+    norm = (_read(sf_dir, "documents")
+            .select_columns(["doc_id", "text"])
+            .map_batches(normalize_text_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    return exact_dedup(norm, id_col="doc_id", text_col="norm_text",
+                       num_partitions=8)
+
+
+def _q_source_langs(sf_dir: str):
+    """Sorted-distinct string_agg per group: the language list of each
+    source — per-block (source, lang) pre-distinct combiner, keyed
+    shuffle, then sort + native binary_join per segment."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pre(b):
+        return b.select(["source", "lang"]) \
+            .group_by(["source", "lang"]).aggregate([])
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "n_langs": pa.array([], type=pa.int64()),
+                "langs": pa.array([], type=pa.string()),
+            })
+        d = b.group_by(["source", "lang"]).aggregate([])
+        idx = pc.sort_indices(d, sort_keys=[("source", "ascending"),
+                                            ("lang", "ascending")])
+        d = d.take(idx)
+        src = d.column("source").to_numpy(zero_copy_only=False)
+        first = np.empty(len(src), dtype=bool)
+        first[0] = True
+        np.not_equal(src[1:], src[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        offsets = np.append(starts, len(src)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), d.column("lang").combine_chunks())
+        return pa.table({
+            "source": pa.array(src[starts]),
+            "n_langs": pa.array(np.diff(offsets), type=pa.int64()),
+            "langs": pc.binary_join(lists, ","),
+        })
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["source", "lang"])
+            .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(4, keys=["source"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2356,6 +2429,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "user_customer_full_outer": _q_user_customer_full_outer,
         "events_weekly": _q_events_weekly,
+        "consecutive_edit_distance": _q_consecutive_edit_distance,
+        "exact_dedup_normalized": _q_exact_dedup_normalized,
+        "source_langs": _q_source_langs,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3118,6 +3194,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(cast(round(value * 100) AS bigint)) AS sum_cents
             FROM events GROUP BY 1
+        """,
+        "consecutive_edit_distance": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(substring(a.text, 1, 32),
+                               substring(b.text, 1, 32)) AS dist
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        """,
+        "exact_dedup_normalized": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                         regexp_replace(lower(text), '\s+', ' ', 'g'),
+                         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+                       AS norm_text
+              FROM documents
+            )
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM n GROUP BY norm_text
+        """,
+        "source_langs": """
+            SELECT source, count(DISTINCT lang) AS n_langs,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+            FROM documents GROUP BY source
         """,
         "events_debounce": """
             WITH RECURSIVE k AS (

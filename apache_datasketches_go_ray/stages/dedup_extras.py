@@ -772,3 +772,75 @@ def jaccard_similarity_join(ds, tau: float = 0.6, id_col: str = "doc_id",
 
     return step2.map_batches(finish, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def consecutive_edit_distance(ds, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              prefix_chars: int = 32,
+                              num_partitions: int = 32):
+    """Exact Levenshtein distance between each doc and the next id on
+    the first ``prefix_chars`` codepoints (UTF-8 byte unit costs, DuckDB
+    levenshtein semantics) — the fuzzy near-exact-dup signal that
+    catches small edits token sets miss. Same pair-key shuffle shape as
+    consecutive_token_jaccard; only the short prefixes move. The fold
+    batches every pair in the block through one vectorized DP
+    (stages/textops.levenshtein_pairs)."""
+    from .textops import levenshtein_pairs
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = as_array(batch.column(id_col)).to_numpy(zero_copy_only=False)
+        pref = pc.utf8_slice_codeunits(
+            as_array(batch.column(text_col)).cast(pa.string()),
+            0, prefix_chars)
+        texts = pref.to_pylist()
+        pair_key, member, payload = [], [], []
+        for i, d in enumerate(ids):
+            pair_key.append(int(d))
+            member.append(0)
+            payload.append(texts[i])
+            if d > 0:
+                pair_key.append(int(d) - 1)
+                member.append(1)
+                payload.append(texts[i])
+        return pa.table({
+            "pair_key": pa.array(pair_key, type=pa.int64()),
+            "member": pa.array(member, type=pa.int8()),
+            "pref": pa.array(payload, type=pa.string()),
+        })
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "dist": pa.array([], type=pa.int32()),
+            })
+        keys = as_array(batch.column("pair_key")) \
+            .to_numpy(zero_copy_only=False)
+        member = as_array(batch.column("member")) \
+            .to_numpy(zero_copy_only=False)
+        prefs = as_array(batch.column("pref")).to_pylist()
+        order = np.lexsort((member, keys))
+        sk = keys[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(sk)))
+        full = starts[lens == 2]  # pairs with both members present
+        a_strs = [prefs[order[s]] for s in full]
+        b_strs = [prefs[order[s + 1]] for s in full]
+        dist = levenshtein_pairs(a_strs, b_strs, prefix_chars)
+        return pa.table({
+            "doc_a": pa.array(sk[full], type=pa.int64()),
+            "doc_b": pa.array(sk[full] + 1, type=pa.int64()),
+            "dist": pa.array(dist, type=pa.int32()),
+        })
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions, keys=["pair_key"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

@@ -238,3 +238,46 @@ def explode_tokens_batch(batch: pa.Table, text_col: str = "text",
         "tok": flat,
         "ord": pa.array(pos, type=pa.int64()),
     })
+
+
+def levenshtein_pairs(a_strs: list[str], b_strs: list[str],
+                      prefix_chars: int = 32) -> np.ndarray:
+    """Exact edit distance for many string pairs at once, on the first
+    ``prefix_chars`` codepoints, unit costs over UTF-8 BYTES (DuckDB
+    levenshtein semantics, which tests pin). The DP is vectorized across
+    pairs AND across the column dimension: the in-row dependency
+    cur[j] = min(m[j], cur[j-1]+1) is a prefix-min of (m[k]-k)+j, done
+    with one np.minimum.accumulate per row — the only Python loop is
+    over the <= 4*prefix_chars byte rows."""
+    enc_a = [s[:prefix_chars].encode("utf-8") for s in a_strs]
+    enc_b = [s[:prefix_chars].encode("utf-8") for s in b_strs]
+    n = len(enc_a)
+    la = np.fromiter((len(x) for x in enc_a), count=n, dtype=np.int32) \
+        if n else np.zeros(0, np.int32)
+    lb = np.fromiter((len(x) for x in enc_b), count=n, dtype=np.int32) \
+        if n else np.zeros(0, np.int32)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    La, Lb = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.zeros((n, max(La, 1)), dtype=np.uint8)
+    B = np.zeros((n, max(Lb, 1)), dtype=np.uint8)
+    for i, x in enumerate(enc_a):
+        A[i, :len(x)] = np.frombuffer(x, dtype=np.uint8)
+    for i, x in enumerate(enc_b):
+        B[i, :len(x)] = np.frombuffer(x, dtype=np.uint8)
+    js = np.arange(Lb + 1, dtype=np.int32)
+    prev = np.broadcast_to(js, (n, Lb + 1)).astype(np.int32)
+    cur = np.empty_like(prev)
+    out_rows = [prev[np.arange(n), lb]]  # dp row 0 answers len_a == 0
+    for i in range(1, La + 1):
+        cost = (A[:, i - 1:i] != B[:, :Lb]).astype(np.int32)
+        m = np.empty_like(prev)
+        m[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :Lb] + cost, out=m[:, 1:])
+        t = m - js
+        np.minimum.accumulate(t, axis=1, out=t)
+        np.add(t, js, out=cur)
+        prev, cur = cur, prev
+        out_rows.append(prev[np.arange(n), lb])
+    rows = np.stack(out_rows)  # (La+1, n): dp value after each a-row
+    return rows[la, np.arange(n)].astype(np.int32)

@@ -485,3 +485,23 @@ def test_full_outer_hash_join(events_tbl, con):
         FROM ec FULL OUTER JOIN fo_right r ON ec.user_id = r.uid
     """).df()
     _cmp(mine, oracle)
+
+
+def test_levenshtein_pairs_vs_duckdb():
+    """Kernel vs DuckDB levenshtein (UTF-8 byte unit costs) on random
+    multilingual strings, including the codepoint-prefix slicing."""
+    import duckdb
+
+    from apache_datasketches_go_ray.stages.textops import levenshtein_pairs
+
+    rng = np.random.default_rng(3)
+    alphabet = list("abcdef 中文éß42")
+    strs = ["".join(rng.choice(alphabet, size=rng.integers(0, 40)))
+            for _ in range(300)]
+    a, b = strs[:150], strs[150:]
+    got = levenshtein_pairs(a, b, prefix_chars=16)
+    c = duckdb.connect()
+    exp = [c.execute(
+        "SELECT levenshtein(substring(?, 1, 16), substring(?, 1, 16))",
+        [x, y]).fetchone()[0] for x, y in zip(a, b)]
+    assert list(got) == exp
