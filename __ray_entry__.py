@@ -2358,6 +2358,92 @@ def _q_source_langs(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_user_first_last_event(sf_dir: str):
+    """first_value/last_value window endpoints: each user's first and
+    last event type by (ts, event_id) — one keyed shuffle, segment
+    endpoints off the sorted block."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "first_type": pa.array([], type=pa.string()),
+                "last_type": pa.array([], type=pa.string()),
+                "n_events": pa.array([], type=pa.int64()),
+            })
+        u = as_array(b.column("user_id")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("event_id")).to_numpy(zero_copy_only=False)
+        et = as_array(b.column("event_type"))
+        order = np.lexsort((ids, ts, u))
+        su = u[order]
+        first = np.empty(len(su), dtype=bool)
+        first[0] = True
+        np.not_equal(su[1:], su[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(su)) - 1
+        take = pa.array(order, type=pa.int64())
+        ets = et.take(take)
+        return pa.table({
+            "user_id": pa.array(su[starts], type=pa.int64()),
+            "first_type": ets.take(pa.array(starts, type=pa.int64())),
+            "last_type": ets.take(pa.array(ends, type=pa.int64())),
+            "n_events": pa.array(ends - starts + 1, type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "events")
+            .select_columns(["user_id", "ts", "event_id", "event_type"])
+            .repartition(8, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_revenue_by_price_quartile(sf_dir: str):
+    """Composition: exact global ntile(4) quartile of order price, then
+    grouped revenue per quartile — distributed ranking feeding a
+    partial+fold aggregate (the 'bucketize then aggregate' analytics
+    shape)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import global_ntile
+
+    q = global_ntile(_read(sf_dir, "orders"), "o_totalprice",
+                     "o_orderkey", 4, num_partitions=16)
+
+    def partial(b):
+        t = pa.table({
+            "bucket": b.column("bucket"),
+            "cents": pc.round(pc.multiply(b.column("o_totalprice"), 100))
+                .cast(pa.int64()),
+        })
+        g = t.group_by("bucket").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "bucket": g.column("bucket"),
+            "n_orders": g.column("cents_count").cast(pa.int64()),
+            "sum_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("bucket").aggregate(
+            [("n_orders", "sum"), ("sum_cents", "sum")])
+        return pa.table({
+            "bucket": g.column("bucket"),
+            "n_orders": g.column("n_orders_sum").cast(pa.int64()),
+            "sum_cents": g.column("sum_cents_sum").cast(pa.int64()),
+        })
+
+    return (q.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .repartition(2, keys=["bucket"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2432,6 +2518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consecutive_edit_distance": _q_consecutive_edit_distance,
         "exact_dedup_normalized": _q_exact_dedup_normalized,
         "source_langs": _q_source_langs,
+        "user_first_last_event": _q_user_first_last_event,
+        "revenue_by_price_quartile": _q_revenue_by_price_quartile,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3217,6 +3305,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(DISTINCT lang) AS n_langs,
                    string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
             FROM documents GROUP BY source
+        """,
+        "user_first_last_event": """
+            SELECT DISTINCT user_id,
+                   first_value(event_type) OVER w AS first_type,
+                   last_value(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS last_type,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "revenue_by_price_quartile": """
+            WITH q AS (
+              SELECT o_totalprice,
+                     ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS bucket
+              FROM orders
+            )
+            SELECT bucket, count(*) AS n_orders,
+                   sum(cast(round(o_totalprice * 100) AS bigint))
+                     AS sum_cents
+            FROM q GROUP BY bucket
         """,
         "events_debounce": """
             WITH RECURSIVE k AS (
