@@ -2444,6 +2444,155 @@ def _q_revenue_by_price_quartile(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_order_rank_gaps(sf_dir: str):
+    """rank() with gaps (ties share a rank, next rank skips) per
+    customer by price desc — completes the ranking-window family
+    (row_number ✓ running, dense_rank ✓, cume_dist ✓). Kernel: position
+    of the first peer in the segment via tie-run starts."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "o_totalprice": pa.array([], type=pa.float64()),
+                "rnk": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("o_custkey")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = as_array(b.column("o_totalprice")) \
+            .to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("o_orderkey")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v, k))
+        sk, sv = k[order], v[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        chg = first.copy()
+        chg[1:] |= sv[1:] != sv[:-1]
+        idx = np.arange(len(sk), dtype=np.int64)
+        run_start = idx[np.flatnonzero(chg)][np.cumsum(chg) - 1]
+        seg_start = idx[np.flatnonzero(first)][np.cumsum(first) - 1]
+        rnk = run_start - seg_start + 1
+        return pa.table({
+            "o_orderkey": pa.array(ids[order], type=pa.int64()),
+            "o_custkey": pa.array(sk, type=pa.int64()),
+            "o_totalprice": pa.array(sv, type=pa.float64()),
+            "rnk": pa.array(rnk, type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "orders")
+            .select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+            .repartition(8, keys=["o_custkey"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_daily_top_event(sf_dir: str):
+    """Composite-key window: the single largest event per (user, day)
+    (cents desc, event_id tie-break) — top-1 under a two-column
+    partition, via a packed int64 composite key reusing the ≤n-per-key
+    combiner discipline."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import top_n_per_group
+
+    def prep(b):
+        day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        epoch_day = pc.divide(
+            pc.floor_temporal(b.column("ts"), unit="day")
+            .cast(pa.int64()), 86_400_000_000)
+        ck = pc.add(pc.multiply(b.column("user_id").cast(pa.int64()),
+                                100_000), epoch_day)
+        return pa.table({
+            "ckey": ck,
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "day": day,
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+
+    raw = _read(sf_dir, "events")
+    nrows = raw.count()
+    ds = (raw.select_columns(["user_id", "ts", "event_id", "value"])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+
+    def unpack(b):
+        ck = b.column("ckey").to_numpy(zero_copy_only=False)
+        day_ts = pa.array((ck % 100_000) * 86_400_000_000,
+                          type=pa.int64()).cast(pa.timestamp("us"))
+        return pa.table({
+            "user_id": pa.array(ck // 100_000, type=pa.int64()),
+            "day": pc.strftime(day_ts, format="%Y-%m-%d"),
+            "event_id": b.column("event_id"),
+            "cents": b.column("cents"),
+        })
+
+    return top_n_per_group(ds, "ckey", "cents", "event_id", 1,
+                           num_partitions=8, nrows=nrows) \
+        .map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_lang_nchars_stddev(sf_dir: str):
+    """Grouped population stddev via exact integer moments: per-block
+    partial (n, Σx, Σx²) int64 sums -> keyed fold -> ONE double
+    expression identical in shape to the oracle SQL, so the float
+    result is bit-identical (no Welford-vs-textbook drift)."""
+    import pyarrow as pa
+
+    def partial(b):
+        x = b.column("n_chars").cast(pa.int64())
+        t = pa.table({
+            "lang": b.column("lang"),
+            "n": pa.array(np.ones(len(b), dtype=np.int64)),
+            "sx": x,
+            "sxx": pa.array(
+                x.to_numpy(zero_copy_only=False) ** 2, type=pa.int64()),
+        })
+        g = t.group_by("lang").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "n": g.column("n_sum").cast(pa.int64()),
+            "sx": g.column("sx_sum").cast(pa.int64()),
+            "sxx": g.column("sxx_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "lang": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "sd_pop": pa.array([], type=pa.float64()),
+            })
+        g = b.group_by("lang").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")])
+        n = g.column("n_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sx = g.column("sx_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sxx = g.column("sxx_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # EXACT same double expression as the SQL oracle
+        sd = np.sqrt(sxx / n - (sx / n) * (sx / n))
+        return pa.table({
+            "lang": g.column("lang"),
+            "n_docs": g.column("n_sum").cast(pa.int64()),
+            "sd_pop": pa.array(sd, type=pa.float64()),
+        })
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["lang", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(2, keys=["lang"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2520,6 +2669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_langs": _q_source_langs,
         "user_first_last_event": _q_user_first_last_event,
         "revenue_by_price_quartile": _q_revenue_by_price_quartile,
+        "order_rank_gaps": _q_order_rank_gaps,
+        "daily_top_event": _q_daily_top_event,
+        "lang_nchars_stddev": _q_lang_nchars_stddev,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3328,6 +3480,37 @@ def oracle_sql() -> dict[str, str]:
                    sum(cast(round(o_totalprice * 100) AS bigint))
                      AS sum_cents
             FROM q GROUP BY bucket
+        """,
+        "order_rank_gaps": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS rnk
+            FROM orders
+        """,
+        "daily_top_event": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id,
+                   cast(round(value * 100) AS bigint) AS cents
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                ORDER BY cast(round(value * 100) AS bigint) DESC,
+                         event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "lang_nchars_stddev": """
+            WITH m AS (
+              SELECT lang, count(*) AS n,
+                     sum(n_chars) AS sx,
+                     sum(n_chars * n_chars) AS sxx
+              FROM documents GROUP BY lang
+            )
+            SELECT lang, n AS n_docs,
+                   sqrt(cast(sxx AS double) / cast(n AS double)
+                        - (cast(sx AS double) / cast(n AS double))
+                        * (cast(sx AS double) / cast(n AS double)))
+                     AS sd_pop
+            FROM m
         """,
         "events_debounce": """
             WITH RECURSIVE k AS (
