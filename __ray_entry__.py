@@ -2593,6 +2593,113 @@ def _q_lang_nchars_stddev(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_transcript_reply_latency(sf_dir: str):
+    """Per-conversation assistant reply latency: over (conv, turn_idx)-
+    ordered turns, every user→assistant adjacency contributes
+    (ts[i+1]-ts[i]); returns n_replies / mean / max seconds per conv
+    (0 / 0.0 when the conv has no such adjacency). One conv-key shuffle,
+    masked adjacent-diff kernel — the transcript analogue of lag()."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "n_replies": pa.array([], type=pa.int64()),
+                "mean_reply_s": pa.array([], type=pa.float64()),
+                "max_reply_s": pa.array([], type=pa.float64()),
+            })
+        conv = as_array(b.column("conv_id")).to_numpy(zero_copy_only=False)
+        tidx = as_array(b.column("turn_idx")).to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        role = as_array(b.column("role")).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, codes))
+        c, t, r = codes[order], ts[order], role[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        np.not_equal(c[1:], c[:-1], out=first[1:])
+        adj = (~first[1:]) & (r[:-1] == "user") & (r[1:] == "assistant")
+        lat = np.where(adj, (t[1:] - t[:-1]) / 1e6, 0.0)
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(c))
+        csum = np.concatenate([[0.0], np.cumsum(lat)])
+        ccnt = np.concatenate([[0], np.cumsum(adj)])
+        # per-conv segment of the adjacency arrays is [start, end-1)
+        n_rep = ccnt[ends - 1] - ccnt[starts]
+        s_rep = csum[ends - 1] - csum[starts]
+        # max per segment over masked latencies
+        lat_masked = np.where(adj, lat, -1.0)
+        mx = np.maximum.reduceat(
+            np.append(lat_masked, -1.0), starts)
+        mx = np.where(n_rep > 0, mx, 0.0)
+        return pa.table({
+            "conv_id": pa.array(conv[order][starts]),
+            "n_replies": pa.array(n_rep, type=pa.int64()),
+            "mean_reply_s": pa.array(
+                np.round(np.where(n_rep > 0, s_rep / np.maximum(n_rep, 1),
+                                  0.0), 3), type=pa.float64()),
+            "max_reply_s": pa.array(np.round(mx, 3), type=pa.float64()),
+        })
+
+    return (ds.select_columns(["conv_id", "turn_idx", "ts", "role"])
+            .repartition(16, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_fuzzy_boilerplate_turns(sf_dir: str):
+    """Near-duplicate boilerplate turns ACROSS conversations: turns
+    sharing an identical 64-bit SimHash (catching small wording
+    variants exact text-hash grouping misses) ranked by distinct-conv
+    spread. SimHash shuffle + per-group distinct-conv fold, top-20."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.stages.relational import top_k
+    from apache_datasketches_go_ray.stages.textops import simhash_batch
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+
+    def prep(b):
+        t = pa.table({
+            "conv_id": b.column("conv_id"),
+            "text": b.column("text").cast(pa.string()),
+        })
+        t = simhash_batch(t)
+        # pre-distinct (simhash, conv) per block — the combiner
+        return t.select(["simhash", "conv_id"]) \
+            .group_by(["simhash", "conv_id"]).aggregate([])
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "simhash": pa.array([], type=pa.uint64()),
+                "n_convs": pa.array([], type=pa.int64()),
+            })
+        d = b.group_by(["simhash", "conv_id"]).aggregate([])
+        g = d.group_by("simhash").aggregate([("conv_id", "count")])
+        g = g.filter(pc.greater_equal(g.column("conv_id_count"), 2))
+        return pa.table({
+            "simhash": g.column("simhash"),
+            "n_convs": g.column("conv_id_count").cast(pa.int64()),
+        })
+
+    folded = (ds.select_columns(["conv_id", "text"])
+              .map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(16, keys=["simhash"])
+              .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True))
+    return top_k(folded, [("n_convs", "descending"),
+                          ("simhash", "ascending")], 20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2601,6 +2708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_turn_gaps": _q_transcript_turn_gaps,
         "transcript_role_stats": _q_transcript_role_stats,
         "boilerplate_turns": _q_boilerplate_turns,
+        "transcript_reply_latency": _q_transcript_reply_latency,
+        "fuzzy_boilerplate_turns": _q_fuzzy_boilerplate_turns,
         # exact, SQL-oracled operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_counts": _q_token_counts,

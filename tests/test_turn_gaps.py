@@ -87,3 +87,65 @@ def test_boilerplate_turns_matches_pandas(ray_session):
     truth = dict(zip(exp["text"], exp["n_convs"]))
     for _, r in out.iterrows():
         assert truth[r["text"]] == r["n_convs"]
+
+
+def test_reply_latency_matches_pandas(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["transcript_reply_latency"](
+        "/root/testdata/sf0.001").to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+
+    tdir = entrymod._transcripts_dir("/root/testdata/sf0.001")
+    df = ray.data.read_parquet(tdir).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    df["ts_us"] = df["ts"].astype("int64")
+    rows = []
+    for cid, g in df.groupby("conv_id", sort=True):
+        r = g["role"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        adj = (r[:-1] == "user") & (r[1:] == "assistant")
+        lat = (t[1:] - t[:-1])[adj] / 1e6
+        rows.append({
+            "conv_id": cid,
+            "n_replies": int(adj.sum()),
+            "mean_reply_s": round(float(lat.mean()), 3) if len(lat)
+            else 0.0,
+            "max_reply_s": round(float(lat.max()), 3) if len(lat)
+            else 0.0,
+        })
+    import pandas as pd
+
+    exp = pd.DataFrame(rows)
+    assert len(out) == len(exp)
+    assert (out["conv_id"] == exp["conv_id"]).all()
+    assert (out["n_replies"].to_numpy()
+            == exp["n_replies"].to_numpy()).all()
+    assert np.allclose(out["mean_reply_s"], exp["mean_reply_s"],
+                       atol=1e-9)
+    assert np.allclose(out["max_reply_s"], exp["max_reply_s"], atol=1e-9)
+
+
+def test_fuzzy_boilerplate_matches_pandas(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import pyarrow as pa
+
+    import __ray_entry__ as entrymod
+    from apache_datasketches_go_ray.stages.textops import simhash_batch
+
+    out = entrymod.queries()["fuzzy_boilerplate_turns"](
+        "/root/testdata/sf0.001").to_pandas()
+
+    tdir = entrymod._transcripts_dir("/root/testdata/sf0.001")
+    df = ray.data.read_parquet(tdir).to_pandas()
+    sh = simhash_batch(pa.table({
+        "conv_id": pa.array(df["conv_id"]),
+        "text": pa.array(df["text"].astype(str)),
+    })).to_pandas()
+    grp = sh.groupby("simhash")["conv_id"].nunique()
+    grp = grp[grp >= 2].sort_values(ascending=False)
+    exp = sorted(zip(-grp.to_numpy(), grp.index.to_numpy()))[:20]
+    got = sorted(zip(-out["n_convs"].to_numpy(),
+                     out["simhash"].to_numpy()))
+    assert got == [(int(a), int(b)) for a, b in exp]
