@@ -2700,6 +2700,58 @@ def _q_fuzzy_boilerplate_turns(sf_dir: str):
                           ("simhash", "ascending")], 20)
 
 
+def _q_orders_above_customer_avg(sf_dir: str):
+    """Correlated-subquery shape: orders strictly above their customer's
+    average price. The comparison stays in integers (cents * n_group >
+    sum_cents) so it is exact — no float-average drift; one keyed
+    shuffle, segment sums broadcast back to rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def project(b):
+        return pa.table({
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("o_totalprice"), 100))
+                .cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "cents": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("o_custkey")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("o_orderkey")).to_numpy(zero_copy_only=False)
+        cents = as_array(b.column("cents")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        sk, sc = k[order], cents[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        seg_id = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        totals = np.add.reduceat(sc, starts)
+        lens = np.diff(np.append(starts, len(sk)))
+        keep = sc * lens[seg_id] > totals[seg_id]
+        return pa.table({
+            "o_orderkey": pa.array(ids[order][keep], type=pa.int64()),
+            "o_custkey": pa.array(sk[keep], type=pa.int64()),
+            "cents": pa.array(sc[keep], type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "orders")
+            .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(8, keys=["o_custkey"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2781,6 +2833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_gaps": _q_order_rank_gaps,
         "daily_top_event": _q_daily_top_event,
         "lang_nchars_stddev": _q_lang_nchars_stddev,
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3606,6 +3659,20 @@ def oracle_sql() -> dict[str, str]:
                          event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "orders_above_customer_avg": """
+            WITH t AS (
+              SELECT o_orderkey, o_custkey,
+                     cast(round(o_totalprice * 100) AS bigint) AS cents
+              FROM t0
+            ), t0 AS (SELECT * FROM orders), w AS (
+              SELECT o_orderkey, o_custkey, cents,
+                     count(*) OVER (PARTITION BY o_custkey) AS n,
+                     sum(cents) OVER (PARTITION BY o_custkey) AS s
+              FROM t
+            )
+            SELECT o_orderkey, o_custkey, cents
+            FROM w WHERE cents * n > s
         """,
         "lang_nchars_stddev": """
             WITH m AS (
