@@ -2752,6 +2752,42 @@ def _q_orders_above_customer_avg(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_event_pivot_melt(sf_dir: str):
+    """UNPIVOT/melt: the wide per-user pivot folded back to long
+    (user_id, event_type, n) rows with zero cells dropped — the
+    columns→rows reshape, proving the pivot round-trips to the plain
+    grouped counts. Stateless flat expansion over the pivot output."""
+    import pyarrow as pa
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = _q_event_type_pivot(sf_dir)
+
+    def melt(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        outs_u, outs_t, outs_n = [], [], []
+        for t in types:
+            n = b.column(f"n_{t}").to_numpy(zero_copy_only=False)
+            keep = n > 0
+            outs_u.append(u[keep])
+            outs_t.append(np.full(int(keep.sum()), t, dtype=object))
+            outs_n.append(n[keep])
+        return pa.table({
+            "user_id": pa.array(np.concatenate(outs_u), type=pa.int64()),
+            "event_type": pa.array(np.concatenate(outs_t),
+                                   type=pa.string()),
+            "n": pa.array(np.concatenate(outs_n), type=pa.int64()),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2834,6 +2870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_top_event": _q_daily_top_event,
         "lang_nchars_stddev": _q_lang_nchars_stddev,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
+        "event_pivot_melt": _q_event_pivot_melt,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3659,6 +3696,10 @@ def oracle_sql() -> dict[str, str]:
                          event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "event_pivot_melt": """
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
         """,
         "orders_above_customer_avg": """
             WITH t AS (

@@ -505,3 +505,80 @@ def test_levenshtein_pairs_vs_duckdb():
         "SELECT levenshtein(substring(?, 1, 16), substring(?, 1, 16))",
         [x, y]).fetchone()[0] for x, y in zip(a, b)]
     assert list(got) == exp
+
+
+def test_window_suite_fuzz_vs_duckdb(ray_session):
+    """Randomized (seeded) fuzz: lag, time-window, cume_dist and
+    top-n against DuckDB on several adversarial shapes — heavy ties,
+    single-user, one-row tables."""
+    import duckdb
+
+    from apache_datasketches_go_ray.stages.relational import top_n_per_group
+    from apache_datasketches_go_ray.stages.windows import (
+        cume_dist_in_group,
+        lag_delta,
+        time_window_sum,
+    )
+
+    for seed, n_users, n_events, tie_heavy in [
+        (21, 1, 40, True), (22, 3, 1, False), (23, 5, 200, True),
+        (24, 2, 77, False),
+    ]:
+        rng = np.random.default_rng(seed)
+        user = rng.integers(0, n_users, n_events)
+        if tie_heavy:
+            vals = rng.choice([1.0, 2.0, 2.0, 3.0], n_events)
+            secs = np.cumsum(rng.choice([0, 0, 60, 1800], n_events))
+        else:
+            vals = np.round(rng.uniform(0, 9, n_events), 2)
+            secs = np.cumsum(rng.integers(1, 3600, n_events))
+        t = pa.table({
+            "event_id": pa.array(np.arange(n_events), type=pa.int64()),
+            "user_id": pa.array(user, type=pa.int64()),
+            "ts": pa.array([BASE + datetime.timedelta(seconds=int(s))
+                            for s in secs], type=pa.timestamp("us")),
+            "value": pa.array(vals, type=pa.float64()),
+        })
+        c = duckdb.connect()
+        c.register("ev", t)
+        ds = ray.data.from_arrow(t)
+        _cmp(lag_delta(ds, num_partitions=2).to_pandas(), c.execute("""
+            WITH x AS (SELECT event_id, user_id, ts,
+                              cast(round(value*100) AS bigint) AS cents
+                       FROM ev)
+            SELECT event_id, user_id,
+                   lag(cents, 1, 0) OVER w AS prev_cents,
+                   cents - lag(cents, 1, 0) OVER w AS delta_cents
+            FROM x WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)""").df())
+        _cmp(time_window_sum(ds, preceding_seconds=900,
+                             num_partitions=2).to_pandas(), c.execute("""
+            SELECT event_id, user_id, count(*) OVER w AS win_n,
+                   sum(cast(round(value*100) AS bigint)) OVER w
+                     AS win_cents
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                                 RANGE BETWEEN INTERVAL 15 MINUTES
+                                 PRECEDING AND CURRENT ROW)""").df())
+        _cmp(cume_dist_in_group(ds, "user_id", "value", "event_id",
+                                num_partitions=2).to_pandas(),
+             c.execute("""
+            SELECT event_id, user_id, value,
+                   cume_dist() OVER (PARTITION BY user_id
+                                     ORDER BY value) AS cume
+            FROM ev""").df())
+        prep = ds.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "cents": pa.compute.round(
+                pa.compute.multiply(b.column("value"), 100))
+            .cast(pa.int64()),
+        }), batch_format="pyarrow")
+        _cmp(top_n_per_group(prep, "user_id", "cents", "event_id", 2,
+                             num_partitions=2).to_pandas(), c.execute("""
+            SELECT user_id, event_id,
+                   cast(round(value*100) AS bigint) AS cents,
+                   row_number() OVER (
+                     PARTITION BY user_id
+                     ORDER BY cast(round(value*100) AS bigint) DESC,
+                              event_id) AS rnk
+            FROM ev QUALIFY rnk <= 2""").df())
