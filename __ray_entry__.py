@@ -2788,6 +2788,75 @@ def _q_event_pivot_melt(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def _q_latest_event_per_user_type(sf_dir: str):
+    """CDC latest-record-wins dedup: one row per (user, event_type),
+    keeping the most recent event (ts desc, event_id desc tie-break) —
+    the upsert/compaction shape. Packed composite key through the
+    ≤1-per-key combiner; value payload travels as packed (ts, id)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import top_n_per_group
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    tcode = {t: i for i, t in enumerate(types)}
+
+    def prep(b):
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        codes = np.array([tcode.get(t, len(types)) for t in et],
+                         dtype=np.int64)
+        ck = b.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) * 8 + codes
+        # order key: latest ts wins, then larger event_id (desc both)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ckey": pa.array(ck, type=pa.int64()),
+            "ts_us": pa.array(ts, type=pa.int64()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+        })
+
+    raw = _read(sf_dir, "events")
+    nrows = raw.count()
+    ds = (raw.select_columns(["user_id", "event_type", "ts", "event_id"])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+
+    def unpack(b):
+        ck = b.column("ckey").to_numpy(zero_copy_only=False)
+        code = ck % 8
+        return pa.table({
+            "user_id": pa.array(ck // 8, type=pa.int64()),
+            "event_type": pa.array(
+                np.array(types, dtype=object)[code], type=pa.string()),
+            "event_id": b.column("event_id"),
+            "ts": b.column("ts_us").cast(pa.timestamp("us")),
+        })
+
+    # top-1 by (ts desc, event_id desc): top_n_per_group breaks ties by
+    # id ASC, so ship the negated id as the tiebreak column and flip it
+    # back afterwards
+    def negid(b):
+        return pa.table({
+            "ckey": b.column("ckey"),
+            "ts_us": b.column("ts_us"),
+            "event_id": pc.negate(b.column("event_id")),
+        })
+
+    picked = top_n_per_group(
+        ds.map_batches(negid, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "ckey", "ts_us", "event_id", 1, num_partitions=8, nrows=nrows)
+
+    def fix(b):
+        return pa.table({
+            "ckey": b.column("ckey"),
+            "ts_us": b.column("ts_us"),
+            "event_id": pc.negate(b.column("event_id")),
+        })
+
+    return picked.map_batches(fix, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2871,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_nchars_stddev": _q_lang_nchars_stddev,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "event_pivot_melt": _q_event_pivot_melt,
+        "latest_event_per_user_type": _q_latest_event_per_user_type,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3700,6 +3770,15 @@ def oracle_sql() -> dict[str, str]:
         "event_pivot_melt": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY user_id, event_type
+        """,
+        "latest_event_per_user_type": """
+            SELECT user_id, event_type, event_id, ts FROM (
+              SELECT user_id, event_type, event_id, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "orders_above_customer_avg": """
             WITH t AS (

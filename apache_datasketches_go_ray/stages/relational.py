@@ -260,8 +260,10 @@ def grouped_quantile_disc(ds, key: str, value_col: str,
         if len(b) == 0:
             t = b.schema.field(value_col).type if value_col in \
                 b.schema.names else pa.int64()
+            kt = b.schema.field(key).type if key in b.schema.names \
+                else pa.string()
             return pa.table(
-                {key: pa.array([], type=pa.string()),
+                {key: pa.array([], type=kt),
                  **{c: pa.array([], type=t) for c in cols if c != key}})
         k = b.column(key).to_numpy(zero_copy_only=False)
         v = b.column(value_col).to_numpy(zero_copy_only=False)
@@ -405,7 +407,9 @@ def set_op_keys(left_ds, right_ds, on: tuple[str, str], op: str, *,
 
     def fold(b: pa.Table) -> pa.Table:
         if len(b) == 0:
-            return pa.table({out: pa.array([], type=pa.int64())})
+            t = b.schema.field(out).type if out in b.schema.names \
+                else pa.int64()
+            return pa.table({out: pa.array([], type=t)})
         g = b.group_by(out).aggregate([("__side", "min"),
                                        ("__side", "max")])
         lo, hi = g.column("__side_min"), g.column("__side_max")
