@@ -2857,6 +2857,50 @@ def _q_latest_event_per_user_type(sf_dir: str):
         .map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_events_dow_hour(sf_dir: str):
+    """Calendar heatmap: event counts + exact cents by (ISO day-of-week,
+    hour-of-day) — temporal field extraction (pc.day_of_week pinned to
+    DuckDB isodow semantics) through the in-block combiner."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        ts = b.column("ts")
+        t = pa.table({
+            "dow": pc.day_of_week(ts, count_from_zero=False,
+                                  week_start=1).cast(pa.int64()),
+            "hour": pc.hour(ts).cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+        g = t.group_by(["dow", "hour"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "dow": g.column("dow"),
+            "hour": g.column("hour"),
+            "n": g.column("cents_count").cast(pa.int64()),
+            "sum_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by(["dow", "hour"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")])
+        return pa.table({
+            "dow": g.column("dow"),
+            "hour": g.column("hour"),
+            "n": g.column("n_sum").cast(pa.int64()),
+            "sum_cents": g.column("sum_cents_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "events")
+            .select_columns(["ts", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(2, keys=["dow", "hour"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2941,6 +2985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "event_pivot_melt": _q_event_pivot_melt,
         "latest_event_per_user_type": _q_latest_event_per_user_type,
+        "events_dow_hour": _q_events_dow_hour,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3770,6 +3815,12 @@ def oracle_sql() -> dict[str, str]:
         "event_pivot_melt": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY user_id, event_type
+        """,
+        "events_dow_hour": """
+            SELECT isodow(ts) AS dow, hour(ts) AS hour,
+                   count(*) AS n,
+                   sum(cast(round(value * 100) AS bigint)) AS sum_cents
+            FROM events GROUP BY 1, 2
         """,
         "latest_event_per_user_type": """
             SELECT user_id, event_type, event_id, ts FROM (
