@@ -2901,6 +2901,22 @@ def _q_events_dow_hour(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_join_size_estimate(sf_dir: str):
+    """Planner statistic: HLL-estimated cardinality of orders⋈customer
+    without running the join (one KB-sized streaming pass per side) —
+    the reference's mergeable-sketch substrate applied to query
+    planning. Rows-only: returns the one-row statistics frame."""
+    import pandas as pd
+    from apache_datasketches_go_ray.stages.relational import (
+        estimate_join_size,
+    )
+
+    res = estimate_join_size(_read(sf_dir, "orders"),
+                             _read(sf_dir, "customer"),
+                             ("o_custkey", "c_custkey"))
+    return pd.DataFrame([res])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -2986,6 +3002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot_melt": _q_event_pivot_melt,
         "latest_event_per_user_type": _q_latest_event_per_user_type,
         "events_dow_hour": _q_events_dow_hour,
+        "join_size_estimate": _q_join_size_estimate,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,

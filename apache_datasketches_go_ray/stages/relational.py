@@ -589,3 +589,57 @@ def bloom_semi_join(left_ds, right_ds, on: tuple[str, str], *,
     pre = left_ds.map_batches(prefilter, batch_format="pyarrow",
                               zero_copy_batch=True)
     return semi_join(pre, right_ds, on)
+
+
+def estimate_join_size(left_ds, right_ds, on: tuple[str, str], *,
+                       lg_k: int = 12):
+    """Planner statistic: estimated row count of ``left ⋈ right`` on an
+    equi-key, WITHOUT running the join — the engine-side use of the
+    reference's mergeable-sketch substrate (SURVEY.md §3.1 template).
+
+    One streaming pass per side builds (a) an HLL sketch of the keys and
+    (b) exact per-block (key,count) partials folded into total rows, so
+    the estimate is |A∩B|_HLL × (rowsL/|L|) × (rowsR/|R|): the
+    inclusion-exclusion distinct intersection scaled by each side's mean
+    multiplicity. Exact for uniform multiplicities; a bounded-error
+    statistic otherwise — returned with the HLL relative-error bars.
+    Returns a dict (driver-side scalars, KB-sized state)."""
+    from ..state.hll import HllSketch, coupons_from_u64s
+
+    def side_stats(ds, key):
+        def partial(b: pa.Table) -> pa.Table:
+            keys = b.column(key).to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            sk = HllSketch(lg_k)
+            sk.update_coupons_bulk(coupons_from_u64s(keys))
+            return pa.table({
+                "sk": pa.array([sk.to_bytes()], type=pa.large_binary()),
+                "rows": pa.array([len(b)], type=pa.int64()),
+            })
+
+        merged, rows = HllSketch(lg_k), 0
+        for r in ds.select_columns([key]).map_batches(
+                partial, batch_format="pyarrow",
+                zero_copy_batch=True).take_all():
+            merged.merge(HllSketch.from_bytes(r["sk"]))
+            rows += r["rows"]
+        return merged, rows
+
+    lk, rk = on
+    skl, rows_l = side_stats(left_ds, lk)
+    skr, rows_r = side_stats(right_ds, rk)
+    nl, nr = skl.get_estimate(), skr.get_estimate()
+    union = HllSketch.from_bytes(skl.to_bytes())
+    union.merge(skr)
+    nu = union.get_estimate()
+    inter = max(nl + nr - nu, 0.0)
+    est = inter * (rows_l / max(nl, 1.0)) * (rows_r / max(nr, 1.0))
+    return {
+        "est_join_rows": est,
+        "est_distinct_left": nl,
+        "est_distinct_right": nr,
+        "est_distinct_intersection": inter,
+        "rows_left": rows_l,
+        "rows_right": rows_r,
+        "rel_err_2sd": skl.get_upper_bound(2) / max(nl, 1.0) - 1.0,
+    }

@@ -582,3 +582,27 @@ def test_window_suite_fuzz_vs_duckdb(ray_session):
                      ORDER BY cast(round(value*100) AS bigint) DESC,
                               event_id) AS rnk
             FROM ev QUALIFY rnk <= 2""").df())
+
+
+def test_join_size_estimate(events_tbl, con):
+    """HLL-based join-size statistic lands within the sketch error
+    envelope of the true join cardinality."""
+    from apache_datasketches_go_ray.stages.relational import (
+        estimate_join_size,
+    )
+
+    right_tbl = pa.table({
+        "uid": pa.array(np.repeat(np.arange(0, 7, dtype=np.int64), 3)),
+    })
+    con.register("js_right", right_tbl)
+    res = estimate_join_size(
+        ray.data.from_arrow(events_tbl).select_columns(["user_id"]),
+        ray.data.from_arrow(right_tbl), ("user_id", "uid"))
+    truth = con.execute("""
+        SELECT count(*) FROM events e JOIN js_right r
+        ON e.user_id = r.uid""").fetchone()[0]
+    assert truth > 0
+    # tiny key domains are exact in HLL's coupon regime; allow slack for
+    # the multiplicity-uniformity assumption only
+    assert abs(res["est_join_rows"] - truth) / truth < 0.15
+    assert res["rows_left"] == len(events_tbl)
