@@ -2917,6 +2917,71 @@ def _q_join_size_estimate(sf_dir: str):
     return pd.DataFrame([res])
 
 
+def _q_events_grouping_sets(sf_dir: str):
+    """General GROUPING SETS ((event_type), (day)): two independent
+    groupings of one pass over the data, unioned with 'ALL' markers —
+    the non-hierarchical cousin of ROLLUP. One combiner pass computes
+    the fine (type, day) grid; both sets fold from it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "day": day,
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "day": g.column("day"),
+            "sum_cents": g.column("cents_sum").cast(pa.int64()),
+            "n": g.column("cents_count").cast(pa.int64()),
+        })
+
+    def expand(b):
+        if len(b) == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "day": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_cents": pa.array([], type=pa.int64()),
+            })
+        by_type = b.group_by("event_type").aggregate(
+            [("sum_cents", "sum"), ("n", "sum")])
+        by_day = b.group_by("day").aggregate(
+            [("sum_cents", "sum"), ("n", "sum")])
+        return pa.concat_tables([
+            pa.table({
+                "event_type": by_type.column("event_type"),
+                "day": pa.array(["ALL"] * len(by_type),
+                                type=pa.string()),
+                "n": by_type.column("n_sum").cast(pa.int64()),
+                "sum_cents": by_type.column("sum_cents_sum")
+                .cast(pa.int64()),
+            }),
+            pa.table({
+                "event_type": pa.array(["ALL"] * len(by_day),
+                                       type=pa.string()),
+                "day": by_day.column("day"),
+                "n": by_day.column("n_sum").cast(pa.int64()),
+                "sum_cents": by_day.column("sum_cents_sum")
+                .cast(pa.int64()),
+            }),
+        ])
+
+    return (_read(sf_dir, "events")
+            .select_columns(["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(expand, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -3003,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user_type": _q_latest_event_per_user_type,
         "events_dow_hour": _q_events_dow_hour,
         "join_size_estimate": _q_join_size_estimate,
+        "events_grouping_sets": _q_events_grouping_sets,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3832,6 +3898,15 @@ def oracle_sql() -> dict[str, str]:
         "event_pivot_melt": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY user_id, event_type
+        """,
+        "events_grouping_sets": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+                   count(*) AS n,
+                   sum(cast(round(value * 100) AS bigint)) AS sum_cents
+            FROM events
+            GROUP BY GROUPING SETS ((event_type),
+                                    (strftime(ts, '%Y-%m-%d')))
         """,
         "events_dow_hour": """
             SELECT isodow(ts) AS dow, hour(ts) AS hour,
