@@ -2982,6 +2982,63 @@ def _q_events_grouping_sets(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_events_hopping_window(sf_dir: str):
+    """Hopping (sliding) event-time windows: 1-hour windows advancing
+    every 15 minutes — each event lands in 4 overlapping windows. The
+    streaming-style windowed aggregate as a batch op: 4× flat expansion
+    in the combiner (pure int64 bucket math), then the usual keyed
+    fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    HOP_US = 15 * 60 * 1_000_000
+    N_HOPS = 4  # window size 1h / hop 15min
+
+    def partial(b):
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.round(pc.multiply(b.column("value"), 100)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // HOP_US) * HOP_US
+        starts = np.concatenate(
+            [base - i * HOP_US for i in range(N_HOPS)])
+        t = pa.table({
+            "ws_us": pa.array(starts, type=pa.int64()),
+            "cents": pa.array(np.tile(cents, N_HOPS), type=pa.int64()),
+        })
+        g = t.group_by("ws_us").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "ws_us": g.column("ws_us"),
+            "n": g.column("cents_count").cast(pa.int64()),
+            "sum_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "window_start": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by("ws_us").aggregate(
+            [("n", "sum"), ("sum_cents", "sum")])
+        ws = pc.strftime(g.column("ws_us").cast(pa.timestamp("us")),
+                         format="%Y-%m-%d %H:%M")
+        return pa.table({
+            "window_start": ws,
+            "n": g.column("n_sum").cast(pa.int64()),
+            "sum_cents": g.column("sum_cents_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "events")
+            .select_columns(["ts", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["ws_us"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -3069,6 +3126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour": _q_events_dow_hour,
         "join_size_estimate": _q_join_size_estimate,
         "events_grouping_sets": _q_events_grouping_sets,
+        "events_hopping_window": _q_events_hopping_window,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3898,6 +3956,21 @@ def oracle_sql() -> dict[str, str]:
         "event_pivot_melt": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY user_id, event_type
+        """,
+        "events_hopping_window": """
+            WITH w AS (
+              SELECT unnest(generate_series(
+                       time_bucket(INTERVAL 15 MINUTES, ts)
+                         - INTERVAL 45 MINUTES,
+                       time_bucket(INTERVAL 15 MINUTES, ts),
+                       INTERVAL 15 MINUTES)) AS ws,
+                     value
+              FROM events
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+                   count(*) AS n,
+                   sum(cast(round(value * 100) AS bigint)) AS sum_cents
+            FROM w GROUP BY 1
         """,
         "events_grouping_sets": """
             SELECT coalesce(event_type, 'ALL') AS event_type,
