@@ -3039,6 +3039,110 @@ def _q_events_hopping_window(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    """Dedup analytics: per source, how many docs are exact duplicates
+    of some other doc (globally). Text-hash shuffle co-locates each
+    text's copies, the flag folds back per (source) — the measurement
+    every dedup run reports."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.functions.murmur3 import hash_strings
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def add_hash(b):
+        texts = as_array(b.column("text"))
+        h1, _ = hash_strings(texts.to_pylist())
+        return pa.table({
+            "source": b.column("source"),
+            "text": texts,
+            "text_hash": pa.array(h1, type=pa.uint64()),
+        })
+
+    def flag(b):
+        if len(b) == 0:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "n_dup_docs": pa.array([], type=pa.int64()),
+            })
+        counts = b.group_by("text").aggregate([("text", "count")])
+        joined = b.select(["source", "text"]).join(
+            counts, keys=["text"], join_type="inner")
+        dup = pc.greater(joined.column("text_count"), 1).cast(pa.int64())
+        t = pa.table({"source": joined.column("source"), "dup": dup})
+        g = t.group_by("source").aggregate(
+            [("dup", "sum"), ("dup", "count")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_docs": g.column("dup_count").cast(pa.int64()),
+            "n_dup_docs": g.column("dup_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_dup_docs", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_docs": g.column("n_docs_sum").cast(pa.int64()),
+            "n_dup_docs": g.column("n_dup_docs_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["source", "text"])
+            .map_batches(add_hash, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(8, keys=["text_hash"])
+            .map_batches(flag, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(2, keys=["source"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_cluster_size_histogram(sf_dir: str):
+    """Dedup report: histogram of near-dup cluster sizes from the
+    flagship pipeline output (rows-only: clusters are murmur-seeded).
+    Composition proof that the flagship output feeds ordinary
+    analytics."""
+    import pyarrow as pa
+
+    clusters = _q_transcript_dedup(sf_dir)
+
+    def partial(b):
+        g = b.group_by("cluster_id").aggregate([("conv_id", "count")])
+        return pa.table({
+            "cluster_id": g.column("cluster_id"),
+            "n": g.column("conv_id_count").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "cluster_size": pa.array([], type=pa.int64()),
+                "n_clusters": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by("cluster_id").aggregate([("n", "sum")])
+        h = pa.table({"size": g.column("n_sum").cast(pa.int64())}) \
+            .group_by("size").aggregate([("size", "count")])
+        return pa.table({
+            "cluster_size": h.column("size"),
+            "n_clusters": h.column("size_count").cast(pa.int64()),
+        })
+
+    return (clusters
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["cluster_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(lambda b: b.group_by("cluster_size").aggregate(
+                [("n_clusters", "sum")]).rename_columns(
+                ["cluster_size", "n_clusters"]),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -3127,6 +3231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": _q_join_size_estimate,
         "events_grouping_sets": _q_events_grouping_sets,
         "events_hopping_window": _q_events_hopping_window,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "cluster_size_histogram": _q_cluster_size_histogram,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -3956,6 +4062,16 @@ def oracle_sql() -> dict[str, str]:
         "event_pivot_melt": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY user_id, event_type
+        """,
+        "dup_rate_by_source": """
+            WITH d AS (
+              SELECT text, count(*) AS c FROM documents GROUP BY text
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END)
+                     AS n_dup_docs
+            FROM documents JOIN d USING (text)
+            GROUP BY source
         """,
         "events_hopping_window": """
             WITH w AS (
