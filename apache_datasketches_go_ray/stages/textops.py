@@ -60,20 +60,34 @@ def quality_stats_batch(batch: pa.Table, text_col: str = "text",
     empty = pc.equal(pc.utf8_trim_whitespace(texts), "")
     n_tokens = pc.if_else(empty, pa.scalar(0, type=pa.int64()), n_tokens)
 
-    tok_lists = toks.to_pylist()
-    sw = STOPWORDS["en"]
+    # fully vectorized per-token stats: flatten all tokens, compute
+    # per-token features with Arrow kernels, fold back per doc with
+    # bincount on list_parent_indices — no Python loop per row
     sw_ratio = np.zeros(n)
     digit_ratio = np.zeros(n)
     mean_tok = np.zeros(n)
-    for i, tl in enumerate(tok_lists):
-        if not tl or tl == [""]:
-            continue
-        lower = [t.lower() for t in tl]
-        sw_ratio[i] = sum(t in sw for t in lower) / len(lower)
-        digits = sum(c.isdigit() for t in tl for c in t)
-        total = sum(len(t) for t in tl)
-        digit_ratio[i] = digits / total if total else 0.0
-        mean_tok[i] = total / len(tl)
+    nonblank = pc.invert(empty).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    if len(flat):
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sw_hit = pc.is_in(
+            pc.utf8_lower(flat),
+            value_set=pa.array(sorted(STOPWORDS["en"]))) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        digits = pc.count_substring_regex(flat, r"\d") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(parent, minlength=n).astype(np.float64)
+        total = np.bincount(parent, weights=tok_len, minlength=n)
+        hits = np.bincount(parent, weights=sw_hit, minlength=n)
+        digs = np.bincount(parent, weights=digits, minlength=n)
+        ok = nonblank & (cnt > 0)
+        sw_ratio[ok] = hits[ok] / cnt[ok]
+        tot_ok = ok & (total > 0)
+        digit_ratio[tot_ok] = digs[tot_ok] / total[tot_ok]
+        mean_tok[ok] = total[ok] / cnt[ok]
     # simple composite score in [0,1]: long-enough, low digits, some
     # stopwords, sane token length
     nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -103,21 +117,35 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append lang_pred: argmax stopword-hit rate across built-in lists
     ('unknown' when nothing matches)."""
     texts = as_array(batch.column(text_col))
+    n = len(texts)
     toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
     langs = sorted(STOPWORDS)
-    preds = []
-    for tl in toks.to_pylist():
-        if not tl or tl == [""]:
-            preds.append("unknown")
-            continue
-        lower = [t.lower().strip(".,;:!?\"'()") for t in tl]
-        best, best_hits = "unknown", 0
-        for lg in langs:
-            hits = sum(t in STOPWORDS[lg] for t in lower)
-            if hits > best_hits:
-                best, best_hits = lg, hits
-        preds.append(best)
-    return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+    # vectorized: one is_in pass per language over the flattened lowered
+    # tokens, per-doc hit counts via bincount, argmax picks the FIRST
+    # max (same tie rule as the scalar loop: earlier lang wins, zero
+    # hits -> unknown)
+    preds = np.full(n, "unknown", dtype=object)
+    flat = pc.list_flatten(toks)
+    if len(flat):
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        lowered = pc.utf8_trim(pc.utf8_lower(flat),
+                               characters=".,;:!?\"'()")
+        hits = np.stack([
+            np.bincount(
+                parent,
+                weights=pc.is_in(
+                    lowered, value_set=pa.array(sorted(STOPWORDS[lg])))
+                .to_numpy(zero_copy_only=False).astype(np.float64),
+                minlength=n)
+            for lg in langs
+        ])
+        best = np.argmax(hits, axis=0)
+        best_hits = hits[best, np.arange(n)]
+        sel = best_hits > 0
+        preds[sel] = np.array(langs, dtype=object)[best[sel]]
+    return batch.append_column(
+        "lang_pred", pa.array(preds.tolist(), type=pa.string()))
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
