@@ -190,17 +190,62 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       window: int = 4) -> pa.Table:
     """Append doc_fingerprint: uint64 = fmix64-fold of the winnowing
     fingerprint set (order-independent document identity for near-exact
-    matching)."""
+    matching). Vectorized across ALL docs: one global sliding-min over
+    the flat hash array with windows crossing doc boundaries masked
+    out, short docs contributing their whole-doc min; per-doc unique +
+    xor fold via lexsort + reduceat — no per-doc Python loop."""
     texts = as_array(batch.column(text_col))
     tok_hashes, offsets = tokenize_column(texts)
     n = len(offsets) - 1
     out = np.zeros(n, dtype=np.uint64)
-    for i in range(n):
-        fp = winnowing_fingerprints(tok_hashes[offsets[i]:offsets[i + 1]], window)
-        if len(fp):
-            with np.errstate(over="ignore"):
-                out[i] = np.bitwise_xor.reduce(fmix64(fp))
-    return batch.append_column("doc_fingerprint", pa.array(out, type=pa.uint64()))
+    total = len(tok_hashes)
+    if total == 0:
+        return batch.append_column("doc_fingerprint",
+                                   pa.array(out, type=pa.uint64()))
+    h = fmix64(tok_hashes)
+    lens = np.diff(offsets)
+    parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cand_parent_list = []
+    cand_val_list = []
+    if total >= window:
+        win = np.lib.stride_tricks.sliding_window_view(h, window)
+        wmin = win.min(axis=1)
+        # window starting at i is within one doc iff its last element
+        # shares the parent of its first
+        wp = parent[: total - window + 1]
+        valid = wp == parent[window - 1:]
+        cand_parent_list.append(wp[valid])
+        cand_val_list.append(wmin[valid])
+    # docs with fewer than `window` tokens contribute their whole min.
+    # reduceat over the starts of ALL nonempty docs gives each doc's
+    # min (their extents tile the flat array); select the short ones.
+    short_mask = (lens > 0) & (lens < window)
+    if short_mask.any():
+        ne = lens > 0
+        doc_min_ne = np.minimum.reduceat(h, offsets[:-1][ne])
+        ne_ids = np.flatnonzero(ne)
+        sel = short_mask[ne_ids]
+        cand_parent_list.append(ne_ids[sel])
+        cand_val_list.append(doc_min_ne[sel])
+    if not cand_parent_list:
+        return batch.append_column("doc_fingerprint",
+                                   pa.array(out, type=pa.uint64()))
+    cp = np.concatenate(cand_parent_list)
+    cv = np.concatenate(cand_val_list)
+    order = np.lexsort((cv, cp))
+    cp, cv = cp[order], cv[order]
+    keep = np.empty(len(cp), dtype=bool)
+    keep[0] = True
+    keep[1:] = (cp[1:] != cp[:-1]) | (cv[1:] != cv[:-1])
+    cp, cv = cp[keep], cv[keep]
+    first = np.empty(len(cp), dtype=bool)
+    first[0] = True
+    np.not_equal(cp[1:], cp[:-1], out=first[1:])
+    with np.errstate(over="ignore"):
+        folded = np.bitwise_xor.reduceat(fmix64(cv), np.flatnonzero(first))
+    out[cp[np.flatnonzero(first)]] = folded
+    return batch.append_column("doc_fingerprint",
+                               pa.array(out, type=pa.uint64()))
 
 
 def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

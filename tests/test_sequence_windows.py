@@ -606,3 +606,33 @@ def test_join_size_estimate(events_tbl, con):
     # the multiplicity-uniformity assumption only
     assert abs(res["est_join_rows"] - truth) / truth < 0.15
     assert res["rows_left"] == len(events_tbl)
+
+
+def test_fingerprint_vectorized_matches_scalar():
+    """Batch winnowing fingerprint == per-doc scalar winnowing path,
+    including short docs, empties and boundary-straddling windows."""
+    import random
+
+    from apache_datasketches_go_ray.functions.murmur3 import fmix64
+    from apache_datasketches_go_ray.functions.shingle import tokenize_column
+    from apache_datasketches_go_ray.stages.textops import (
+        fingerprint_batch,
+        winnowing_fingerprints,
+    )
+
+    random.seed(9)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(random.choice(words)
+                      for _ in range(random.randint(0, 10)))
+             for _ in range(300)]
+    texts += ["", "  ", "one", "one two three", "a b c d e f g"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = fingerprint_batch(t)["doc_fingerprint"].to_numpy()
+    tok, off = tokenize_column(t.column("text").combine_chunks())
+    for i in range(len(texts)):
+        fp = winnowing_fingerprints(tok[off[i]:off[i + 1]], 4)
+        exp = np.uint64(0)
+        if len(fp):
+            with np.errstate(over="ignore"):
+                exp = np.bitwise_xor.reduce(fmix64(fp))
+        assert got[i] == exp, i
