@@ -573,17 +573,27 @@ def bloom_semi_join(left_ds, right_ds, on: tuple[str, str], *,
     ships once via ray.put, each left block drops non-members map-side
     (no shuffle), and the surviving ~(sel + fpr) fraction is verified
     with the exact broadcast semi-join. Result is exact; the bloom only
-    cuts shuffle/verify volume."""
+    cuts shuffle/verify volume. Integer keys hash directly; string keys
+    go through the parity murmur3-128 substrate first."""
+    from ..functions.murmur3 import hash_strings
+
+    def _key_u64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        arr = arr.combine_chunks() if isinstance(
+            arr, pa.ChunkedArray) else arr
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(
+                arr.type):
+            h1, _ = hash_strings(arr.to_pylist())
+            return h1.astype(np.int64)
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
     lk, rk = on
-    rkeys = _distinct_keys_table(right_ds, rk).column(rk) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
+    rkeys = _key_u64(_distinct_keys_table(right_ds, rk).column(rk))
     m_bits = max(64, bits_per_key * max(1, len(rkeys)))
     bits_ref = ray.put(_bloom_build(rkeys, m_bits))
 
     def prefilter(b: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
-        keys = b.column(lk).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        keys = _key_u64(b.column(lk))
         return b.filter(pa.array(_bloom_contains(bits, m_bits, keys)))
 
     pre = left_ds.map_batches(prefilter, batch_format="pyarrow",

@@ -636,3 +636,21 @@ def test_fingerprint_vectorized_matches_scalar():
             with np.errstate(over="ignore"):
                 exp = np.bitwise_xor.reduce(fmix64(fp))
         assert got[i] == exp, i
+
+
+def test_bloom_semi_join_string_keys(events_tbl, con):
+    from apache_datasketches_go_ray.stages.relational import bloom_semi_join
+
+    left = ray.data.from_arrow(events_tbl).map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("event_id"),
+            "etype": b.column("event_type"),
+        }), batch_format="pyarrow")
+    right_tbl = pa.table({"t": pa.array(["view", "purchase"])})
+    con.register("bloom_sright", right_tbl)
+    mine = bloom_semi_join(left, ray.data.from_arrow(right_tbl),
+                           ("etype", "t")).to_pandas()
+    oracle = con.execute("""
+        SELECT event_id, event_type AS etype FROM events
+        WHERE event_type IN ('view', 'purchase')""").df()
+    _cmp(mine, oracle)
