@@ -3143,6 +3143,100 @@ def _q_cluster_size_histogram(sf_dir: str):
                 zero_copy_batch=True))
 
 
+def _q_user_spend_summary(sf_dir: str):
+    """Aggregate-of-aggregate: per-user spend totals re-aggregated into
+    one global summary row (n_users, total, min/max per-user cents) —
+    the two-level rollup shape, all int64."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        t = pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+        g = t.group_by("user_id").aggregate([("cents", "sum")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("user_id").aggregate([("cents", "sum")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def final(b):
+        if len(b) == 0:
+            return pa.table({
+                "n_users": pa.array([], type=pa.int64()),
+                "total_cents": pa.array([], type=pa.int64()),
+                "min_user_cents": pa.array([], type=pa.int64()),
+                "max_user_cents": pa.array([], type=pa.int64()),
+            })
+        c = b.column("cents")
+        return pa.table({
+            "n_users": pa.array([len(b)], type=pa.int64()),
+            "total_cents": pa.array([pc.sum(c).as_py()], type=pa.int64()),
+            "min_user_cents": pa.array([pc.min(c).as_py()],
+                                       type=pa.int64()),
+            "max_user_cents": pa.array([pc.max(c).as_py()],
+                                       type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "events")
+            .select_columns(["user_id", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_docs_containing_pattern(sf_dir: str):
+    """LIKE filter surface: per-language count of documents containing
+    a literal substring (vectorized match_substring — the predicate
+    pushdown every scan runs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    PAT = "and"
+
+    def partial(b):
+        hit = pc.match_substring(b.column("text"), PAT).cast(pa.int64())
+        t = pa.table({"lang": b.column("lang"), "hit": hit})
+        g = t.group_by("lang").aggregate([("hit", "sum"),
+                                          ("hit", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "n_docs": g.column("hit_count").cast(pa.int64()),
+            "n_match": g.column("hit_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("lang").aggregate([("n_docs", "sum"),
+                                          ("n_match", "sum")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "n_docs": g.column("n_docs_sum").cast(pa.int64()),
+            "n_match": g.column("n_match_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["lang", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(2, keys=["lang"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -3233,6 +3327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": _q_events_hopping_window,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "cluster_size_histogram": _q_cluster_size_histogram,
+        "user_spend_summary": _q_user_spend_summary,
+        "docs_containing_pattern": _q_docs_containing_pattern,
         # murmur-substrate / approximate operators (rows-only checks)
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -4062,6 +4158,23 @@ def oracle_sql() -> dict[str, str]:
         "event_pivot_melt": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY user_id, event_type
+        """,
+        "user_spend_summary": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(cast(round(value * 100) AS bigint)) AS cents
+              FROM events GROUP BY user_id
+            )
+            SELECT count(*) AS n_users, sum(cents) AS total_cents,
+                   min(cents) AS min_user_cents,
+                   max(cents) AS max_user_cents
+            FROM u
+        """,
+        "docs_containing_pattern": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(CASE WHEN text LIKE '%and%' THEN 1 ELSE 0 END)
+                     AS n_match
+            FROM documents GROUP BY lang
         """,
         "dup_rate_by_source": """
             WITH d AS (
