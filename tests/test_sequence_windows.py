@@ -654,3 +654,67 @@ def test_bloom_semi_join_string_keys(events_tbl, con):
         SELECT event_id, event_type AS etype FROM events
         WHERE event_type IN ('view', 'purchase')""").df()
     _cmp(mine, oracle)
+
+
+def test_window_ops_under_heavy_skew(ray_session):
+    """One key owning ~85% of all rows (the documented skew case): the
+    single-shuffle window ops must stay correct — the hot key lands in
+    one block and the kernels are O(block)."""
+    import duckdb
+
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_quantile_disc,
+        mode_per_group,
+    )
+    from apache_datasketches_go_ray.stages.windows import running_sum
+
+    rng = np.random.default_rng(77)
+    n = 5000
+    user = np.where(rng.random(n) < 0.85, 0,
+                    rng.integers(1, 40, n)).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(user, type=pa.int64()),
+        "ts": pa.array([BASE + datetime.timedelta(seconds=int(s))
+                        for s in np.cumsum(rng.integers(1, 30, n))],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(
+            rng.choice(["a", "b", "c"], n).tolist()),
+        "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+    })
+    c = duckdb.connect()
+    c.register("skew_ev", t)
+    ds = ray.data.from_arrow(t)
+    mine = running_sum(ds, num_partitions=6).to_pandas()
+    oracle = c.execute("""
+        SELECT event_id, user_id,
+               row_number() OVER w AS row_no,
+               sum(cast(round(value*100) AS bigint)) OVER w AS run_cents
+        FROM skew_ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""").df()
+    _cmp(mine, oracle)
+    m2 = mode_per_group(ds, "user_id", "event_type",
+                        num_partitions=6).to_pandas()
+    o2 = c.execute("""
+        SELECT user_id, event_type AS top_value, cnt FROM (
+          SELECT user_id, event_type, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC,
+                                             event_type) AS rn
+          FROM skew_ev GROUP BY 1, 2) WHERE rn = 1""").df()
+    _cmp(m2, o2)
+    prep = ds.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "cents": pa.compute.round(
+            pa.compute.multiply(b.column("value"), 100))
+        .cast(pa.int64()),
+    }), batch_format="pyarrow")
+    m3 = grouped_quantile_disc(prep, "user_id", "cents", (0.5,),
+                               num_partitions=6).to_pandas() \
+        .rename(columns={"user_id": "k"})
+    o3 = c.execute("""
+        SELECT user_id AS k,
+               quantile_disc(cast(round(value*100) AS bigint), 0.5)
+                 AS q50
+        FROM skew_ev GROUP BY user_id""").df()
+    _cmp(m3, o3)
