@@ -3237,6 +3237,74 @@ def _q_docs_containing_pattern(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_transcript_tool_usage(sf_dir: str):
+    """Per-tool usage profile over the transcript table: call counts,
+    distinct conversations and mean call-text length per tool name —
+    direct coverage of the input_hint's tool column. Pre-distinct
+    (tool, conv) combiner + tool-key fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+
+    def partial(b):
+        sel = pc.not_equal(b.column("tool"), "")
+        t = pa.table({
+            "tool": b.column("tool").filter(sel),
+            "conv_id": b.column("conv_id").filter(sel),
+            "tlen": pc.utf8_length(b.column("text").filter(sel))
+                .cast(pa.int64()),
+        })
+        g = t.group_by(["tool", "conv_id"]).aggregate(
+            [("tlen", "sum"), ("tlen", "count")])
+        return pa.table({
+            "tool": g.column("tool"),
+            "conv_id": g.column("conv_id"),
+            "sum_len": g.column("tlen_sum").cast(pa.int64()),
+            "n_calls": g.column("tlen_count").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "tool": pa.array([], type=pa.string()),
+                "n_calls": pa.array([], type=pa.int64()),
+                "n_convs": pa.array([], type=pa.int64()),
+                "mean_call_len": pa.array([], type=pa.float64()),
+            })
+        d0 = b.group_by(["tool", "conv_id"]).aggregate(
+            [("sum_len", "sum"), ("n_calls", "sum")])
+        d = pa.table({
+            "tool": d0.column("tool"),
+            "conv_id": d0.column("conv_id"),
+            "sum_len": d0.column("sum_len_sum"),
+            "n_calls": d0.column("n_calls_sum"),
+        })
+        g = d.group_by("tool").aggregate(
+            [("n_calls", "sum"), ("sum_len", "sum"),
+             ("conv_id", "count")])
+        calls = g.column("n_calls_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lens = g.column("sum_len_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "tool": g.column("tool"),
+            "n_calls": g.column("n_calls_sum").cast(pa.int64()),
+            "n_convs": g.column("conv_id_count").cast(pa.int64()),
+            "mean_call_len": pa.array(
+                np.round(lens / np.maximum(calls, 1), 3),
+                type=pa.float64()),
+        })
+
+    return (ds.select_columns(["tool", "conv_id", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["tool"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipeline (north_rule)
@@ -3247,6 +3315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_turns": _q_boilerplate_turns,
         "transcript_reply_latency": _q_transcript_reply_latency,
         "fuzzy_boilerplate_turns": _q_fuzzy_boilerplate_turns,
+        "transcript_tool_usage": _q_transcript_tool_usage,
         # exact, SQL-oracled operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_counts": _q_token_counts,

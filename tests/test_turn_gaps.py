@@ -149,3 +149,34 @@ def test_fuzzy_boilerplate_matches_pandas(ray_session):
     got = sorted(zip(-out["n_convs"].to_numpy(),
                      out["simhash"].to_numpy()))
     assert got == [(int(a), int(b)) for a, b in exp]
+
+
+def test_tool_usage_matches_pandas(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["transcript_tool_usage"](
+        "/root/testdata/sf0.001").to_pandas() \
+        .sort_values("tool", ignore_index=True)
+
+    tdir = entrymod._transcripts_dir("/root/testdata/sf0.001")
+    df = ray.data.read_parquet(tdir).to_pandas()
+    df = df[df["tool"] != ""]
+    rows = []
+    for tool, g in df.groupby("tool", sort=True):
+        lens = g["text"].str.len()
+        rows.append({
+            "tool": tool,
+            "n_calls": len(g),
+            "n_convs": g["conv_id"].nunique(),
+            "mean_call_len": round(float(lens.mean()), 3),
+        })
+    import pandas as pd
+
+    exp = pd.DataFrame(rows)
+    assert len(out) == len(exp) and len(out) > 0
+    assert (out["tool"] == exp["tool"]).all()
+    assert (out["n_calls"].to_numpy() == exp["n_calls"].to_numpy()).all()
+    assert (out["n_convs"].to_numpy() == exp["n_convs"].to_numpy()).all()
+    assert np.allclose(out["mean_call_len"], exp["mean_call_len"],
+                       atol=1e-9)
