@@ -171,8 +171,10 @@ def _cluster_local(edges) -> pa.Table:
     identical output to the distributed fixed point."""
     from ..state.unionfind import connected_components_numpy
 
-    blocks = [t for t in ray.get(edges.to_arrow_refs()) if len(t)]
-    tbl = pa.concat_tables(blocks).combine_chunks()
+    from .context import gather_table
+
+    tbl = gather_table(
+        edges, schema=pa.schema([("a", pa.string()), ("b", pa.string())]))
     a = np.asarray(tbl.column("a").to_pylist(), dtype=object)
     b = np.asarray(tbl.column("b").to_pylist(), dtype=object)
     uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)

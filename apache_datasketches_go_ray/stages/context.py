@@ -34,3 +34,24 @@ def target_block_size(bytes_: int | None = None) -> None:
 
     if bytes_ is not None:
         DataContext.get_current().target_max_block_size = bytes_
+
+
+def gather_table(ds, schema=None):
+    """Materialize a (small) Dataset into one local pyarrow.Table.
+
+    Zero-row blocks out of a union/repartition can carry an EMPTY schema
+    when the read splits into many blocks (observed with SplitBlocks at
+    num_cpus=32) and ``pa.concat_tables`` rejects the mixed schemas —
+    so empty blocks are dropped first, and when *every* block is empty
+    the dataset's own schema (or the ``schema`` fallback) supplies an
+    empty table. Only call this on bounded small sides (broadcast
+    tables, winner sets, shrunken edge lists)."""
+    import pyarrow as pa
+    import ray
+
+    blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if blocks:
+        return pa.concat_tables(blocks).combine_chunks()
+    if schema is None:
+        schema = ds.schema().base_schema
+    return schema.empty_table()

@@ -813,7 +813,7 @@ def consecutive_edit_distance(ds, id_col: str = "doc_id",
             return pa.table({
                 "doc_a": pa.array([], type=pa.int64()),
                 "doc_b": pa.array([], type=pa.int64()),
-                "dist": pa.array([], type=pa.int32()),
+                "dist": pa.array([], type=pa.int64()),
             })
         keys = as_array(batch.column("pair_key")) \
             .to_numpy(zero_copy_only=False)
@@ -834,7 +834,7 @@ def consecutive_edit_distance(ds, id_col: str = "doc_id",
         return pa.table({
             "doc_a": pa.array(sk[full], type=pa.int64()),
             "doc_b": pa.array(sk[full] + 1, type=pa.int64()),
-            "dist": pa.array(dist, type=pa.int32()),
+            "dist": pa.array(dist, type=pa.int64()),
         })
 
     return (

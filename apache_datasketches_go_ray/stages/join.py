@@ -77,8 +77,9 @@ def hash_join(left_ds, right_ds, on: tuple[str, str], *,
     right_ds = right_ds.materialize()
 
     if right_ds.size_bytes() <= broadcast_threshold:
-        right_tbl = pa.concat_tables(
-            ray.get(right_ds.to_arrow_refs())).combine_chunks()
+        from .context import gather_table
+
+        right_tbl = gather_table(right_ds)
         right_ref = ray.put(right_tbl)
         return left_ds.map_batches(
             functools.partial(_bcast_join_batch, right_ref=right_ref,

@@ -55,10 +55,15 @@ def detect_hot_bands(sig_ds, config: DedupConfig) -> np.ndarray:
     Partition-independent: membership in the sample is decided by
     murmur(conv_id) % hot_sample_rate, so the result is a pure function
     of the data. The sampled band rows are ~1/rate of the full explode,
-    value-counted per block and merged on the driver (tiny at the
-    configured rate; raise hot_sample_rate with corpus size to keep the
-    driver merge bounded)."""
+    value-counted per block (combiner), exactly folded under one keyed
+    shuffle, and thresholded BEFORE anything reaches the driver — so
+    driver memory is O(hot bands), not O(sampled distinct bands), and
+    no per-row Python loop runs anywhere. Exact counting (not a freq
+    sketch) keeps the decision deterministic: a Misra-Gries merge is
+    order-dependent, and the hot set must reproduce bit-for-bit for
+    cluster parity with the single-process oracle."""
     rate = np.uint64(config.hot_sample_rate)
+    threshold = int(config.hot_sampled_count)
 
     def partial(batch: pa.Table) -> pa.Table:
         from .arrow_util import as_array
@@ -77,19 +82,30 @@ def detect_hot_bands(sig_ds, config: DedupConfig) -> np.ndarray:
         return pa.table({"h": pa.array(uniq, type=pa.uint64()),
                          "cnt": pa.array(cnt, type=pa.int64())})
 
-    totals: dict[int, int] = {}
-    for blk in sig_ds.select_columns(["conv_id", "bands"]).map_batches(
-            partial, batch_format="pyarrow",
-            zero_copy_batch=True).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        hs = blk.column("h").to_numpy(zero_copy_only=False)
-        cs = blk.column("cnt").to_numpy(zero_copy_only=False)
-        for hh, cc in zip(hs.tolist(), cs.tolist()):
-            totals[hh] = totals.get(hh, 0) + cc
-    hot = np.array(
-        sorted(h for h, c in totals.items() if c >= config.hot_sampled_count),
-        dtype=np.uint64,
-    )
+    def fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"h": pa.array([], type=pa.uint64())})
+        g = batch.group_by("h").aggregate([("cnt", "sum")])
+        hs = g.column("h").to_numpy(zero_copy_only=False)
+        cs = g.column("cnt_sum").to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(hs[cs >= threshold],
+                                       type=pa.uint64())})
+
+    P = max(2, min(int(config.num_partitions), 16))
+    hot_ds = (sig_ds.select_columns(["conv_id", "bands"])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(P, keys=["h"])
+              .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True))
+    parts = [blk.column("h").to_numpy(zero_copy_only=False)
+             for blk in hot_ds.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")
+             if len(blk)]
+    if not parts:
+        return np.array([], dtype=np.uint64)
+    hot = np.concatenate(parts).astype(np.uint64)
+    hot.sort()
     return hot
 
 

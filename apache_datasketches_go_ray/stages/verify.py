@@ -322,8 +322,9 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
 
     if cand_sigs.size_bytes() <= broadcast_threshold:
         # ---- broadcast path: candidate payload fits the object store ----
-        cand_tbl = pa.concat_tables(
-            ray.get(cand_sigs.to_arrow_refs())).combine_chunks()
+        from .context import gather_table
+
+        cand_tbl = gather_table(cand_sigs)
         cand_ref = ray.put(cand_tbl)
         if dedup_pairs:
             # co-locate duplicate (a, b) rows so the map's in-block dedup

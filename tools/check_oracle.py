@@ -65,8 +65,14 @@ def main():
         if name not in oracles:
             results[name] = f"rows-only rows={len(mine)} ({dt:.1f}s)"
             continue
+        sql = oracles[name]
+        # transcript oracles embed the driver tier's (sf0.01) cache
+        # path; point them at the tier under test instead
+        tier = os.path.basename(os.path.normpath(sf_dir))
+        sql = sql.replace("/tmp/adgr_entry_cache/sf0.01/",
+                          f"/tmp/adgr_entry_cache/{tier}/")
         try:
-            oracle = canon(con.execute(oracles[name]).df())
+            oracle = canon(con.execute(sql).df())
         except Exception as e:
             results[name] = f"SQL-ERROR {type(e).__name__}: {e}"
             continue
@@ -80,6 +86,15 @@ def main():
                 ok_vals = True
                 for c in m.columns:
                     a, b = m[c], o[c]
+                    # the driver hashes raw values, so a dtype mismatch
+                    # (e.g. DuckDB HUGEINT->float64 vs engine int64) fails
+                    # its gate even when values are equal — flag it hard
+                    if a.dtype != b.dtype:
+                        ok_vals = False
+                        results.setdefault(
+                            "_detail_" + name,
+                            f"DTYPE col {c}: mine={a.dtype} oracle={b.dtype}")
+                        continue
                     if a.dtype.kind == "f" or b.dtype.kind == "f":
                         same = (
                             (a.astype(float) - b.astype(float)).abs() < 1e-12
