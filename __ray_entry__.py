@@ -1929,6 +1929,25 @@ def _q_top3_events_per_user(sf_dir: str):
                            num_partitions=8, nrows=nrows)
 
 
+def _q_kll_source_quantiles(sf_dir: str):
+    """Per-language quartiles of the SOURCE STRING column via the
+    generic-items KLL runtime (KllItemsSketch — the reference's
+    ItemsSketch[C] string path, kll/items_sketch.go:29-37). k is sized
+    to the corpus (next pow2 >= row count) so the sketch stays in the
+    exact no-compaction regime and quantiles are the exact
+    percentile_disc order statistics at every sf tier; at true scale
+    one fixes k and accepts the published rank error."""
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        string_quantiles_by,
+    )
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    k = min(65535,
+            max(4096, 1 << int(np.ceil(np.log2(max(docs.count(), 1))))))
+    return string_quantiles_by(docs, "lang", "source",
+                               (0.25, 0.5, 0.75), k=k, num_partitions=4)
+
+
 def _q_lang_quantiles_exact(sf_dir: str):
     """Exact per-language quartiles of document length — ANSI
     percentile_disc semantics (element at 1-based index ceil(q*n)),
@@ -3406,6 +3425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_depth": _q_funnel_depth,
         "top3_events_per_user": _q_top3_events_per_user,
         "lang_quantiles_exact": _q_lang_quantiles_exact,
+        "kll_source_quantiles_by_lang": _q_kll_source_quantiles,
         "order_quartiles": _q_order_quartiles,
         "events_rollup": _q_events_rollup,
         "users_intersect_customers": _q_users_intersect_customers,
@@ -4188,6 +4208,13 @@ def oracle_sql() -> dict[str, str]:
                               event_id) AS rnk
             FROM events
             QUALIFY rnk <= 3
+        """,
+        "kll_source_quantiles_by_lang": """
+            SELECT lang, count(*) AS n,
+                   quantile_disc(source, 0.25) AS q25,
+                   quantile_disc(source, 0.50) AS q50,
+                   quantile_disc(source, 0.75) AS q75
+            FROM documents GROUP BY lang
         """,
         "lang_quantiles_exact": """
             SELECT lang,

@@ -49,9 +49,17 @@ def gather_table(ds, schema=None):
     import pyarrow as pa
     import ray
 
-    blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    all_blocks = ray.get(ds.to_arrow_refs())
+    blocks = [t for t in all_blocks if t.num_rows > 0]
     if blocks:
         return pa.concat_tables(blocks).combine_chunks()
     if schema is None:
-        schema = ds.schema().base_schema
+        ds_schema = ds.schema(fetch_if_missing=False)
+        if ds_schema is not None:
+            schema = ds_schema.base_schema
+        else:
+            # all-empty dataset with unknown schema: recover from any
+            # zero-row block that still carries real column metadata
+            schema = next((t.schema for t in all_blocks
+                           if t.schema.names), pa.schema([]))
     return schema.empty_table()

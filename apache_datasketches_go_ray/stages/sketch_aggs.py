@@ -322,3 +322,81 @@ def approx_top_k_by(ds, group_col: str, item_col: str, k: int = 10,
         .map_batches(combine, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def string_quantiles_by(ds, group_col: str, value_col: str, ranks,
+                        k: int = 200, num_partitions: int = 16):
+    """Grouped KLL quantiles over an ORDERED ITEM column (strings):
+    the generic-items runtime path (kll/items_sketch.go:29-37 — the
+    reference's ItemsSketch[C] with an injected ordering; its own serde
+    tests exercise string sketches). Same partial/shuffle/merge shape
+    as approx_quantiles_by; when k >= the per-group item count the
+    sketch never compacts and get_quantile is the exact ceil(r*n)-th
+    order statistic (ANSI percentile_disc), making the operator
+    SQL-oracle-checkable at test scale."""
+    from ..state.kll import KllItemsSketch
+
+    ranks = [float(r) for r in ranks]
+    rank_cols = [f"q{int(round(r * 100)):02d}" for r in ranks]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gs = as_array(batch.column(group_col)).cast(pa.string()) \
+            .to_numpy(zero_copy_only=False)
+        vals = np.asarray(
+            as_array(batch.column(value_col)).cast(pa.string()).to_pylist(),
+            dtype=object)
+        order = np.argsort(gs, kind="stable")
+        gs, vals = gs[order], vals[order]
+        newgrp = np.ones(len(gs), dtype=bool)
+        if len(gs) > 1:
+            newgrp[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(newgrp)
+        ends = np.concatenate([starts[1:], [len(gs)]])
+        out_g, out_s = [], []
+        for s, e in zip(starts, ends):
+            sk = KllItemsSketch(k)
+            sk.update_many(vals[s:e])
+            out_g.append(gs[s])
+            out_s.append(sk.to_bytes())
+        return pa.table({group_col: pa.array(out_g, type=pa.string()),
+                         "sk": pa.array(out_s, type=pa.large_binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            cols = {group_col: pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64())}
+            for c in rank_cols:
+                cols[c] = pa.array([], type=pa.string())
+            return pa.table(cols)
+        gs = np.asarray(as_array(batch.column(group_col)).to_pylist(),
+                        dtype=object)
+        sks = as_array(batch.column("sk")).to_pylist()
+        order = np.argsort(gs, kind="stable")
+        out = {group_col: [], "n": []}
+        for c in rank_cols:
+            out[c] = []
+        i = 0
+        while i < len(order):
+            j = i
+            sk = KllItemsSketch.from_bytes(sks[order[i]])
+            while j + 1 < len(order) and gs[order[j + 1]] == gs[order[i]]:
+                j += 1
+                sk.merge(KllItemsSketch.from_bytes(sks[order[j]]))
+            out[group_col].append(str(gs[order[i]]))
+            out["n"].append(sk.n)
+            for r, c in zip(ranks, rank_cols):
+                out[c].append(sk.get_quantile(r))
+            i = j + 1
+        cols = {group_col: pa.array(out[group_col], type=pa.string()),
+                "n": pa.array(out["n"], type=pa.int64())}
+        for c in rank_cols:
+            cols[c] = pa.array(out[c], type=pa.string())
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions, keys=[group_col])
+        .map_batches(combine, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

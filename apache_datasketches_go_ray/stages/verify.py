@@ -39,7 +39,6 @@ import pyarrow.compute as pc
 import ray
 
 from ..config import DedupConfig
-from ..functions.jaccard import intersect_size
 from ..functions.murmur3 import hash_strings
 from ..functions.suffixarray import longest_common_substring
 from .arrow_util import as_array
@@ -137,32 +136,47 @@ def _attach_endpoint(ds, cand_sigs, key_col: str, suffix: str, P: int,
 # phase 1: exact Jaccard on shingle sets (no texts anywhere)
 # ---------------------------------------------------------------------------
 
+def _binary_views(col, n: int):
+    """large_binary column -> (uint64 view of the data buffer, element
+    start offsets in uint64 units, per-row null mask). Rows are
+    contiguous in the data buffer, so slices/flattening are pure
+    offsets math — no per-row Python materialization."""
+    arr = as_array(col)
+    nulls = np.zeros(n, dtype=bool)
+    if arr.null_count:
+        nulls = np.asarray(arr.is_null())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset: arr.offset + n + 1]
+    buf = arr.buffers()[2]
+    u64 = (np.frombuffer(buf, dtype=np.uint64) if buf is not None
+           else np.empty(0, dtype=np.uint64))
+    return u64, offs // 8, nulls
+
+
 def _verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     n = len(batch)
-    sh_a_list = batch.column("shingles_a").to_pylist()
-    sh_b_list = batch.column("shingles_b").to_pylist()
-    jac = np.zeros(n)
-    con = np.zeros(n)
-    ok = np.zeros(n, dtype=bool)
-    method = np.empty(n, dtype=object)
-    for i in range(n):
-        if sh_a_list[i] is None or sh_b_list[i] is None:
-            method[i] = "rejected"
-            continue
-        A = np.frombuffer(sh_a_list[i], dtype=np.uint64)
-        B = np.frombuffer(sh_b_list[i], dtype=np.uint64)
-        inter = intersect_size(A, B)
-        union = len(A) + len(B) - inter
-        m = min(len(A), len(B))
-        jac[i] = inter / union if union else 1.0
-        con[i] = inter / m if m else (1.0 if len(A) == len(B) else 0.0)
-        if jac[i] >= cfg.jaccard_threshold:
-            ok[i] = True
-            method[i] = "jaccard"
-        elif con[i] >= cfg.containment_threshold:
-            method[i] = "needs_text"
-        else:
-            method[i] = "rejected"
+    if n == 0:
+        return _VERIFY_SCHEMA.empty_table()
+    from ..functions.jaccard import intersect_sizes_pairs
+
+    u64a, st_a, null_a = _binary_views(batch.column("shingles_a"), n)
+    u64b, st_b, null_b = _binary_views(batch.column("shingles_b"), n)
+    len_a = np.diff(st_a)
+    len_b = np.diff(st_b)
+    inter = intersect_sizes_pairs(
+        u64a[st_a[0]: st_a[-1]], len_a, u64b[st_b[0]: st_b[-1]], len_b)
+    union = len_a + len_b - inter
+    m = np.minimum(len_a, len_b)
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    con = np.where(m > 0, inter / np.maximum(m, 1),
+                   (len_a == len_b).astype(np.float64))
+    bad = null_a | null_b
+    jac[bad] = 0.0
+    con[bad] = 0.0
+    ok = ~bad & (jac >= cfg.jaccard_threshold)
+    needs = ~bad & ~ok & (con >= cfg.containment_threshold)
+    method = np.where(ok, "jaccard",
+                      np.where(needs, "needs_text", "rejected"))
     return pa.table(
         {
             "a": batch.column("a"),
@@ -239,30 +253,23 @@ def _broadcast_verify_batch(batch: pa.Table, cand_ref, cfg: DedupConfig,
     entry = _BCAST_CACHE.get(key)
     if entry is None:
         tbl = ray.get(cand_ref)
-        idx = {c: i for i, c in enumerate(tbl.column("conv_id").to_pylist())}
-        entry = (tbl, idx)
+        # contiguous arrays once per actor; lookups below are Arrow
+        # C++ kernels (index_in + take), never per-row Python
+        entry = (as_array(tbl.column("conv_id")),
+                 as_array(tbl.column("shingles")))
         _BCAST_CACHE[key] = entry
-    tbl, idx = entry
+    conv_arr, sh_arr = entry
     if dedup_pairs and len(batch):
         batch = batch.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
-    sh_col = tbl.column("shingles")
-    a_list = batch.column("a").to_pylist()
-    b_list = batch.column("b").to_pylist()
-    n = len(batch)
-    sh_a = [None] * n
-    sh_b = [None] * n
-    for i in range(n):
-        ia = idx.get(a_list[i])
-        ib = idx.get(b_list[i])
-        if ia is not None:
-            sh_a[i] = sh_col[ia].as_py()
-        if ib is not None:
-            sh_b[i] = sh_col[ib].as_py()
+    a_arr = as_array(batch.column("a")).cast(pa.string())
+    b_arr = as_array(batch.column("b")).cast(pa.string())
+    ia = pc.index_in(a_arr, value_set=conv_arr)
+    ib = pc.index_in(b_arr, value_set=conv_arr)
     joined = pa.table({
-        "a": pa.array(a_list, type=pa.string()),
-        "b": pa.array(b_list, type=pa.string()),
-        "shingles_a": pa.array(sh_a, type=pa.large_binary()),
-        "shingles_b": pa.array(sh_b, type=pa.large_binary()),
+        "a": a_arr,
+        "b": b_arr,
+        "shingles_a": sh_arr.take(ia),  # null index -> null payload
+        "shingles_b": sh_arr.take(ib),
     })
     return _verify_batch(joined, cfg)
 
@@ -301,13 +308,28 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
         h, _ = hash_strings(both.to_pylist())
         return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
 
+    def uniq_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"h": pa.array([], type=pa.uint64())})
+        return pa.table({"h": pa.array(
+            np.unique(b.column("h").to_numpy(zero_copy_only=False)),
+            type=pa.uint64())})
+
+    # cross-block dedup under a keyed shuffle BEFORE the gather, so the
+    # driver receives each candidate hash exactly once — driver memory
+    # is O(unique candidate ids), the same array the broadcast semi-join
+    # must hold anyway, not O(sum of per-block id lists)
     hash_parts = [
         blk.column("h").to_numpy(zero_copy_only=False)
         for blk in pairs_ds.map_batches(
             ids_block, batch_format="pyarrow", zero_copy_batch=True,
-        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ).repartition(P, keys=["h"])
+        .map_batches(uniq_fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(blk)
     ]
-    cand_hashes = (np.unique(np.concatenate(hash_parts))
+    cand_hashes = (np.sort(np.concatenate(hash_parts))
                    if hash_parts else np.empty(0, dtype=np.uint64))
     ids_ref = ray.put(cand_hashes)
 

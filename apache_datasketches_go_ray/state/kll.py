@@ -224,3 +224,185 @@ class KllSketch:
                                            count=cnt, offset=off).copy())
             off += cnt * 8
         return sk
+
+
+class KllItemsSketch:
+    """Generic ordered-item KLL sketch — the runtime analogue of the
+    reference's ``ItemsSketch[C]`` with an injected ordering
+    (kll/items_sketch.go:29-37, common/types.go:20); strings are the
+    primary item type (the reference's own serde tests use string
+    sketches). Identical level machinery to :class:`KllSketch`
+    (capacities, deterministic alternating-offset halving, merge by
+    level replay), with items held in numpy object arrays so any
+    Python-comparable type works.
+
+    Serde is utf-8 string-specific (matching the string golden-file
+    layer in state/serde_compat.py)."""
+
+    def __init__(self, k: int = DEFAULT_K):
+        if not (MIN_M <= k <= 65535):
+            raise ValueError("k out of range")
+        self.k = k
+        self.min_k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=object)]
+        self._compact_count = 0
+        self.n = 0
+        self.min_item = None
+        self.max_item = None
+
+    # -- update -------------------------------------------------------------
+    def update(self, item) -> None:
+        self.update_many([item])
+
+    def update_many(self, items) -> None:
+        vals = np.asarray([i for i in items if i is not None], dtype=object)
+        if len(vals) == 0:
+            return
+        self.n += len(vals)
+        lo = min(vals)
+        hi = max(vals)
+        self.min_item = lo if self.min_item is None \
+            else min(self.min_item, lo)
+        self.max_item = hi if self.max_item is None \
+            else max(self.max_item, hi)
+        pos = 0
+        while pos < len(vals):
+            cap0 = _level_capacity(self.k, len(self.levels), 0)
+            room = max(cap0 - len(self.levels[0]), 32)
+            chunk = vals[pos : pos + room]
+            pos += len(chunk)
+            self.levels[0] = np.concatenate([self.levels[0], chunk])
+            self._compress()
+
+    def _capacity(self) -> int:
+        return sum(_level_capacity(self.k, len(self.levels), h)
+                   for h in range(len(self.levels)))
+
+    def _compress(self) -> None:
+        while sum(len(lv) for lv in self.levels) > self._capacity():
+            for h in range(len(self.levels)):
+                cap = _level_capacity(self.k, len(self.levels), h)
+                if len(self.levels[h]) >= cap:
+                    break
+            lv = self.levels[h][np.argsort(self.levels[h], kind="stable")]
+            offset = self._compact_count & 1
+            self._compact_count += 1
+            if len(lv) % 2 == 1:
+                keep = lv[:1]
+                promoted = lv[1 + offset :: 2]
+            else:
+                keep = lv[:0]
+                promoted = lv[offset::2]
+            if h + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=object))
+            self.levels[h + 1] = np.concatenate(
+                [self.levels[h + 1], promoted])
+            self.levels[h] = keep
+
+    # -- merge --------------------------------------------------------------
+    def merge(self, other: "KllItemsSketch") -> None:
+        if other.n == 0:
+            return
+        self.n += other.n
+        if other.min_item is not None:
+            self.min_item = other.min_item if self.min_item is None \
+                else min(self.min_item, other.min_item)
+        if other.max_item is not None:
+            self.max_item = other.max_item if self.max_item is None \
+                else max(self.max_item, other.max_item)
+        self.min_k = min(self.min_k, other.min_k)
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=object))
+        for h, lv in enumerate(other.levels):
+            if len(lv):
+                self.levels[h] = np.concatenate([self.levels[h], lv])
+        self._compress()
+
+    # -- queries ------------------------------------------------------------
+    def _sorted_view(self):
+        items = []
+        weights = []
+        for h, lv in enumerate(self.levels):
+            if len(lv):
+                items.append(lv)
+                weights.append(np.full(len(lv), 1 << h, dtype=np.int64))
+        if not items:
+            return (np.empty(0, dtype=object),
+                    np.empty(0, dtype=np.int64))
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], np.cumsum(wt[order])
+
+    def get_quantile(self, rank: float):
+        """Inclusive quantile: in the exact (never-compacted) regime
+        this is the ceil(rank*n)-th order statistic — ANSI
+        percentile_disc semantics."""
+        if self.n == 0:
+            return None
+        if not (0.0 <= rank <= 1.0):
+            raise ValueError("rank must be in [0,1]")
+        items, cum = self._sorted_view()
+        pos = rank * self.n
+        idx = int(np.searchsorted(cum, pos, side="left"))
+        if idx >= len(items):
+            idx = len(items) - 1
+        return items[idx]
+
+    def get_rank(self, item, inclusive: bool = True) -> float:
+        if self.n == 0:
+            return float("nan")
+        items, cum = self._sorted_view()
+        side = "right" if inclusive else "left"
+        idx = int(np.searchsorted(items, item, side=side))
+        if idx == 0:
+            return 0.0
+        return float(cum[idx - 1]) / self.n
+
+    # -- serde (string items) ------------------------------------------------
+    def to_bytes(self) -> bytes:
+        import struct
+        parts = [struct.pack("<IIQI", self.k, self.min_k, self.n,
+                             len(self.levels))]
+        for extremum in (self.min_item, self.max_item):
+            b = b"" if extremum is None else str(extremum).encode()
+            parts.append(struct.pack("<i", -1 if extremum is None
+                                     else len(b)))
+            parts.append(b)
+        for lv in self.levels:
+            parts.append(struct.pack("<I", len(lv)))
+            for it in lv:
+                b = str(it).encode()
+                parts.append(struct.pack("<I", len(b)))
+                parts.append(b)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KllItemsSketch":
+        import struct
+        k, min_k, n, n_levels = struct.unpack_from("<IIQI", data, 0)
+        off = struct.calcsize("<IIQI")
+        sk = cls(k)
+        sk.min_k, sk.n = min_k, n
+        ext = []
+        for _ in range(2):
+            (ln,) = struct.unpack_from("<i", data, off)
+            off += 4
+            if ln < 0:
+                ext.append(None)
+            else:
+                ext.append(data[off:off + ln].decode())
+                off += ln
+        sk.min_item, sk.max_item = ext
+        sk.levels = []
+        for _ in range(n_levels):
+            (cnt,) = struct.unpack_from("<I", data, off)
+            off += 4
+            items = []
+            for _ in range(cnt):
+                (ln,) = struct.unpack_from("<I", data, off)
+                off += 4
+                items.append(data[off:off + ln].decode())
+                off += ln
+            sk.levels.append(np.asarray(items, dtype=object))
+        return sk

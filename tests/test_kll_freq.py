@@ -214,3 +214,39 @@ def test_approx_quantiles_by_exact_and_compressed(ray_session):
     true_rank = np.searchsorted(big, got) / 5000
     from apache_datasketches_go_ray.state.kll import normalized_rank_error
     assert abs(true_rank - 0.5) < 3 * normalized_rank_error(32, False)
+
+
+def test_kll_items_sketch_string_quantiles():
+    """Generic-items KLL: exact regime == order statistics; approx
+    regime rank error within the published bound; merge + serde
+    round-trip preserve both."""
+    import math
+
+    import numpy as np
+
+    from apache_datasketches_go_ray.state.kll import KllItemsSketch
+
+    rng = np.random.default_rng(7)
+    words = [f"w{int(i):05d}" for i in rng.integers(0, 3000, 8000)]
+    srt = sorted(words)
+
+    # exact (never compacts): percentile_disc semantics
+    e = KllItemsSketch(k=8192)
+    e.update_many(words[:4000])
+    e2 = KllItemsSketch(k=8192)
+    e2.update_many(words[4000:])
+    e.merge(KllItemsSketch.from_bytes(e2.to_bytes()))
+    assert e.n == len(words)
+    assert e.min_item == srt[0] and e.max_item == srt[-1]
+    for q in (0.25, 0.5, 0.75):
+        assert e.get_quantile(q) == srt[max(math.ceil(q * len(srt)), 1) - 1]
+
+    # approx: |true_rank(est) - q| bounded (loose 3x of the CDF bound)
+    a = KllItemsSketch(k=128)
+    a.update_many(words)
+    from apache_datasketches_go_ray.state.kll import normalized_rank_error
+    bound = 3 * normalized_rank_error(128, pmf=False)
+    for q in (0.1, 0.5, 0.9):
+        est = a.get_quantile(q)
+        true_rank = np.searchsorted(srt, est, side="right") / len(srt)
+        assert abs(true_rank - q) <= bound
