@@ -221,7 +221,16 @@ def _resolve_containment(batch: pa.Table, texts_ref,
 
 
 def _collect_texts(texts_ds, ids: set) -> dict:
-    """Filter texts_ds to the (tiny) id set and collect a lookup dict."""
+    """Filter texts_ds to the (tiny) id set and collect a lookup dict.
+
+    Driver-memory bound: O(containment-candidate texts). Candidates are
+    pairs with shingle containment >= containment_threshold but Jaccard
+    below threshold — a small slice of the already-band-capped pair set,
+    so the dict is bounded by the corpus's containment-dup rate, not its
+    size. An adversarial corpus that is mostly containment dups would
+    grow this dict with the corpus; the escape hatch at that scale is
+    chunking need_ids and running the phase-2 resolve per chunk (the
+    stage is stateless across chunks), trading passes for memory."""
     if not ids:
         return {}
     h, _ = hash_strings(sorted(ids))

@@ -314,6 +314,11 @@ class HllSketch:
         slot = c & (self.k - 1)
         old_v = int(self.registers[slot])
         if new_v > old_v:
+            if self.rebuild_flag:
+                # KxQ/HIP are stale after a slotwise-max union; keep
+                # maxing and let _rebuild_kxq recompute lazily
+                self.registers[slot] = new_v
+                return
             # HIP before KxQ update (hll/hll_array.go:261-272)
             self.hip_accum += float(self.k) / (self.kxq0 + self.kxq1)
             if old_v < 32:
@@ -385,12 +390,23 @@ class HllSketch:
     # -- merge --------------------------------------------------------------
     def merge(self, other: "HllSketch") -> None:
         """Union semantics with this sketch as the HLL_8 gadget
-        (hll/union.go:200-308)."""
+        (hll/union.go:200-308).
+
+        Heterogeneous lgK is supported exactly as far as the reference
+        supports it: coupons address slots at the full 26-bit resolution
+        (hll/hll_sketch.go:338-343), so any LIST/SET-mode side replays
+        into a gadget of any lgK, and a coupon-mode gadget can adopt an
+        HLL-mode source of a different lgK. Only HLL-mode × HLL-mode at
+        different lgK needs true register downsampling, which the
+        reference leaves not-implemented (union.go:269-303) — mirrored
+        here with the same error."""
         if other.is_empty():
             return
-        if self.lg_k != other.lg_k:
-            raise ValueError("pipeline fixes lgK; downsampling not supported "
-                             "(mirrors union.go:269-303 not-implemented cases)")
+        if (self.lg_k != other.lg_k and self.mode == MODE_HLL
+                and other.mode == MODE_HLL):
+            raise ValueError(
+                "HLL-mode x HLL-mode union at different lgK needs register "
+                "downsampling (mirrors union.go:269-303 not-implemented)")
         if other.mode in (MODE_LIST, MODE_SET):
             if other.mode == MODE_SET and self.is_empty():
                 self._copy_from(other)
@@ -416,6 +432,11 @@ class HllSketch:
         self.hip_accum = 0.0
 
     def _copy_from(self, other: "HllSketch") -> None:
+        if other.mode == MODE_HLL:
+            # registers are sized to the source's lgK; adopt it. (In
+            # coupon modes lgK is NOT adopted: coupons are
+            # lgK-independent, so the gadget keeps its own resolution.)
+            self.lg_k = other.lg_k
         self.mode = other.mode
         self.coupons = dict.fromkeys(other.coupons)
         self._lg_coupon_arr = other._lg_coupon_arr

@@ -132,3 +132,47 @@ def test_bounds_bracket_truth():
     for i in range(20000):
         sk.update_u64(i)
     assert sk.get_lower_bound(2) <= 20000 <= sk.get_upper_bound(2)
+
+
+def test_hll_union_mixed_lgk():
+    """Heterogeneous-lgK union, to the reference's supported extent:
+    coupon-mode sides replay into any gadget lgK; HLL x HLL at
+    different lgK raises (union.go:269-303 not-implemented parity)."""
+    import numpy as np
+    import pytest
+
+    from apache_datasketches_go_ray.state.hll import HllSketch
+
+    # coupon-mode source (small n) into a bigger-lgK HLL-mode gadget
+    from apache_datasketches_go_ray.state.hll import coupons_from_u64s
+
+    big = HllSketch(lg_k=14)
+    big.update_coupons_bulk(coupons_from_u64s(
+        np.arange(50_000, dtype=np.uint64)))
+    small = HllSketch(lg_k=10)
+    small.update_coupons_bulk(coupons_from_u64s(
+        np.arange(49_990, 50_020, dtype=np.uint64)))
+    assert small.mode != 2  # still LIST/SET
+    big.merge(small)
+    est = big.get_estimate()
+    assert abs(est - 50_020) / 50_020 < 0.05
+
+    # coupon-mode gadget adopts an HLL-mode source of different lgK
+    g = HllSketch(lg_k=10)
+    g.update_coupons_bulk(coupons_from_u64s(np.arange(20, dtype=np.uint64)))
+    src = HllSketch(lg_k=12)
+    src.update_coupons_bulk(coupons_from_u64s(
+        np.arange(10, 40_000, dtype=np.uint64)))
+    g.merge(src)
+    assert g.lg_k == 12
+    assert abs(g.get_estimate() - 40_000) / 40_000 < 0.05
+
+    # HLL x HLL at different lgK: reference not-implemented
+    a = HllSketch(lg_k=10)
+    a.update_coupons_bulk(coupons_from_u64s(
+        np.arange(100_000, dtype=np.uint64)))
+    b = HllSketch(lg_k=12)
+    b.update_coupons_bulk(coupons_from_u64s(
+        np.arange(100_000, dtype=np.uint64)))
+    with pytest.raises(ValueError):
+        a.merge(b)
