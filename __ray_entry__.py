@@ -1948,6 +1948,30 @@ def _q_kll_source_quantiles(sf_dir: str):
                                (0.25, 0.5, 0.75), k=k, num_partitions=4)
 
 
+def _q_ann_knn_join(sf_dir: str):
+    """Exact cosine top-5 with a DATASET-sized query side (every 37th
+    vector) via knn_join: query chunks staged in the object store, each
+    corpus block scans them sequentially, query-keyed shuffle folds the
+    global top-k — the large-query-side path a broadcast query matrix
+    cannot take. Scores dropped from the output (rank is exact; raw
+    floats are cross-engine parity risk, same discipline as ann_topk)."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.ann import knn_join
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pick(b):
+        from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+        vid = as_array(b.column("vec_id")).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(vid % 37 == 0))
+
+    queries = corpus.map_batches(pick, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return knn_join(corpus, queries, k=5, chunk_rows=2048,
+                    num_partitions=8).sort(["query_id", "rank"])
+
+
 def _q_lang_quantiles_exact(sf_dir: str):
     """Exact per-language quartiles of document length — ANSI
     percentile_disc semantics (element at 1-based index ceil(q*n)),
@@ -3426,6 +3450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_events_per_user": _q_top3_events_per_user,
         "lang_quantiles_exact": _q_lang_quantiles_exact,
         "kll_source_quantiles_by_lang": _q_kll_source_quantiles,
+        "ann_knn_join_topk": _q_ann_knn_join,
         "order_quartiles": _q_order_quartiles,
         "events_rollup": _q_events_rollup,
         "users_intersect_customers": _q_users_intersect_customers,
@@ -4208,6 +4233,25 @@ def oracle_sql() -> dict[str, str]:
                               event_id) AS rnk
             FROM events
             QUALIFY rnk <= 3
+        """,
+        "ann_knn_join_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id % 37 = 0
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS score
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id ASC)
+                       AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
         """,
         "kll_source_quantiles_by_lang": """
             SELECT lang, count(*) AS n,

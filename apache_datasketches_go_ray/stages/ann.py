@@ -390,3 +390,109 @@ def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
         concurrency=(1, 8),
     ).take_all()
     return _fold_topk(parts, k, round_to)
+
+
+class _KnnChunkScan:
+    """Actor-pool stage for knn_join: holds the staged query chunks
+    (plasma zero-copy — one physical copy per node, shared across the
+    pool) and emits k rows per (query, corpus block)."""
+
+    def __init__(self, chunk_refs, k: int, id_col: str, emb_col: str):
+        self.chunks = [ray.get(r) for r in chunk_refs]  # [(ids, qn), ...]
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = as_array(batch.column(self.id_col)) \
+            .to_numpy(zero_copy_only=False)
+        m = _embeddings_matrix(batch, self.emb_col).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        q_out, v_out, s_out = [], [], []
+        for q_ids, qn in self.chunks:
+            scores = qn @ mn.T  # (chunk, block)
+            k = min(self.k, scores.shape[1])
+            part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+            rows = np.repeat(q_ids, k)
+            cols = part.reshape(-1)
+            q_out.append(rows)
+            v_out.append(ids[cols])
+            s_out.append(scores[np.repeat(np.arange(len(q_ids)), k), cols])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(q_out), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(v_out), type=pa.int64()),
+            "score": pa.array(np.concatenate(s_out), type=pa.float64()),
+        })
+
+
+def _knn_fold(batch: pa.Table, k: int) -> pa.Table:
+    """Per-query global top-k from co-located block partials:
+    (score desc, vec_id asc) rank, scores dropped (rank is exact,
+    raw floats are cross-engine-parity risk)."""
+    if len(batch) == 0:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    q = batch.column("query_id").to_numpy(zero_copy_only=False)
+    v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    s = batch.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, -s, q))  # by query, score desc, vec_id asc
+    q, v = q[order], v[order]
+    first = np.ones(len(q), dtype=bool)
+    first[1:] = q[1:] != q[:-1]
+    # rank within query = position - segment start
+    seg_start = np.maximum.accumulate(np.where(first, np.arange(len(q)), 0))
+    rank = np.arange(len(q)) - seg_start + 1
+    keep = rank <= k
+    return pa.table({"query_id": pa.array(q[keep], type=pa.int64()),
+                     "vec_id": pa.array(v[keep], type=pa.int64()),
+                     "rank": pa.array(rank[keep], type=pa.int64())})
+
+
+def knn_join(corpus_ds, query_ds, k: int = 10,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             chunk_rows: int = 4096, num_partitions: int = 16):
+    """Exact cosine top-k with BOTH sides as Datasets — the
+    large-query-side path ``brute_force_topk`` (one broadcast matrix)
+    cannot take. The query side is staged into bounded chunks in the
+    object store (``ray.put`` per chunk); every corpus block scans the
+    chunks sequentially — plasma keeps ONE physical copy per node —
+    emitting k rows per (query, block); a query-keyed shuffle folds the
+    block partials into the global top-k with a deterministic
+    (score desc, vec_id asc) tie-break. Compute is inherently O(Q*N*d);
+    memory is O(chunk + block) per task, driver state is O(#chunks)
+    refs. Returns (query_id, vec_id, rank)."""
+    refs = []
+    for blk in query_ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_size=chunk_rows, batch_format="pyarrow"):
+        if len(blk) == 0:
+            continue
+        ids = as_array(blk.column(id_col)).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        qm = _embeddings_matrix(blk, emb_col).astype(np.float64)
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True),
+                             1e-30)
+        refs.append(ray.put((ids, qn)))
+    if not refs:
+        return corpus_ds.map_batches(
+            lambda b: pa.table({"query_id": pa.array([], type=pa.int64()),
+                                "vec_id": pa.array([], type=pa.int64()),
+                                "rank": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    import functools
+
+    return (corpus_ds.map_batches(
+        _KnnChunkScan, fn_constructor_args=(refs, k, id_col, emb_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, max(2, n_cpu)))
+        .repartition(num_partitions, keys=["query_id"])
+        .map_batches(functools.partial(_knn_fold, k=k),
+                     batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True))

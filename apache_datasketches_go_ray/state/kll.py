@@ -359,6 +359,19 @@ class KllItemsSketch:
             return 0.0
         return float(cum[idx - 1]) / self.n
 
+    def get_partition_boundaries(self, num_parts: int) -> list:
+        """Evenly-spaced-rank item boundaries for range-partitioning a
+        string key (kll/items_sketch_partition_boundaries.go:35-59) —
+        the generic-items analogue of the numeric sketch's method, used
+        to size range shuffles over id-like columns."""
+        if self.n == 0:
+            return []
+        ranks = np.linspace(0, 1, num_parts + 1)
+        out = [self.get_quantile(float(r)) for r in ranks]
+        out[0] = self.min_item
+        out[-1] = self.max_item
+        return out
+
     # -- serde (string items) ------------------------------------------------
     def to_bytes(self) -> bytes:
         import struct

@@ -224,3 +224,97 @@ def test_ivf_topk_overlap_with_brute_force(ray_session):
     ap2 = ivf_topk(ray.data.from_arrow(tbl), q_ids, qm, k=5,
                    n_clusters=8, n_probe=3)
     assert ap.to_pylist() == ap2.to_pylist()
+
+
+def test_verify_batch_null_and_empty_shingles():
+    """Vectorized _verify_batch edge cases: a null endpoint rejects the
+    pair (missing candidate payload from the left-outer join), empty
+    valid buffers follow the jaccard=1.0-when-both-empty rule, and
+    results match the scalar kernel row by row."""
+    import numpy as np
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.config import DedupConfig
+    from apache_datasketches_go_ray.stages.verify import _verify_batch
+
+    def buf(vals):
+        return np.asarray(sorted(set(vals)), dtype=np.uint64).tobytes()
+
+    sh_a = [buf([1, 2, 3, 4]), None, b"", buf([5, 6]), b""]
+    sh_b = [buf([1, 2, 3, 99]), buf([1]), buf([7]), None, b""]
+    batch = pa.table({
+        "a": pa.array([f"A{i}" for i in range(5)]),
+        "b": pa.array([f"B{i}" for i in range(5)]),
+        "shingles_a": pa.array(sh_a, type=pa.large_binary()),
+        "shingles_b": pa.array(sh_b, type=pa.large_binary()),
+    })
+    cfg = DedupConfig(jaccard_threshold=0.5, containment_threshold=0.9)
+    out = _verify_batch(batch, cfg).to_pandas()
+    # row 0: |∩|=3, |∪|=5 -> 0.6 >= 0.5 -> jaccard dup
+    assert out.loc[0, "method"] == "jaccard" and bool(out.loc[0, "is_dup"])
+    assert abs(out.loc[0, "jaccard"] - 0.6) < 1e-12
+    # rows 1, 3: null endpoint -> rejected, scores zeroed
+    for i in (1, 3):
+        assert out.loc[i, "method"] == "rejected"
+        assert out.loc[i, "jaccard"] == 0.0
+        assert not bool(out.loc[i, "is_dup"])
+    # row 2: empty valid vs {7} -> jac 0, con 0 -> rejected
+    assert out.loc[2, "method"] == "rejected"
+    # row 4: both empty valid -> union 0 -> jaccard 1.0 -> dup
+    assert out.loc[4, "jaccard"] == 1.0 and bool(out.loc[4, "is_dup"])
+
+
+def test_verify_batch_zero_rows():
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.config import DedupConfig
+    from apache_datasketches_go_ray.stages.verify import (
+        _VERIFY_SCHEMA,
+        _verify_batch,
+    )
+
+    empty = pa.table({
+        "a": pa.array([], type=pa.string()),
+        "b": pa.array([], type=pa.string()),
+        "shingles_a": pa.array([], type=pa.large_binary()),
+        "shingles_b": pa.array([], type=pa.large_binary()),
+    })
+    out = _verify_batch(empty, DedupConfig())
+    assert out.num_rows == 0 and out.schema.equals(_VERIFY_SCHEMA)
+
+
+def test_knn_join_matches_numpy_bruteforce(ray_session):
+    """Dataset-to-dataset exact kNN: result equals the in-process
+    numpy brute force under the (score desc, vec_id asc) tie-break."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.ann import knn_join
+
+    rng = np.random.default_rng(11)
+    n, d, k = 400, 16, 4
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    corpus = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+    }))
+    qmask = np.arange(n) % 11 == 0
+    queries = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)[qmask]),
+        "embedding": pa.array(list(vecs[qmask]), type=pa.list_(pa.float32())),
+    }))
+    out = knn_join(corpus, queries, k=k, chunk_rows=13,
+                   num_partitions=4).to_pandas() \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+
+    m = vecs.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    exp_rows = []
+    for qid in np.flatnonzero(qmask):
+        scores = mn[qid] @ mn.T
+        order = np.lexsort((np.arange(n), -scores))[:k]
+        for r, v in enumerate(order):
+            exp_rows.append((qid, int(v), r + 1))
+    got = list(zip(out["query_id"], out["vec_id"], out["rank"]))
+    assert got == exp_rows

@@ -250,3 +250,23 @@ def test_kll_items_sketch_string_quantiles():
         est = a.get_quantile(q)
         true_rank = np.searchsorted(srt, est, side="right") / len(srt)
         assert abs(true_rank - q) <= bound
+
+
+def test_kll_items_partition_boundaries():
+    import numpy as np
+
+    from apache_datasketches_go_ray.state.kll import KllItemsSketch
+
+    rng = np.random.default_rng(3)
+    ids = [f"conv-{int(i):08d}" for i in rng.integers(0, 10**7, 4000)]
+    sk = KllItemsSketch(k=4096)  # exact regime
+    sk.update_many(ids)
+    bounds = sk.get_partition_boundaries(4)
+    assert len(bounds) == 5
+    assert bounds[0] == min(ids) and bounds[-1] == max(ids)
+    assert bounds == sorted(bounds)
+    # ~balanced: each range holds 25% +- 2% of the ids (exact regime)
+    srt = sorted(ids)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        frac = sum(1 for x in srt if lo <= x <= hi) / len(srt)
+        assert 0.2 < frac < 0.3
