@@ -1848,6 +1848,47 @@ def _q_multimodal_features(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def _q_audio_wav_features(sf_dir: str):
+    """REAL (non-stub) audio decode path: deterministic RIFF/PCM WAV
+    payloads decoded byte-exactly through the actor-pool DecodeStage
+    (stdlib wave + numpy, no codec libraries), then per-clip features.
+    Rows-only: SQL cannot decode WAV; exactness is pinned by the
+    round-trip tests (tests/test_multimodal.py)."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.multimodal import (
+        DecodeStage,
+        make_real_media_batch,
+    )
+
+    media = ray.data.from_arrow(
+        make_real_media_batch(list(range(64)), kind="audio/wav"))
+    decoded = media.map_batches(
+        DecodeStage, fn_constructor_args=(False,), batch_size=16,
+        concurrency=2, batch_format="pyarrow", zero_copy_batch=True)
+
+    def feats(b):
+        import json as _json
+
+        out_n, out_peak, out_rms = [], [], []
+        for raw, shp in zip(b.column("decoded").to_pylist(),
+                            b.column("decoded_shape").to_pylist()):
+            sh = _json.loads(shp)
+            arr = np.frombuffer(raw, dtype=sh["dtype"]).astype(np.int64)
+            out_n.append(len(arr))
+            out_peak.append(int(np.abs(arr).max()))
+            out_rms.append(int(np.sqrt(np.mean(arr * arr))))
+        return pa.table({
+            "media_id": b.column("media_id"),
+            "n_samples": pa.array(out_n, type=pa.int64()),
+            "peak": pa.array(out_peak, type=pa.int64()),
+            "rms": pa.array(out_rms, type=pa.int64()),
+        })
+
+    return decoded.map_batches(feats, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def _q_lag_delta(sf_dir: str):
     """lag() window: each event's previous value (exact cents) and the
     delta, per user ordered by (ts, event_id) — shifted-view kernel
@@ -3321,6 +3362,52 @@ def _q_docs_containing_pattern(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_transcript_role_paths(sf_dir: str):
+    """Per-conversation ordered role sequence — ``string_agg(role, '>'
+    ORDER BY turn_idx)`` over the transcript table (the sequence
+    operator applied to the input_hint's role column with a STRING
+    partition key). One conv-key shuffle; the concatenation is
+    zero-loop: sorted roles wrapped in a ListArray whose offsets are
+    the conversation boundaries, joined natively with binary_join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "n_turns": pa.array([], type=pa.int64()),
+                "role_path": pa.array([], type=pa.string()),
+            })
+        conv = as_array(b.column("conv_id")).to_numpy(zero_copy_only=False)
+        tidx = as_array(b.column("turn_idx")).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, codes))
+        c = codes[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        np.not_equal(c[1:], c[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        offsets = np.append(starts, len(c)).astype(np.int32)
+        roles = as_array(b.column("role")).cast(pa.string()).take(
+            pa.array(order, type=pa.int64()))
+        lists = pa.ListArray.from_arrays(pa.array(offsets), roles)
+        return pa.table({
+            "conv_id": pa.array(conv[order][starts]),
+            "n_turns": pa.array(np.diff(offsets), type=pa.int64()),
+            "role_path": pc.binary_join(lists, ">"),
+        })
+
+    return (ds.select_columns(["conv_id", "turn_idx", "role"])
+            .repartition(16, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_transcript_tool_usage(sf_dir: str):
     """Per-tool usage profile over the transcript table: call counts,
     distinct conversations and mean call-text length per tool name —
@@ -3402,6 +3489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_turns": _q_boilerplate_turns,
         "transcript_reply_latency": _q_transcript_reply_latency,
         "transcript_tool_usage": _q_transcript_tool_usage,
+        "transcript_role_paths": _q_transcript_role_paths,
         # exact, SQL-oracled operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_counts": _q_token_counts,
@@ -3507,6 +3595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
+        "audio_wav_features": _q_audio_wav_features,
         "video_frame_features": _q_video_frame_features,
         "curate_docs": _q_curate_docs,
         "containment_dups": _q_containment_dups,
@@ -3592,6 +3681,11 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(sum(length(text)) AS DOUBLE) / count(*)
                          * 1000.0 + 0.5) / 1000.0 AS mean_call_len
             FROM {T} WHERE tool <> '' GROUP BY tool
+        """,
+        "transcript_role_paths": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg(role, '>' ORDER BY turn_idx) AS role_path
+            FROM {T} GROUP BY conv_id
         """,
         "boilerplate_turns": f"""
             WITH c AS (

@@ -1,13 +1,23 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed
 metadata, with actor-pool decode / feature / resize / frame-sample stages.
 
-The decode libraries (PIL, torchaudio, av, ...) are NOT present in this
-environment, so the codec step is STUBBED: ``DecodeStage`` raises
-``NotImplementedError`` for real codecs unless ``fake=True``, in which
-case a deterministic fake decoder (seeded from the payload hash) produces
-pseudo pixel/sample arrays. Everything Ray-side — schema, batch sizing,
-actor signatures, zero-copy binary handling, output layout — is real and
-tested; swapping in a real codec touches only ``_decode_payload``.
+Decode support is tiered:
+
+* **Real byte-level decode** for self-contained formats that need no
+  external codec library: ``audio/wav`` (RIFF/PCM via the stdlib
+  ``wave`` module) and ``image/bmp`` (uncompressed 24-bit BITMAPINFO
+  via struct + numpy). Encoders (``encode_wav`` / ``encode_bmp``) live
+  here too, so round-trip exactness is testable end-to-end through the
+  actor pool.
+* **Stub** for compressed formats (png/jpeg/mp4/...): the codec
+  libraries (PIL, torchaudio, av) are NOT present in this environment,
+  so ``DecodeStage`` raises ``NotImplementedError`` for them unless
+  ``fake=True``, in which case a deterministic fake decoder (seeded
+  from the payload hash) produces pseudo pixel/sample arrays.
+
+Everything Ray-side — schema, batch sizing, actor signatures, zero-copy
+binary handling, output layout — is real and tested; supporting a new
+codec touches only ``_decode_payload``.
 
 Schema convention for a multimodal column ``media``:
   media: large_binary           (opaque encoded payload)
@@ -48,8 +58,106 @@ def make_fake_media_batch(ids: list[int], kind: str = "image/png") -> pa.Table:
     })
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono/stereo samples -> RIFF/PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    samples = np.asarray(samples, dtype=np.int16)
+    n_ch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(samples).tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/PCM WAV -> (n_samples,) or (n_samples, n_ch) int16 array."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        raw = w.readframes(w.getnframes())
+    arr = np.frombuffer(raw, dtype=np.int16)
+    return arr if n_ch == 1 else arr.reshape(-1, n_ch)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BMP bytes."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_len = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header + info + rows.tobytes()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (H, W, 3) uint8 RGB array."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_len * h,
+                         offset=data_off).reshape(h, row_len)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return px[::-1] if flip else px
+
+
+def make_real_media_batch(ids: list[int], kind: str = "audio/wav") -> pa.Table:
+    """Deterministic REAL encoded payloads (WAV or BMP) — exercised by
+    the round-trip tests and the real-decode query path."""
+    payloads, metas = [], []
+    for i in ids:
+        h1, _ = murmur3_128(f"media-{i}".encode())
+        rng = np.random.default_rng(h1 & 0x7FFFFFFF)
+        if kind == "image/bmp":
+            px = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(px))
+            metas.append(json.dumps({"width": 17, "height": 12,
+                                     "channels": 3}))
+        else:
+            n = 800 + int(h1 % 400)
+            samples = (rng.integers(-20000, 20000, size=n)
+                       .astype(np.int16))
+            payloads.append(encode_wav(samples, 16000))
+            metas.append(json.dumps({"sample_rate": 16000,
+                                     "n_samples": n}))
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "media": pa.array(payloads, type=pa.large_binary()),
+        "media_type": pa.array([kind] * len(ids), type=pa.string()),
+        "media_meta": pa.array(metas, type=pa.string()),
+    })
+
+
 def _decode_payload(payload: bytes, media_type: str, meta: dict,
                     fake: bool) -> np.ndarray:
+    # real byte-level decoders for self-contained formats
+    if media_type == "audio/wav":
+        return _decode_wav(payload)
+    if media_type == "image/bmp":
+        return _decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
             f"real decode for {media_type} requires codec libraries not "
