@@ -71,7 +71,8 @@ def entry() -> Any:
     from apache_datasketches_go_ray.pipelines.dedup import run_dedup
 
     tdir = _transcripts_dir("/root/testdata/sf0.001")
-    ds = ray.data.read_parquet(tdir)
+    ds = ray.data.read_parquet(
+        tdir, columns=["conv_id", "turn_idx", "text"])
     res = run_dedup(ds, _dedup_config())
     return res["clusters"]
 
@@ -84,7 +85,8 @@ def _q_transcript_dedup(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.pipelines.dedup import run_dedup
 
-    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
     res = run_dedup(ds, _dedup_config())
     return res["clusters"].sort(["conv_id"])
 
@@ -95,7 +97,8 @@ def _q_transcript_assemble(sf_dir: str):
     import pyarrow.compute as pc
     import pyarrow as pa
 
-    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
     out = assemble(ds, 16)
 
     def stats(b):
@@ -934,7 +937,8 @@ def _q_transcript_turn_gaps(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.arrow_util import as_array
 
-    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "ts"])
 
     def project(b):
         return pa.table({
@@ -1035,7 +1039,8 @@ def _q_transcript_role_stats(sf_dir: str):
             ["conv_id", "n_user", "n_assistant", "n_tool",
              "n_tool_calls", "n_chars"])
 
-    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "role", "tool", "text"])
     return (ds.select_columns(["conv_id", "role", "tool", "text"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
@@ -1060,7 +1065,8 @@ def _q_boilerplate_turns(sf_dir: str):
     from apache_datasketches_go_ray.functions.murmur3 import hash_strings
     from apache_datasketches_go_ray.stages.arrow_util import as_array
 
-    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "text"])
 
     def pre(b):
         h1, _ = hash_strings(as_array(b.column("text")).to_pylist())
@@ -2727,7 +2733,8 @@ def _q_transcript_reply_latency(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.arrow_util import as_array
 
-    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "ts", "role"])
 
     def fold(b):
         if len(b) == 0:
@@ -2795,7 +2802,8 @@ def _q_fuzzy_boilerplate_turns(sf_dir: str):
     from apache_datasketches_go_ray.stages.relational import top_k
     from apache_datasketches_go_ray.stages.textops import simhash_batch
 
-    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "text"])
 
     def prep(b):
         t = pa.table({
@@ -3374,7 +3382,8 @@ def _q_transcript_role_paths(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.arrow_util import as_array
 
-    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "role"])
 
     def fold(b: pa.Table) -> pa.Table:
         if len(b) == 0:
@@ -3417,7 +3426,8 @@ def _q_transcript_tool_usage(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data
 
-    ds = ray.data.read_parquet(_transcripts_dir(sf_dir))
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["tool", "conv_id", "text"])
 
     def partial(b):
         sel = pc.not_equal(b.column("tool"), "")

@@ -67,7 +67,10 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False,
     # fixed partitioning across CPU counts: the scaling comparison must
     # run the SAME job (same shuffle plan) at both parallelism levels
     cfg = DedupConfig(num_partitions=32)
-    res = run_dedup(ray.data.read_parquet(tdir), cfg)
+    res = run_dedup(
+        ray.data.read_parquet(tdir,
+                              columns=["conv_id", "turn_idx", "text"]),
+        cfg)
     n_clusters = res["clusters"].count()
     dedup_sec = time.time() - t0
     queries["transcript_dedup"] = round(dedup_sec, 3)

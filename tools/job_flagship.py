@@ -42,7 +42,8 @@ def main() -> None:
     else:
         tdir = entrymod._transcripts_dir(f"/root/testdata/{tier}")
     nodes = [n for n in ray.nodes() if n.get("Alive")]
-    ds = ray.data.read_parquet(tdir)
+    ds = ray.data.read_parquet(
+        tdir, columns=["conv_id", "turn_idx", "text"])
     turns = ds.count()
     t0 = time.time()
     res = run_dedup(ds, DedupConfig(num_partitions=32))
