@@ -49,6 +49,11 @@ class DedupConfig:
     hot_sampled_count: int = 4
     # shuffle sizing
     num_partitions: int = 64
+    # input layout: "shuffled" (always correct) or "conv_grouped" — the
+    # data-at-rest fast path when transcript files are sorted by
+    # (conv_id, turn_idx): assembly shuffles one fragment row per
+    # (conv, block) instead of every turn row (stages/assemble.py)
+    input_layout: str = "shuffled"
 
     def __post_init__(self):
         assert self.num_bands * self.rows_per_band <= self.num_perms

@@ -52,7 +52,8 @@ class DedupPipeline(CheckpointedPipeline):
         # stage-wise execution (same pathology as fusing the verify joins)
         assembled, fp = self._stage(
             "assembled", input_fingerprint,
-            lambda: assemble(transcripts_ds, cfg.num_partitions),
+            lambda: assemble(transcripts_ds, cfg.num_partitions,
+                             input_layout=cfg.input_layout),
         )
         # keep_text=False: texts stay in the assembled table only; the
         # containment pass pulls just the texts it needs from there

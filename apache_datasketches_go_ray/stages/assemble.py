@@ -53,13 +53,92 @@ def assemble_block(batch: pa.Table) -> pa.Table:
     )
 
 
-def assemble(ds, num_partitions: int):
-    """transcript rows -> one row per conversation (conv_id, text, n_turns)."""
+def _fragment_block(batch: pa.Table) -> pa.Table:
+    """conv_grouped combiner: per-block partial assembly into one
+    fragment row per (conv, block) — ``(conv_id, first_turn, n_turns,
+    text_fragment)``. Correct whenever each block holds a CONTIGUOUS
+    turn range per conversation (any row-range split of a file sorted
+    by (conv_id, turn_idx) satisfies this)."""
+    part = assemble_block(batch)
+    # first_turn of each conv within this block = min turn_idx; recompute
+    # cheaply from the sorted order assemble_block used
+    from .arrow_util import as_array
+
+    conv = as_array(batch.column("conv_id"))
+    dict_arr = as_array(pc.dictionary_encode(conv))
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+    tidx = as_array(batch.column("turn_idx")).to_numpy(zero_copy_only=False)
+    n_convs = len(dict_arr.dictionary)
+    first = np.full(n_convs, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first, codes, tidx.astype(np.int64))
+    return part.append_column("first_turn", pa.array(first, type=pa.int64()))
+
+
+def _merge_fragments(batch: pa.Table) -> pa.Table:
+    """Fold co-located fragments of each conv in first_turn order."""
+    from .arrow_util import as_array
+
+    if len(batch) == 0:
+        return pa.table({
+            "conv_id": pa.array([], type=pa.string()),
+            "text": pa.array([], type=pa.large_string()),
+            "n_turns": pa.array([], type=pa.int32()),
+        })
+    conv = as_array(batch.column("conv_id"))
+    dict_arr = as_array(pc.dictionary_encode(conv))
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+    first = as_array(batch.column("first_turn")).to_numpy(
+        zero_copy_only=False)
+    order = np.lexsort((first, codes))
+    codes_s = codes[order]
+    texts = as_array(batch.column("text")).take(pa.array(order))
+    nt = as_array(batch.column("n_turns")).to_numpy(
+        zero_copy_only=False)[order]
+    n_convs = len(dict_arr.dictionary)
+    counts = np.bincount(codes_s, minlength=n_convs)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        texts.cast(pa.string()) if texts.type != pa.string() else texts)
+    nsum = np.zeros(n_convs, dtype=np.int64)
+    np.add.at(nsum, codes_s, nt.astype(np.int64))
+    return pa.table({
+        "conv_id": dict_arr.dictionary.cast(pa.string()),
+        "text": pc.binary_join(lists, TURN_SEP),
+        "n_turns": pa.array(nsum.astype(np.int32)),
+    })
+
+
+def assemble(ds, num_partitions: int, input_layout: str = "shuffled"):
+    """transcript rows -> one row per conversation (conv_id, text, n_turns).
+
+    ``input_layout``:
+
+    * ``"shuffled"`` (default, always correct): hash-partition the raw
+      turn rows on conv_id and lexsort in-block — the full all-to-all.
+    * ``"conv_grouped"``: the data-at-rest fast path for transcripts
+      written conversation-contiguously (files sorted by
+      (conv_id, turn_idx), however the reader splits them). Each block
+      partially assembles its contiguous turn runs into ONE fragment
+      row per (conv, block), and only the fragments shuffle — ~turns/
+      convs-per-block fewer rows to hash and sort, same text bytes.
+      INCORRECT for interleaved inputs (fragments would concatenate out
+      of order); callers assert the layout, tests pin equivalence.
+    """
     from .context import auto_partitions
 
     # ~25k turns/partition: downstream signer tasks are per-block, so this
     # also sets the signing parallelism grain (~2k convs / ~3s per task)
     P = auto_partitions(ds.count(), 25_000, num_partitions)
+    if input_layout == "conv_grouped":
+        return (
+            ds.select_columns(["conv_id", "turn_idx", "text"])
+            .map_batches(_fragment_block, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(P, keys=["conv_id"])
+            .map_batches(_merge_fragments, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+        )
     return (
         ds.select_columns(["conv_id", "turn_idx", "text"])
         .repartition(P, keys=["conv_id"])

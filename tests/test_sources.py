@@ -85,3 +85,51 @@ def test_normalize_loose_types():
     assert out.column("tool").to_pylist() == ["", ""]
     assert out.column("ts").cast(pa.int64()).to_pylist() == [1_500_000,
                                                              2_000_000]
+
+
+def test_assemble_conv_grouped_fast_path(ray_session, tmp_path):
+    """conv_grouped assembly (fragment combiner + fragment-only shuffle)
+    produces exactly the same conversations as the always-correct
+    shuffled path when the input files are sorted by
+    (conv_id, turn_idx) — any row-range split keeps per-block turn
+    ranges contiguous."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from apache_datasketches_go_ray.sources.transcripts import (
+        write_transcripts,
+    )
+    from apache_datasketches_go_ray.stages.assemble import assemble
+
+    base = str(tmp_path / "t")
+    write_transcripts(base, 120, seed=42, shards=4)
+    tdir = os.path.join(base, "transcripts")
+
+    shuffled = ray.data.read_parquet(tdir)
+    expected = assemble(shuffled, 4).to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+
+    # re-write the same rows conversation-contiguously, split mid-conv
+    tbl = pq.read_table(tdir)
+    idx = tbl.to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="stable").index.to_numpy()
+    import pyarrow as pa
+
+    sorted_tbl = tbl.take(pa.array(idx))
+    sdir = tmp_path / "sorted"
+    sdir.mkdir()
+    n = sorted_tbl.num_rows
+    cuts = [0, n // 3 + 1, 2 * n // 3 - 1, n]  # deliberately mid-conv
+    for i in range(3):
+        pq.write_table(sorted_tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       str(sdir / f"part-{i}.parquet"))
+
+    got = assemble(ray.data.read_parquet(str(sdir)), 4,
+                   input_layout="conv_grouped").to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+
+    assert got["conv_id"].tolist() == expected["conv_id"].tolist()
+    assert got["text"].tolist() == expected["text"].tolist()
+    assert got["n_turns"].tolist() == expected["n_turns"].tolist()
