@@ -55,13 +55,16 @@ def assemble_block(batch: pa.Table) -> pa.Table:
 
 def _fragment_block(batch: pa.Table) -> pa.Table:
     """conv_grouped combiner: per-block partial assembly into one
-    fragment row per (conv, block) — ``(conv_id, first_turn, n_turns,
-    text_fragment)``. Correct whenever each block holds a CONTIGUOUS
-    turn range per conversation (any row-range split of a file sorted
-    by (conv_id, turn_idx) satisfies this)."""
+    fragment row per (conv, block) — ``(conv_id, text, n_turns,
+    first_turn, boundary)``. Correct whenever each block holds a
+    CONTIGUOUS turn range per conversation (any row-range split of a
+    file sorted by (conv_id, turn_idx) satisfies this).
+
+    In that sorted layout only the conversations at a block's first and
+    last row can possibly continue in a neighboring block, so only
+    those are marked ``boundary`` — every other row is already the
+    final assembled conversation and skips the shuffle entirely."""
     part = assemble_block(batch)
-    # first_turn of each conv within this block = min turn_idx; recompute
-    # cheaply from the sorted order assemble_block used
     from .arrow_util import as_array
 
     conv = as_array(batch.column("conv_id"))
@@ -71,7 +74,13 @@ def _fragment_block(batch: pa.Table) -> pa.Table:
     n_convs = len(dict_arr.dictionary)
     first = np.full(n_convs, np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(first, codes, tidx.astype(np.int64))
-    return part.append_column("first_turn", pa.array(first, type=pa.int64()))
+    boundary = np.zeros(n_convs, dtype=bool)
+    if len(codes):
+        boundary[codes[0]] = True
+        boundary[codes[-1]] = True
+    return part.append_column(
+        "first_turn", pa.array(first, type=pa.int64())).append_column(
+        "boundary", pa.array(boundary))
 
 
 def _merge_fragments(batch: pa.Table) -> pa.Table:
@@ -119,11 +128,13 @@ def assemble(ds, num_partitions: int, input_layout: str = "shuffled"):
     * ``"conv_grouped"``: the data-at-rest fast path for transcripts
       written conversation-contiguously (files sorted by
       (conv_id, turn_idx), however the reader splits them). Each block
-      partially assembles its contiguous turn runs into ONE fragment
-      row per (conv, block), and only the fragments shuffle — ~turns/
-      convs-per-block fewer rows to hash and sort, same text bytes.
-      INCORRECT for interleaved inputs (fragments would concatenate out
-      of order); callers assert the layout, tests pin equivalence.
+      assembles its contiguous turn runs locally; in that layout only
+      the conversations touching a block's first or last row can span
+      blocks, so ONLY those (<= 2 per block) shuffle as fragments —
+      the corpus-wide turn shuffle disappears. INCORRECT for
+      interleaved inputs (fragments would concatenate out of order);
+      callers assert the layout, tests pin equivalence including
+      mid-conversation file splits.
     """
     from .context import auto_partitions
 
@@ -131,14 +142,19 @@ def assemble(ds, num_partitions: int, input_layout: str = "shuffled"):
     # also sets the signing parallelism grain (~2k convs / ~3s per task)
     P = auto_partitions(ds.count(), 25_000, num_partitions)
     if input_layout == "conv_grouped":
-        return (
-            ds.select_columns(["conv_id", "turn_idx", "text"])
+        frags = ds.select_columns(["conv_id", "turn_idx", "text"]) \
             .map_batches(_fragment_block, batch_format="pyarrow",
-                         batch_size=None, zero_copy_batch=True)
-            .repartition(P, keys=["conv_id"])
-            .map_batches(_merge_fragments, batch_format="pyarrow",
-                         batch_size=None, zero_copy_batch=True)
-        )
+                         batch_size=None, zero_copy_batch=True) \
+            .materialize()  # two consumers below
+        done = frags.filter(expr="boundary == False") \
+            .select_columns(["conv_id", "text", "n_turns"])
+        bnd = (frags.filter(expr="boundary == True")
+               .select_columns(["conv_id", "text", "n_turns",
+                                "first_turn"])
+               .repartition(max(2, min(P, 8)), keys=["conv_id"])
+               .map_batches(_merge_fragments, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True))
+        return done.union(bnd)
     return (
         ds.select_columns(["conv_id", "turn_idx", "text"])
         .repartition(P, keys=["conv_id"])
