@@ -25,10 +25,15 @@ from ..functions.minhash import perm_keys, signatures, band_keys
 
 
 class MinHashSigner:
-    def __init__(self, config: DedupConfig, keep_text: bool = True):
+    def __init__(self, config: DedupConfig, keep_text: bool = True,
+                 keep_sig: bool = False):
         self.cfg = config
         self.keys = perm_keys(config.num_perms, config.perm_seed)
         self.keep_text = keep_text
+        # the raw 128-slot signature is 1 KB/conv and nothing downstream
+        # reads it (bands + digest carry the LSH information, shingles
+        # carry the verify payload) — emit it only on request
+        self.keep_sig = keep_sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -56,7 +61,6 @@ class MinHashSigner:
                 [None, pa.py_buffer((off * 8).astype(np.int64).tobytes()),
                  pa.py_buffer(np.ascontiguousarray(flat).tobytes())],
             ),
-            "sig": _fixed_list(sigs, n),
             "bands": _fixed_list(bands, n),
             "sig_digest": pa.LargeBinaryArray.from_buffers(
                 pa.large_binary(), n,
@@ -66,6 +70,8 @@ class MinHashSigner:
                  pa.py_buffer(dig.tobytes())],
             ),
         }
+        if self.keep_sig:
+            cols["sig"] = _fixed_list(sigs, n)
         if self.keep_text:
             cols["text"] = texts
         return pa.table(cols)
