@@ -209,6 +209,7 @@ class HllSketch:
     __slots__ = (
         "lg_k", "mode", "coupons", "registers", "cur_min", "num_at_cur_min",
         "hip_accum", "kxq0", "kxq1", "ooo", "rebuild_flag", "_lg_coupon_arr",
+        "tgt_type",
     )
 
     def __init__(self, lg_k: int = DEFAULT_LG_K):
@@ -228,6 +229,7 @@ class HllSketch:
         self.kxq1 = 0.0
         self.ooo = False
         self.rebuild_flag = False
+        self.tgt_type = 8  # declared storage width (4/6/8; CopyAs)
 
     # -- properties ---------------------------------------------------------
     @property
@@ -535,6 +537,39 @@ class HllSketch:
             num_non_zero -= self.num_at_cur_min
         rel = _rel_err_all_k(False, self.ooo, self.lg_k, num_std_dev)
         return max(self.get_estimate() / (1.0 + rel), num_non_zero)
+
+    # -- storage-type conversion ---------------------------------------------
+    def copy_as(self, tgt: int) -> "HllSketch":
+        """CopyAs(TgtHllType) — the reference's 4/6/8 storage-width
+        conversion (hll/hll_sketch.go CopyAs). The runtime keeps one
+        uint8 register representation (the declared mapping), so the
+        copy is produced by round-tripping through the bit-exact wire
+        encoders: an HLL_4 copy carries exactly the information an
+        HLL_4 image carries (curMin-rebased nibbles + aux-map
+        exceptions), an HLL_6 copy the 6-bit-clamped registers, and the
+        declared ``tgt_type`` controls future ``to_reference_bytes``
+        serializations. Coupon-mode sketches convert trivially (type
+        only affects the HLL-mode payload)."""
+        if tgt not in (4, 6, 8):
+            raise ValueError("tgt must be 4, 6 or 8")
+        from .serde_compat import read_hll, write_hll
+
+        if self.mode != MODE_HLL:
+            cp = HllSketch(self.lg_k)
+            cp._copy_from(self)
+        else:
+            cp = read_hll(write_hll(self, tgt=tgt))
+        cp.tgt_type = tgt
+        return cp
+
+    def to_reference_bytes(self, compact: bool = True) -> bytes:
+        """Cross-language wire image in this sketch's declared storage
+        type (serde_compat.write_hll; bit-exact vs the Java/C++ golden
+        files)."""
+        from .serde_compat import write_hll
+
+        return write_hll(self, tgt=getattr(self, "tgt_type", 8),
+                         compact=compact)
 
     # -- serde (checkpoint form) --------------------------------------------
     def to_bytes(self) -> bytes:

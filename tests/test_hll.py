@@ -176,3 +176,35 @@ def test_hll_union_mixed_lgk():
         np.arange(100_000, dtype=np.uint64)))
     with pytest.raises(ValueError):
         a.merge(b)
+
+
+def test_hll_copy_as_storage_types():
+    """CopyAs 4/6/8: an HLL_4 copy carries exactly what an HLL_4 wire
+    image carries (curMin-rebased nibbles + aux exceptions), estimates
+    agree within the nibble-saturation information loss, and
+    to_reference_bytes round-trips in the declared type."""
+    import numpy as np
+
+    from apache_datasketches_go_ray.state.hll import HllSketch, coupons_from_u64s
+    from apache_datasketches_go_ray.state.serde_compat import read_hll
+
+    sk = HllSketch(lg_k=11)
+    sk.update_coupons_bulk(coupons_from_u64s(
+        np.arange(200_000, dtype=np.uint64)))
+    base = sk.get_estimate()
+    for tgt in (8, 6, 4):
+        cp = sk.copy_as(tgt)
+        assert cp.tgt_type == tgt
+        # 8/6 are lossless at these register values; 4 may clamp via
+        # curMin rebase but the estimate must stay within the bound band
+        rel = abs(cp.get_estimate() - base) / base
+        assert rel < (1e-12 if tgt in (8, 6) else 0.01), (tgt, rel)
+        rt = read_hll(cp.to_reference_bytes())
+        assert abs(rt.get_estimate() - cp.get_estimate()) < 1e-9
+    # coupon-mode copies convert trivially
+    small = HllSketch(lg_k=11)
+    small.update_coupons_bulk(coupons_from_u64s(
+        np.arange(20, dtype=np.uint64)))
+    c4 = small.copy_as(4)
+    assert c4.tgt_type == 4
+    assert c4.get_estimate() == small.get_estimate()
