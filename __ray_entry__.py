@@ -2052,6 +2052,28 @@ def _q_ann_knn_join(sf_dir: str):
                     num_partitions=8).sort(["query_id", "rank"])
 
 
+def _q_ann_lsh_knn_join(sf_dir: str):
+    """Approximate dataset-to-dataset kNN (the scale path when Q*N
+    exact is infeasible): both sides bucketed into 6 hyperplane-sign
+    tables, co-partitioned per (table, bucket), in-bucket exact cosine
+    top-k, query-keyed dedup fold. Rows-only: recall vs knn_join ground
+    truth is gated by pytest (tests/test_kernels.py)."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.ann import lsh_knn_join
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pick(b):
+        vid = as_array(b.column("vec_id")).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(vid % 37 == 0))
+
+    queries = corpus.map_batches(pick, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return lsh_knn_join(corpus, queries, k=5, n_planes=6, n_tables=6,
+                        num_partitions=8).sort(["query_id", "rank"])
+
+
 def _q_lang_quantiles_exact(sf_dir: str):
     """Exact per-language quartiles of document length — ANSI
     percentile_disc semantics (element at 1-based index ceil(q*n)),
@@ -3637,6 +3659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_knn_join_topk": _q_ann_lsh_knn_join,
         "multimodal_features": _q_multimodal_features,
         "audio_wav_features": _q_audio_wav_features,
         "video_frame_features": _q_video_frame_features,

@@ -431,10 +431,13 @@ class _KnnChunkScan:
         })
 
 
-def _knn_fold(batch: pa.Table, k: int) -> pa.Table:
+def _knn_fold(batch: pa.Table, k: int, dedup_pairs: bool = False) -> pa.Table:
     """Per-query global top-k from co-located block partials:
     (score desc, vec_id asc) rank, scores dropped (rank is exact,
-    raw floats are cross-engine-parity risk)."""
+    raw floats are cross-engine-parity risk). ``dedup_pairs`` drops
+    duplicate (query, vec) rows first (multi-table LSH emits the same
+    pair once per shared table — identical score, so duplicates are
+    adjacent after the sort)."""
     if len(batch) == 0:
         return pa.table({"query_id": pa.array([], type=pa.int64()),
                          "vec_id": pa.array([], type=pa.int64()),
@@ -444,6 +447,10 @@ def _knn_fold(batch: pa.Table, k: int) -> pa.Table:
     s = batch.column("score").to_numpy(zero_copy_only=False)
     order = np.lexsort((v, -s, q))  # by query, score desc, vec_id asc
     q, v = q[order], v[order]
+    if dedup_pairs and len(q) > 1:
+        keep_pair = np.ones(len(q), dtype=bool)
+        keep_pair[1:] = (q[1:] != q[:-1]) | (v[1:] != v[:-1])
+        q, v = q[keep_pair], v[keep_pair]
     first = np.ones(len(q), dtype=bool)
     first[1:] = q[1:] != q[:-1]
     # rank within query = position - segment start
@@ -496,3 +503,134 @@ def knn_join(corpus_ds, query_ds, k: int = 10,
         .map_batches(functools.partial(_knn_fold, k=k),
                      batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True))
+
+
+def _bucket_exploded(batch: pa.Table, tables_planes, id_col: str,
+                     emb_col: str, tag: int) -> pa.Table:
+    """Explode each row into one (key, id, embedding-bytes) row per hash
+    table; key folds (table_id, sign-bucket) into one uint64."""
+    ids = as_array(batch.column(id_col)).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    m = _embeddings_matrix(batch, emb_col).astype(np.float64)
+    n = len(ids)
+    if n == 0:
+        return pa.table({"key": pa.array([], type=pa.uint64()),
+                         "rid": pa.array([], type=pa.int64()),
+                         "emb": pa.array([], type=pa.large_binary()),
+                         "tag": pa.array([], type=pa.int8())})
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = np.ascontiguousarray(m / norms)
+    emb_bytes = [mn[i].tobytes() for i in range(n)]
+    keys, rids, embs = [], [], []
+    for t, planes in enumerate(tables_planes):
+        signs = (mn @ planes.T) > 0
+        powers = (np.uint64(1) << np.arange(planes.shape[0],
+                                            dtype=np.uint64))
+        bucket = (signs.astype(np.uint64) * powers).sum(axis=1,
+                                                        dtype=np.uint64)
+        salt = np.uint64(((t + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        keys.append(fmix64(bucket ^ salt))
+        rids.append(ids)
+        embs.extend(emb_bytes)
+    return pa.table({
+        "key": pa.array(np.concatenate(keys), type=pa.uint64()),
+        "rid": pa.array(np.concatenate(rids), type=pa.int64()),
+        "emb": pa.array(embs, type=pa.large_binary()),
+        "tag": pa.array(np.full(n * len(tables_planes), tag,
+                                dtype=np.int8)),
+    })
+
+
+def _bucket_knn_block(batch: pa.Table, k: int) -> pa.Table:
+    """Co-located (table, bucket) groups: exact cosine top-k of the
+    bucket's queries against the bucket's corpus vectors."""
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "vec_id": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.float64())})
+    if len(batch) == 0:
+        return empty
+    key = batch.column("key").to_numpy(zero_copy_only=False)
+    tag = batch.column("tag").to_numpy(zero_copy_only=False)
+    rid = batch.column("rid").to_numpy(zero_copy_only=False)
+    emb = as_array(batch.column("emb"))
+    order = np.argsort(key, kind="stable")
+    key_s, tag_s = key[order], tag[order]
+    first = np.ones(len(key_s), dtype=bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], len(key_s))
+    q_out, v_out, s_out = [], [], []
+    for s0, e0 in zip(starts, ends):
+        seg = order[s0:e0]
+        qsel = seg[tag[seg] == 0]
+        csel = seg[tag[seg] == 1]
+        if len(qsel) == 0 or len(csel) == 0:
+            continue
+        qm = np.vstack([np.frombuffer(emb[int(i)].as_py(), dtype=np.float64)
+                        for i in qsel])
+        cm = np.vstack([np.frombuffer(emb[int(i)].as_py(), dtype=np.float64)
+                        for i in csel])
+        scores = qm @ cm.T
+        kk = min(k, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(rid[qsel], kk)
+        cols = part.reshape(-1)
+        q_out.append(rows)
+        v_out.append(rid[csel][cols])
+        s_out.append(scores[np.repeat(np.arange(len(qsel)), kk), cols])
+    if not q_out:
+        return empty
+    return pa.table({
+        "query_id": pa.array(np.concatenate(q_out), type=pa.int64()),
+        "vec_id": pa.array(np.concatenate(v_out), type=pa.int64()),
+        "score": pa.array(np.concatenate(s_out), type=pa.float64()),
+    })
+
+
+def lsh_knn_join(corpus_ds, query_ds, k: int = 10, n_planes: int = 6,
+                 n_tables: int = 4,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 num_partitions: int = 16, seed: int = 9001):
+    """Approximate dataset-to-dataset kNN — the scale path when Q*N
+    exact (knn_join) is infeasible. Both sides are hashed into
+    ``n_tables`` independent random-hyperplane sign buckets and
+    co-partitioned on the (table, bucket) key; each bucket runs an
+    exact cosine top-k of its queries against its corpus vectors; a
+    query-keyed fold dedups multi-table pair hits and takes the global
+    top-k. Recall is bucket-limited and grows with ``n_tables`` /
+    shrinks with ``n_planes`` (documented LSH tradeoff; the recall
+    pytest measures it against knn_join ground truth). Embeddings
+    replicate n_tables times through the single shuffle — the classic
+    space-for-recall LSH trade."""
+    import functools
+
+    # probe the dimension once (tiny take) to build the plane tables
+    probe = corpus_ds.take(1)
+    dim = len(probe[0][emb_col]) if probe else 0
+    if dim == 0:
+        return corpus_ds.map_batches(
+            lambda b: pa.table({"query_id": pa.array([], type=pa.int64()),
+                                "vec_id": pa.array([], type=pa.int64()),
+                                "rank": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    tables = [_hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
+    qb = query_ds.map_batches(
+        functools.partial(_bucket_exploded, tables_planes=tables,
+                          id_col=id_col, emb_col=emb_col, tag=0),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cb = corpus_ds.map_batches(
+        functools.partial(_bucket_exploded, tables_planes=tables,
+                          id_col=id_col, emb_col=emb_col, tag=1),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return (qb.union(cb)
+            .repartition(num_partitions, keys=["key"])
+            .map_batches(functools.partial(_bucket_knn_block, k=k),
+                         batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(num_partitions, keys=["query_id"])
+            .map_batches(functools.partial(_knn_fold, k=k,
+                                           dedup_pairs=True),
+                         batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

@@ -318,3 +318,43 @@ def test_knn_join_matches_numpy_bruteforce(ray_session):
             exp_rows.append((qid, int(v), r + 1))
     got = list(zip(out["query_id"], out["vec_id"], out["rank"]))
     assert got == exp_rows
+
+
+def test_lsh_knn_join_recall(ray_session):
+    """Approximate dataset-to-dataset kNN: on clustered vectors the
+    bucketed join recovers most of the exact top-k (recall measured
+    against knn_join ground truth); output schema/rank contract matches
+    the exact operator."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.ann import knn_join, lsh_knn_join
+
+    rng = np.random.default_rng(21)
+    n_clusters, per, d, k = 20, 30, 16, 5
+    centers = rng.normal(size=(n_clusters, d))
+    pts = np.repeat(centers, per, axis=0) + \
+        0.08 * rng.normal(size=(n_clusters * per, d))
+    n = len(pts)
+    corpus = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(pts.astype(np.float32)),
+                              type=pa.list_(pa.float32())),
+    }))
+    qmask = np.arange(n) % 17 == 0
+    queries = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)[qmask]),
+        "embedding": pa.array(list(pts[qmask].astype(np.float32)),
+                              type=pa.list_(pa.float32())),
+    }))
+    exact = knn_join(corpus, queries, k=k, chunk_rows=64,
+                     num_partitions=4).to_pandas()
+    approx = lsh_knn_join(corpus, queries, k=k, n_planes=6, n_tables=6,
+                          num_partitions=4).to_pandas()
+    truth = exact.groupby("query_id")["vec_id"].apply(set)
+    got = approx.groupby("query_id")["vec_id"].apply(set)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth.index)
+    recall = hits / (len(truth) * k)
+    assert recall >= 0.8, recall
+    assert (approx["rank"] >= 1).all() and (approx["rank"] <= k).all()
