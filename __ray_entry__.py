@@ -2676,6 +2676,102 @@ def _q_order_rank_gaps(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_order_percent_rank(sf_dir: str):
+    """percent_rank() per customer by price desc: (rank-1)/(n-1) with
+    gap-rank semantics (ties share), 0.0 for single-row groups — the
+    same double division SQL performs, so values are bit-identical."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "pct_rank": pa.array([], type=pa.float64()),
+            })
+        k = as_array(b.column("o_custkey")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = as_array(b.column("o_totalprice")) \
+            .to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("o_orderkey")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v, k))
+        sk, sv = k[order], v[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        chg = first.copy()
+        chg[1:] |= sv[1:] != sv[:-1]
+        idx = np.arange(len(sk), dtype=np.int64)
+        run_start = idx[np.flatnonzero(chg)][np.cumsum(chg) - 1]
+        seg_start = idx[np.flatnonzero(first)][np.cumsum(first) - 1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(sk)))
+        n_in_group = np.repeat(sizes, sizes)
+        rnk = run_start - seg_start + 1
+        pr = np.where(n_in_group > 1,
+                      (rnk - 1).astype(np.float64)
+                      / np.maximum(n_in_group - 1, 1), 0.0)
+        return pa.table({
+            "o_orderkey": pa.array(ids[order], type=pa.int64()),
+            "pct_rank": pa.array(pr, type=pa.float64()),
+        })
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_totalprice"])
+            .repartition(8, keys=["o_custkey"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_order_ntile(sf_dir: str):
+    """ntile(4) per customer (price desc, orderkey tie-break): ANSI
+    bucket sizing — the first (n mod k) buckets take ceil(n/k) rows —
+    computed from each row's 0-based position within its group."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    K = 4
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("o_custkey")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = as_array(b.column("o_totalprice")) \
+            .to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("o_orderkey")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v, k))
+        sk = k[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(sk)))
+        n = np.repeat(sizes, sizes)
+        pos = np.arange(len(sk), dtype=np.int64) \
+            - np.repeat(starts, sizes)
+        q, r = n // K, n % K
+        big = (q + 1) * r  # rows covered by the ceil-sized buckets
+        bucket = np.where(
+            pos < big,
+            pos // np.maximum(q + 1, 1) + 1,
+            r + (pos - big) // np.maximum(q, 1) + 1,
+        )
+        return pa.table({
+            "o_orderkey": pa.array(ids[order], type=pa.int64()),
+            "bucket": pa.array(bucket.astype(np.int64), type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_totalprice"])
+            .repartition(8, keys=["o_custkey"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_daily_top_event(sf_dir: str):
     """Composite-key window: the single largest event per (user, day)
     (cents desc, event_id tie-break) — top-1 under a two-column
@@ -3626,6 +3722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_event": _q_user_first_last_event,
         "revenue_by_price_quartile": _q_revenue_by_price_quartile,
         "order_rank_gaps": _q_order_rank_gaps,
+        "order_percent_rank": _q_order_percent_rank,
+        "order_ntile": _q_order_ntile,
         "daily_top_event": _q_daily_top_event,
         "lang_nchars_stddev": _q_lang_nchars_stddev,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
@@ -4578,6 +4676,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cast(round(o_totalprice * 100) AS bigint))
                         AS BIGINT) AS sum_cents
             FROM q GROUP BY bucket
+        """,
+        "order_percent_rank": """
+            SELECT o_orderkey,
+                   percent_rank() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC)
+                     AS pct_rank
+            FROM orders
+        """,
+        "order_ntile": """
+            SELECT o_orderkey,
+                   CAST(ntile(4) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC,
+                                                o_orderkey ASC)
+                        AS BIGINT) AS bucket
+            FROM orders
         """,
         "order_rank_gaps": """
             SELECT o_orderkey, o_custkey, o_totalprice,
