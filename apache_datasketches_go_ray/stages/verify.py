@@ -286,7 +286,8 @@ def _broadcast_verify_batch(batch: pa.Table, cand_ref, cfg: DedupConfig,
 def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
                  dedup_pairs: bool = False,
                  broadcast_threshold: int = 4 << 30,
-                 texts_ds=None):
+                 texts_ds=None,
+                 containment_chunk_pairs: int = 250_000):
     """pairs (a,b) + signature table -> verified edge table.
 
     Returns the full verification table (is_dup marks edges) so metrics
@@ -394,15 +395,31 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
         return done.union(needs.map_batches(
             reject, batch_format="pyarrow", zero_copy_batch=True))
 
-    need_ids: set = set()
-    for blk in needs.select_columns(["a", "b"]).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        need_ids.update(blk.column("a").to_pylist())
-        need_ids.update(blk.column("b").to_pylist())
-    texts_ref = ray.put(_collect_texts(texts_ds, need_ids))
-    resolved = needs.map_batches(
-        functools.partial(_resolve_containment, texts_ref=texts_ref,
-                          cfg=config),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
-    )
-    return done.union(resolved)
+    def _ids_of(part) -> set:
+        out: set = set()
+        for blk in part.select_columns(["a", "b"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            out.update(blk.column("a").to_pylist())
+            out.update(blk.column("b").to_pylist())
+        return out
+
+    def _resolve_part(part):
+        texts_ref = ray.put(_collect_texts(texts_ds, _ids_of(part)))
+        return part.map_batches(
+            functools.partial(_resolve_containment, texts_ref=texts_ref,
+                              cfg=config),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+
+    # bound driver/broadcast memory on containment-heavy corpora: above
+    # the cap the (materialized) needs set resolves in pair chunks, each
+    # broadcasting only its own texts — extra texts_ds passes traded for
+    # an O(chunk) text dict instead of O(all containment candidates)
+    n_needs = needs.count()
+    n_chunks = max(1, -(-n_needs // containment_chunk_pairs))
+    if n_chunks == 1:
+        return done.union(_resolve_part(needs))
+    out = done
+    for part in needs.split(n_chunks):
+        out = out.union(_resolve_part(part))
+    return out
