@@ -1939,6 +1939,17 @@ def _q_lag_delta(sf_dir: str):
                      num_partitions=16)
 
 
+def _q_lead_delta(sf_dir: str):
+    """lead() window: each event's next value (exact cents) and the
+    delta to it — the mirror of events_lag_delta (same one-shuffle
+    shifted-view kernel, zeroed at segment ends)."""
+    from apache_datasketches_go_ray.stages.windows import lead_delta
+
+    return lead_delta(_read(sf_dir, "events",
+                            ["user_id", "ts", "event_id", "value"]),
+                      num_partitions=16)
+
+
 def _q_time_window(sf_dir: str):
     """Time-range sliding window: trailing 1-hour sum/count per user
     (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW,
@@ -3692,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": _q_props_extract,
         "consecutive_bigram_jaccard": _q_consecutive_bigram_jaccard,
         "events_lag_delta": _q_lag_delta,
+        "events_lead_delta": _q_lead_delta,
         "events_time_window": _q_time_window,
         "order_rank_per_customer": _q_dense_rank_orders,
         "event_paths": _q_event_paths,
@@ -4422,6 +4434,21 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+        """,
+        "events_lead_delta": """
+            WITH t AS (
+              SELECT event_id, user_id, ts,
+                     cast(round(value * 100) AS bigint) AS cents
+              FROM events
+            ), o AS (
+              SELECT event_id, user_id, cents,
+                     lead(cents, 1, 0) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+              FROM t
+            )
+            SELECT event_id, user_id, nxt AS next_cents,
+                   nxt - cents AS delta_cents
+            FROM o
         """,
         "events_lag_delta": """
             WITH t AS (

@@ -575,3 +575,56 @@ def debounce(ds, key_cols: list[str], ts_col: str = "ts",
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def lead_delta(ds, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", value_col: str = "value",
+               num_partitions: int = 64):
+    """Per-key lead(): each event's NEXT value (exact cents) and the
+    delta to it — ``lead(x, 1, 0) OVER (PARTITION BY k ORDER BY ts,
+    id)``. The mirror of :func:`lag_delta`: same one-shuffle shape,
+    the lead is a forward-shifted view zeroed at segment ends."""
+
+    def project(b):
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "ts": b.column(ts_col).cast(pa.int64()),
+            "id": b.column(id_col).cast(pa.int64()),
+            "cents": _cents(b.column(value_col)),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "next_cents": pa.array([], type=pa.int64()),
+                "delta_cents": pa.array([], type=pa.int64()),
+            })
+        k = as_array(b.column("k")).to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        cents = as_array(b.column("cents")).to_numpy(zero_copy_only=False)
+        order, first = _sorted_key_segments(k, ts, ids)
+        sc = cents[order]
+        nxt = np.empty_like(sc)
+        nxt[:-1] = sc[1:]
+        nxt[-1] = 0
+        # a segment's last row is the row BEFORE the next segment start
+        if len(first) > 1:
+            nxt[:-1][first[1:]] = 0
+        return pa.table({
+            "event_id": pa.array(ids[order], type=pa.int64()),
+            "user_id": pa.array(k[order], type=pa.int64()),
+            "next_cents": pa.array(nxt, type=pa.int64()),
+            "delta_cents": pa.array(nxt - sc, type=pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 200_000, num_partitions)
+    return (
+        ds.select_columns([key_col, ts_col, id_col, value_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P, keys=["k"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
