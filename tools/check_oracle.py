@@ -37,7 +37,8 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False)
+        ncpu = int(os.environ.get("GRAFT_CHECK_CPUS", "8"))
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
     import apache_datasketches_go_ray  # noqa: F401 (hash shuffle ctx)
     import __ray_entry__ as entrymod
 
