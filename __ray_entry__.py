@@ -117,6 +117,30 @@ def _q_exact_dedup_docs(sf_dir: str):
                        num_partitions=16)
 
 
+def _q_eval_decontaminate(sf_dir: str):
+    """Eval-set decontamination: docs sharing a 13-gram with the eval
+    split (doc_id % 7 == 0). The eval gram-hash set broadcasts once;
+    the train side is a pure map — no corpus shuffle."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.decontaminate import (
+        eval_ngram_hashes, flag_contaminated)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(b, want_eval):
+        m = b.column("doc_id").to_numpy(zero_copy_only=False) % 7 == 0
+        return b.filter(pa.array(m if want_eval else ~m))
+
+    ev_ds = docs.map_batches(lambda b: _split(b, True),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    tr_ds = docs.map_batches(lambda b: _split(b, False),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    ev = eval_ngram_hashes(ev_ds, n=13)
+    flagged = flag_contaminated(tr_ds, ev, n=13)
+    return flagged.select_columns(["doc_id", "n_grams", "n_hits"]) \
+        .sort("doc_id")
+
+
 def _q_token_counts(sf_dir: str):
     import pyarrow as pa
     from apache_datasketches_go_ray.stages.textops import token_count_batch
@@ -1069,7 +1093,7 @@ def _q_boilerplate_turns(sf_dir: str):
                                columns=["conv_id", "text"])
 
     def pre(b):
-        h1, _ = hash_strings(as_array(b.column("text")).to_pylist())
+        h1, _ = hash_strings(as_array(b.column("text")))
         t = pa.table({
             "h": pa.array(h1.view(np.int64), type=pa.int64()),
             "conv_id": b.column("conv_id"),
@@ -1110,7 +1134,7 @@ def _q_boilerplate_turns(sf_dir: str):
     wanted = set(hot_tbl["h"].tolist())
 
     def resolve(b):
-        h1, _ = hash_strings(as_array(b.column("text")).to_pylist())
+        h1, _ = hash_strings(as_array(b.column("text")))
         h = h1.view(np.int64)
         mask = np.isin(h, np.fromiter(wanted, dtype=np.int64))
         if not mask.any():
@@ -3349,7 +3373,7 @@ def _q_dup_rate_by_source(sf_dir: str):
 
     def add_hash(b):
         texts = as_array(b.column("text"))
-        h1, _ = hash_strings(texts.to_pylist())
+        h1, _ = hash_strings(texts)
         return pa.table({
             "source": b.column("source"),
             "text": texts,
@@ -3662,8 +3686,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_reply_latency": _q_transcript_reply_latency,
         "transcript_tool_usage": _q_transcript_tool_usage,
         "transcript_role_paths": _q_transcript_role_paths,
+        # flagship pipeline — inside the driver gate window on purpose:
+        # no SQL oracle (rows-only row-count check here; value parity is
+        # pinned by the exact single-process-oracle pytest), but the
+        # external gate should at least see the flagship run
+        "transcript_dedup_clusters": _q_transcript_dedup,
         # exact, SQL-oracled operators
         "exact_dedup_docs": _q_exact_dedup_docs,
+        "eval_decontaminate": _q_eval_decontaminate,
         "token_counts": _q_token_counts,
         "doc_stats": _q_doc_stats,
         "top_tokens": _q_top_tokens,
@@ -3748,9 +3778,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "user_spend_summary": _q_user_spend_summary,
         "docs_containing_pattern": _q_docs_containing_pattern,
-        # rows-only operators: flagship pipeline + murmur-substrate /
-        # approximate / synthetic-payload queries (no SQL equivalent)
-        "transcript_dedup_clusters": _q_transcript_dedup,
+        # rows-only operators: murmur-substrate / approximate /
+        # synthetic-payload queries (no SQL equivalent); the flagship
+        # transcript_dedup_clusters is registered up top inside the gate
+        # window
         "fuzzy_boilerplate_turns": _q_fuzzy_boilerplate_turns,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
@@ -3875,6 +3906,30 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "eval_decontaminate": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(toks[i:i+12], ' ') AS gram
+              FROM t, LATERAL (
+                SELECT unnest(generate_series(1, len(toks) - 12)) AS i) s
+              WHERE len(toks) >= 13
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+            SELECT g.doc_id AS doc_id,
+                   CAST(count(DISTINCT g.gram) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT CASE WHEN ev.gram IS NOT NULL
+                                            THEN g.gram END) AS BIGINT)
+                     AS n_hits
+            FROM g LEFT JOIN ev USING (gram)
+            WHERE g.doc_id % 7 <> 0
+            GROUP BY g.doc_id
+            HAVING n_hits > 0
+            ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

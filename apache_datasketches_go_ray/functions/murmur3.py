@@ -243,15 +243,52 @@ def hash_strings(strings, seed: int = DEFAULT_UPDATE_SEED) -> tuple[np.ndarray, 
     (hll/hll_sketch.go:291-295). ``strings`` may be a list of str/bytes or a
     pyarrow StringArray. Returns (h1, h2) uint64 arrays.
     """
-    bs = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in strings]
-    n = len(bs)
+    import pyarrow as pa
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        # Python list path (golden vectors, small driver-side lists):
+        # canonicalize to an Arrow array once, then share the buffer path.
+        seq = list(strings)
+        if seq and isinstance(seq[0], (bytes, bytearray, memoryview)):
+            strings = pa.array([bytes(s) for s in seq],
+                               type=pa.large_binary())
+        else:
+            strings = pa.array(seq, type=pa.large_string())
+    arr = strings
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+    n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
-    lengths = np.fromiter((len(b) for b in bs), count=n, dtype=np.int64)
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        odt = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        odt = np.int64
+    else:
+        raise TypeError(f"hash_strings expects a (large_)string/binary "
+                        f"column, got {t}")
+    # Build the padded byte matrix straight from the Arrow value buffer +
+    # offsets — one vectorized scatter, no per-row Python (same discipline
+    # as stages/lsh._digest_matrix). UTF-8 value bytes are exactly what
+    # UpdateString hashes (hll/hll_sketch.go:291-295).
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    vals = np.frombuffer(arr.buffers()[2], dtype=np.uint8) \
+        if arr.buffers()[2] is not None else np.empty(0, dtype=np.uint8)
+    lengths = np.diff(offs)
+    if arr.null_count:
+        lengths = np.where(np.asarray(arr.is_null()), 0, lengths)
     maxlen = int(lengths.max())
     padded = ((maxlen // 16) + 1) * 16
     mat = np.zeros((n, padded), dtype=np.uint8)
-    for i, b in enumerate(bs):
-        if b:
-            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    total = int(lengths.sum())
+    if total:
+        row = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        cum = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(cum, lengths)
+        src = np.repeat(offs[:-1], lengths) + pos
+        mat.ravel()[row * padded + pos] = vals[src]
     return murmur3_128_mat(mat, lengths, seed)

@@ -63,8 +63,7 @@ def tokenize_column(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     dict_arr = pc.dictionary_encode(flat)
     if isinstance(dict_arr, pa.ChunkedArray):
         dict_arr = dict_arr.combine_chunks()
-    vocab = dict_arr.dictionary.to_pylist()
-    h1, _ = hash_strings(vocab)
+    h1, _ = hash_strings(dict_arr.dictionary)
     indices = dict_arr.indices.to_numpy(zero_copy_only=False)
     token_hashes = h1[indices] if len(indices) else np.empty(0, dtype=np.uint64)
     return token_hashes, offsets

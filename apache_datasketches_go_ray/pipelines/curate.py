@@ -86,7 +86,7 @@ def _exact_key(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     texts = batch.column(text_col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    h, _ = hash_strings(texts.to_pylist())
+    h, _ = hash_strings(texts)
     return batch.append_column("__th", pa.array(h, type=pa.uint64()))
 
 

@@ -50,17 +50,16 @@ class _BruteForcePartial:
         mn = m / norms
         scores = self.qn @ mn.T  # (nq, nblock)
         k = min(self.k, scores.shape[1])
-        # partial top-k per query within this block
+        # partial top-k per query within this block — same np.repeat emit
+        # as _KnnChunkScan, no Python row loop
         part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        q_out, v_out, s_out = [], [], []
-        for qi in range(scores.shape[0]):
-            for j in part[qi]:
-                q_out.append(int(self.q_ids[qi]))
-                v_out.append(int(ids[j]))
-                s_out.append(float(scores[qi, j]))
-        return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
-                         "vec_id": pa.array(v_out, type=pa.int64()),
-                         "score": pa.array(s_out, type=pa.float64())})
+        rows = np.repeat(np.asarray(self.q_ids, dtype=np.int64), k)
+        cols = part.reshape(-1)
+        svals = scores[np.repeat(np.arange(scores.shape[0]), k), cols]
+        return pa.table({"query_id": pa.array(rows, type=pa.int64()),
+                         "vec_id": pa.array(ids[cols].astype(np.int64),
+                                            type=pa.int64()),
+                         "score": pa.array(svals, type=pa.float64())})
 
 
 def brute_force_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
@@ -252,11 +251,12 @@ def lsh_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
     bucketed = lsh_bucket_embeddings(ds, n_planes, id_col, emb_col, seed)
     ref = ray.put({"ids": np.asarray(query_ids),
                    "matrix": np.asarray(query_matrix)})
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
     parts = bucketed.map_batches(
         _LshTopkPartial,
         fn_constructor_args=(ref, k, id_col, emb_col, n_planes, seed),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=(1, max(2, n_cpu)),
     ).take_all()
     return _fold_topk(parts, k, round_to)
 
@@ -384,10 +384,11 @@ def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
     probes = order[:, :min(n_probe, C.shape[0])]
     ref = ray.put({"ids": np.asarray(query_ids), "qn": qn,
                    "centroids": C, "probes": probes})
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
     parts = ds.map_batches(
         _IvfTopkPartial, fn_constructor_args=(ref, k, id_col, emb_col),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=(1, max(2, n_cpu)),
     ).take_all()
     return _fold_topk(parts, k, round_to)
 
@@ -398,7 +399,12 @@ class _KnnChunkScan:
     pool) and emits k rows per (query, corpus block)."""
 
     def __init__(self, chunk_refs, k: int, id_col: str, emb_col: str):
-        self.chunks = [ray.get(r) for r in chunk_refs]  # [(ids, qn), ...]
+        # Keep only the refs: chunks are ray.get-ed one at a time inside
+        # __call__ (zero-copy plasma view while scanning, released after),
+        # so per-task residency really is O(chunk + block) — pinning all
+        # chunks here would reintroduce the full per-node query footprint
+        # the chunking exists to avoid.
+        self.chunk_refs = list(chunk_refs)
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
@@ -415,7 +421,8 @@ class _KnnChunkScan:
         norms[norms == 0] = 1.0
         mn = m / norms
         q_out, v_out, s_out = [], [], []
-        for q_ids, qn in self.chunks:
+        for ref in self.chunk_refs:
+            q_ids, qn = ray.get(ref)
             scores = qn @ mn.T  # (chunk, block)
             k = min(self.k, scores.shape[1])
             part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
@@ -521,8 +528,8 @@ def _bucket_exploded(batch: pa.Table, tables_planes, id_col: str,
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mn = np.ascontiguousarray(m / norms)
-    emb_bytes = [mn[i].tobytes() for i in range(n)]
-    keys, rids, embs = [], [], []
+    n_tables = len(tables_planes)
+    keys = []
     for t, planes in enumerate(tables_planes):
         signs = (mn @ planes.T) > 0
         powers = (np.uint64(1) << np.arange(planes.shape[0],
@@ -531,14 +538,30 @@ def _bucket_exploded(batch: pa.Table, tables_planes, id_col: str,
                                                         dtype=np.uint64)
         salt = np.uint64(((t + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
         keys.append(fmix64(bucket ^ salt))
-        rids.append(ids)
-        embs.extend(emb_bytes)
+    # One C-level byte image of the normalized matrix, wrapped as a
+    # fixed-width large_binary via arithmetic offsets (the
+    # signature.py:59-63 pattern — no per-row tobytes()). The
+    # n_tables-fold replication is a single vectorized take() gather
+    # (Arrow offsets must be monotone, so tiling offsets into the same
+    # buffer isn't representable) — the documented space-for-recall
+    # LSH trade.
+    width = mn.shape[1] * 8
+    data_buf = pa.py_buffer(mn.tobytes())
+    base = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None,
+         pa.py_buffer((np.arange(n + 1, dtype=np.int64)
+                       * width).tobytes()),
+         data_buf],
+    )
+    emb_col_arr = (base if n_tables == 1 else
+                   base.take(pa.array(np.tile(np.arange(n, dtype=np.int64),
+                                              n_tables))))
     return pa.table({
         "key": pa.array(np.concatenate(keys), type=pa.uint64()),
-        "rid": pa.array(np.concatenate(rids), type=pa.int64()),
-        "emb": pa.array(embs, type=pa.large_binary()),
-        "tag": pa.array(np.full(n * len(tables_planes), tag,
-                                dtype=np.int8)),
+        "rid": pa.array(np.tile(ids, n_tables), type=pa.int64()),
+        "emb": emb_col_arr,
+        "tag": pa.array(np.full(n * n_tables, tag, dtype=np.int8)),
     })
 
 
@@ -554,8 +577,19 @@ def _bucket_knn_block(batch: pa.Table, k: int) -> pa.Table:
     tag = batch.column("tag").to_numpy(zero_copy_only=False)
     rid = batch.column("rid").to_numpy(zero_copy_only=False)
     emb = as_array(batch.column("emb"))
+    # fixed-width large_binary -> one float64 matrix view over the value
+    # buffer (offsets math only; no per-row .as_py()/frombuffer)
+    n_rows = len(emb)
+    offs = np.frombuffer(emb.buffers()[1], dtype=np.int64)[
+        emb.offset: emb.offset + n_rows + 1]
+    width = int(offs[1] - offs[0]) // 8
+    if np.any(np.diff(offs) != width * 8):
+        raise ValueError("emb column is not fixed-width — layout changed")
+    vals = np.frombuffer(emb.buffers()[2], dtype=np.float64)
+    allm = vals[offs[0] // 8: offs[0] // 8 + n_rows * width] \
+        .reshape(n_rows, width)
     order = np.argsort(key, kind="stable")
-    key_s, tag_s = key[order], tag[order]
+    key_s = key[order]
     first = np.ones(len(key_s), dtype=bool)
     first[1:] = key_s[1:] != key_s[:-1]
     starts = np.flatnonzero(first)
@@ -567,10 +601,8 @@ def _bucket_knn_block(batch: pa.Table, k: int) -> pa.Table:
         csel = seg[tag[seg] == 1]
         if len(qsel) == 0 or len(csel) == 0:
             continue
-        qm = np.vstack([np.frombuffer(emb[int(i)].as_py(), dtype=np.float64)
-                        for i in qsel])
-        cm = np.vstack([np.frombuffer(emb[int(i)].as_py(), dtype=np.float64)
-                        for i in csel])
+        qm = allm[qsel]
+        cm = allm[csel]
         scores = qm @ cm.T
         kk = min(k, scores.shape[1])
         part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]

@@ -90,7 +90,7 @@ def _merge_fragments(batch: pa.Table) -> pa.Table:
     if len(batch) == 0:
         return pa.table({
             "conv_id": pa.array([], type=pa.string()),
-            "text": pa.array([], type=pa.large_string()),
+            "text": pa.array([], type=pa.string()),
             "n_turns": pa.array([], type=pa.int32()),
         })
     conv = as_array(batch.column("conv_id"))

@@ -46,12 +46,27 @@ _EDGES_PER_PART = 50_000
 
 def _encode_block(batch: pa.Table, c0: str, c1: str):
     """(str col, str col) -> (codes0, codes1, decode table). Block-local
-    codes preserve global string order."""
-    a = np.asarray(as_array(batch.column(c0)).to_pylist(), dtype=object)
-    b = np.asarray(as_array(batch.column(c1)).to_pylist(), dtype=object)
-    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    n = len(a)
-    return inv[:n].astype(np.int64), inv[n:].astype(np.int64), uniq
+    codes preserve global string order.
+
+    Arrow-native: one ``dictionary_encode`` over both endpoint columns,
+    then a rank table from ``sort_indices`` on the (small) dictionary —
+    UTF-8 byte order == codepoint order, so rank order matches the
+    lexicographic order the single-process oracle labels by. No Python
+    string objects are materialized per row."""
+    import pyarrow.compute as pc
+
+    both = pa.concat_arrays([as_array(batch.column(c0)),
+                             as_array(batch.column(c1))])
+    d = pc.dictionary_encode(both)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_arr = d.dictionary
+    sort_idx = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
+    rank_of_code = np.empty(len(dict_arr), dtype=np.int64)
+    rank_of_code[sort_idx] = np.arange(len(dict_arr), dtype=np.int64)
+    uniq = dict_arr.take(pa.array(sort_idx))
+    ranks = rank_of_code[codes]
+    n = len(batch)
+    return ranks[:n], ranks[n:], uniq
 
 
 def _dedup_codes(u: np.ndarray, v: np.ndarray, k: int):
@@ -60,10 +75,10 @@ def _dedup_codes(u: np.ndarray, v: np.ndarray, k: int):
     return key // k, key % k
 
 
-def _emit(uniq: np.ndarray, a: np.ndarray, b: np.ndarray) -> pa.Table:
+def _emit(uniq: pa.Array, a: np.ndarray, b: np.ndarray) -> pa.Table:
     return pa.table({
-        "a": pa.array(uniq[a], type=pa.string()),
-        "b": pa.array(uniq[b], type=pa.string()),
+        "a": uniq.take(pa.array(a)).cast(pa.string()),
+        "b": uniq.take(pa.array(b)).cast(pa.string()),
     })
 
 
@@ -126,10 +141,8 @@ def _checksum_block(batch: pa.Table) -> pa.Table:
     if n == 0:
         return pa.table({"n": pa.array([0], type=pa.int64()),
                          "h": pa.array([0], type=pa.uint64())})
-    a = as_array(batch.column("a")).to_pylist()
-    b = as_array(batch.column("b")).to_pylist()
-    ha, _ = hash_strings(a)
-    hb, _ = hash_strings(b)
+    ha, _ = hash_strings(as_array(batch.column("a")))
+    hb, _ = hash_strings(as_array(batch.column("b")))
     h = fmix64(ha * np.uint64(3) ^ hb)
     with np.errstate(over="ignore"):
         total = np.uint64(np.sum(h, dtype=np.uint64))
@@ -175,14 +188,12 @@ def _cluster_local(edges) -> pa.Table:
 
     tbl = gather_table(
         edges, schema=pa.schema([("a", pa.string()), ("b", pa.string())]))
-    a = np.asarray(tbl.column("a").to_pylist(), dtype=object)
-    b = np.asarray(tbl.column("b").to_pylist(), dtype=object)
-    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    labels = connected_components_numpy(inv[: len(a)], inv[len(a):],
-                                        len(uniq))
+    inv_a, inv_b, uniq = _encode_block(
+        tbl.rename_columns(["u", "v"]), "u", "v")
+    labels = connected_components_numpy(inv_a, inv_b, len(uniq))
     return pa.table({
-        "conv_id": pa.array(uniq, type=pa.string()),
-        "cluster_id": pa.array(uniq[labels], type=pa.string()),
+        "conv_id": uniq.cast(pa.string()),
+        "cluster_id": uniq.take(pa.array(labels)).cast(pa.string()),
     })
 
 
@@ -230,8 +241,8 @@ def cluster_edges(edges_ds, num_partitions: int, max_rounds: int = 40,
         nodes = u[starts]
         lab = np.minimum(nodes, v[starts])
         return pa.table({
-            "conv_id": pa.array(uniq[nodes], type=pa.string()),
-            "cluster_id": pa.array(uniq[lab], type=pa.string()),
+            "conv_id": uniq.take(pa.array(nodes)).cast(pa.string()),
+            "cluster_id": uniq.take(pa.array(lab)).cast(pa.string()),
         })
 
     return (

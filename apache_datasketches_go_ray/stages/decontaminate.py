@@ -1,0 +1,148 @@
+"""Eval-set decontamination: flag training docs that share any token
+n-gram with an eval corpus.
+
+Every production training-data pipeline runs this before training: a
+train document that contains a verbatim 13-gram from an evaluation set
+leaks the benchmark. Semantics here are the standard n-gram overlap
+rule (as popularized by the GPT-3 / PaLM decontamination appendices):
+
+  contaminated(d) <=> exists a length-n token window of d that appears
+                      as a length-n token window of ANY eval document.
+
+Distribution shape: the eval corpus is orders of magnitude smaller than
+the training corpus (benchmarks are thousands of docs; training sets
+are billions), so its distinct n-gram hash set is computed once,
+sorted, ``ray.put`` once, and probed per training batch with
+``np.searchsorted`` — a pure map over the training side, NO shuffle of
+the 100 TB corpus. The hash substrate is the flagship's parity-pinned
+one: murmur3-128(seed 9001) token hashes + fmix64-fold window hashes
+(functions/shingle.py; reference hashing discipline
+hll/hll_sketch.go:338-343), so a gram collides across docs iff the
+token sequence is identical (modulo a 2^-64 hash collision).
+
+Docs with fewer than n tokens cannot contain an n-gram and are never
+flagged (mirrors the SQL oracle's ``len(toks) >= n`` guard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .arrow_util import as_array
+from ..functions.shingle import shingle_hashes, tokenize_column
+
+
+def _doc_ngram_hashes(texts, n: int):
+    """Texts -> (flat sorted-unique gram hashes, per-doc offsets, kept
+    doc mask). Only docs with >= n tokens contribute (strict-length
+    n-grams; no short-doc padding)."""
+    tok, offs = tokenize_column(texts)
+    lens = np.diff(offs)
+    keep = lens >= n
+    if not keep.any():
+        return (np.empty(0, dtype=np.uint64),
+                np.zeros(1, dtype=np.int64), keep)
+    doc_of_tok = np.repeat(np.arange(len(lens)), lens)
+    flat = tok[keep[doc_of_tok]]
+    offs_k = np.concatenate(([0], np.cumsum(lens[keep]))).astype(np.int64)
+    hashes, d_offs = shingle_hashes(flat, offs_k, n)
+    return hashes, d_offs, keep
+
+
+def eval_ngram_hashes(eval_ds, n: int = 13, text_col: str = "text",
+                      max_hashes: int = 200_000_000) -> np.ndarray:
+    """Distinct n-gram hash set of the eval corpus, sorted uint64.
+
+    Streams the eval side once; each block emits its sorted-unique gram
+    hashes and the driver unions them (bounded by the eval corpus's
+    distinct-gram count — eval sets are small by definition; the
+    ``max_hashes`` guard turns a mis-pointed "eval" table into a loud
+    error instead of a driver OOM)."""
+
+    def block_hashes(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"h": pa.array([], type=pa.uint64())})
+        hashes, _offs, _keep = _doc_ngram_hashes(
+            as_array(batch.column(text_col)), n)
+        return pa.table({"h": pa.array(np.unique(hashes),
+                                       type=pa.uint64())})
+
+    from .context import gather_table
+
+    tbl = gather_table(
+        eval_ds.select_columns([text_col])
+        .map_batches(block_hashes, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        schema=pa.schema([("h", pa.uint64())]))
+    out = np.unique(tbl.column("h").to_numpy(zero_copy_only=False))
+    if len(out) > max_hashes:
+        raise ValueError(
+            f"eval corpus has {len(out)} distinct {n}-grams — too large "
+            "to broadcast; is the eval side really the small side?")
+    return out
+
+
+def flag_contaminated(train_ds, eval_hashes: np.ndarray, n: int = 13,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      keep_clean: bool = False):
+    """Train docs -> (id, n_grams, n_hits, contaminated).
+
+    ``n_hits`` counts the doc's DISTINCT n-grams found in the eval set.
+    With ``keep_clean=False`` (default) only contaminated docs are
+    emitted — the common report shape; ``keep_clean=True`` returns every
+    doc with its flag, the shape a filter stage consumes."""
+    ev_ref = ray.put(np.ascontiguousarray(eval_hashes, dtype=np.uint64))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], type=batch.schema.field(id_col).type
+                             if batch.num_columns else pa.int64()),
+            "n_grams": pa.array([], type=pa.int64()),
+            "n_hits": pa.array([], type=pa.int64()),
+            "contaminated": pa.array([], type=pa.bool_()),
+        })
+        if len(batch) == 0:
+            return empty
+        ev = ray.get(ev_ref)
+        hashes, d_offs, keep = _doc_ngram_hashes(
+            as_array(batch.column(text_col)), n)
+        n_grams_kept = np.diff(d_offs)
+        if len(ev) and len(hashes):
+            idx = np.searchsorted(ev, hashes)
+            idx[idx >= len(ev)] = 0
+            hit = ev[idx] == hashes
+        else:
+            hit = np.zeros(len(hashes), dtype=bool)
+        doc_of_gram = np.repeat(np.arange(len(n_grams_kept)), n_grams_kept)
+        hits_kept = np.bincount(doc_of_gram[hit],
+                                minlength=len(n_grams_kept)) \
+            if len(hashes) else np.zeros(len(n_grams_kept), dtype=np.int64)
+        # scatter kept-doc stats back to the full batch
+        n_docs = len(batch)
+        n_grams = np.zeros(n_docs, dtype=np.int64)
+        n_hits = np.zeros(n_docs, dtype=np.int64)
+        kept_pos = np.flatnonzero(keep)
+        n_grams[kept_pos] = n_grams_kept
+        n_hits[kept_pos] = hits_kept
+        out = pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_hits": pa.array(n_hits, type=pa.int64()),
+            "contaminated": pa.array(n_hits > 0),
+        })
+        if not keep_clean:
+            out = out.filter(pa.array(n_hits > 0))
+        return out
+
+    return train_ds.select_columns([id_col, text_col]).map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate(train_ds, eval_ds, n: int = 13, id_col: str = "doc_id",
+                  text_col: str = "text", keep_clean: bool = False):
+    """One-call composition: eval hash set -> flagged train docs."""
+    ev = eval_ngram_hashes(eval_ds, n=n, text_col=text_col)
+    return flag_contaminated(train_ds, ev, n=n, id_col=id_col,
+                             text_col=text_col, keep_clean=keep_clean)

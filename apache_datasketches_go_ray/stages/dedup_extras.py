@@ -28,7 +28,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = as_array(batch.column(text_col))
-        h1, _ = hash_strings(texts.to_pylist())
+        h1, _ = hash_strings(texts)
         return pa.table({
             id_col: batch.column(id_col),
             text_col: texts,

@@ -68,7 +68,7 @@ def detect_hot_bands(sig_ds, config: DedupConfig) -> np.ndarray:
     def partial(batch: pa.Table) -> pa.Table:
         from .arrow_util import as_array
 
-        conv = as_array(batch.column("conv_id")).to_pylist()
+        conv = as_array(batch.column("conv_id"))
         h, _ = hash_strings(conv)
         mask = h % rate == 0
         if not mask.any():
@@ -127,7 +127,7 @@ def explode_bands_salted(batch: pa.Table, hot_ref) -> pa.Table:
     hot, n_salt = ray.get(hot_ref)
     out = explode_bands(batch)
     bh = out.column("band_hash").to_numpy(zero_copy_only=False)
-    conv = as_array(out.column("conv_id")).to_pylist()
+    conv = as_array(out.column("conv_id"))
     h, _ = hash_strings(conv)
     salt = np.where(_in_sorted(bh, hot),
                     (h % np.uint64(n_salt)).astype(np.int32),

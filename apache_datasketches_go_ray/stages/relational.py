@@ -582,7 +582,7 @@ def bloom_semi_join(left_ds, right_ds, on: tuple[str, str], *,
             arr, pa.ChunkedArray) else arr
         if pa.types.is_string(arr.type) or pa.types.is_large_string(
                 arr.type):
-            h1, _ = hash_strings(arr.to_pylist())
+            h1, _ = hash_strings(arr)
             return h1.astype(np.int64)
         return arr.to_numpy(zero_copy_only=False).astype(np.int64)
 

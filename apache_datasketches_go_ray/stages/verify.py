@@ -57,7 +57,7 @@ _VERIFY_SCHEMA = pa.schema([
 def _filter_to_candidates(batch: pa.Table, ids_ref) -> pa.Table:
     """Keep rows whose hashed conv_id is in the broadcast sorted array."""
     hashes = ray.get(ids_ref)  # sorted uint64 np array; plasma zero-copy
-    conv = as_array(batch.column("conv_id")).to_pylist()
+    conv = as_array(batch.column("conv_id"))
     h, _ = hash_strings(conv)
     idx = np.searchsorted(hashes, h)
     idx[idx >= len(hashes)] = 0
@@ -142,6 +142,11 @@ def _binary_views(col, n: int):
     contiguous in the data buffer, so slices/flattening are pure
     offsets math — no per-row Python materialization."""
     arr = as_array(col)
+    if arr.type == pa.binary():
+        # 32-bit offsets would be silently misread as int64 below.
+        arr = arr.cast(pa.large_binary())
+    elif arr.type != pa.large_binary():
+        raise TypeError(f"expected (large_)binary shingles, got {arr.type}")
     nulls = np.zeros(n, dtype=bool)
     if arr.null_count:
         nulls = np.asarray(arr.is_null())
@@ -315,7 +320,7 @@ def verify_pairs(pairs_ds, sig_ds, config: DedupConfig,
             as_array(b.column("a")).cast(pa.string()),
             as_array(b.column("b")).cast(pa.string()),
         ])
-        h, _ = hash_strings(both.to_pylist())
+        h, _ = hash_strings(both)
         return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
 
     def uniq_fold(b: pa.Table) -> pa.Table:

@@ -201,8 +201,13 @@ class KllSketch:
     # -- serde --------------------------------------------------------------
     def to_bytes(self) -> bytes:
         import struct
-        head = struct.pack("<IIQddI", self.k, self.min_k, self.n,
-                           self.min_item, self.max_item, len(self.levels))
+        # _compact_count is serialized so the deterministic alternating-
+        # offset compaction sequence (kll/kll_sketch.go compressWhile-
+        # Updating's offset flip) survives a checkpoint/resume round-trip;
+        # dropping it would make resumed merges diverge from in-memory runs.
+        head = struct.pack("<IIQddII", self.k, self.min_k, self.n,
+                           self.min_item, self.max_item,
+                           self._compact_count, len(self.levels))
         parts = [head]
         for lv in self.levels:
             parts.append(struct.pack("<I", len(lv)))
@@ -212,10 +217,12 @@ class KllSketch:
     @classmethod
     def from_bytes(cls, data: bytes) -> "KllSketch":
         import struct
-        k, min_k, n, mn, mx, n_levels = struct.unpack_from("<IIQddI", data, 0)
+        k, min_k, n, mn, mx, cc, n_levels = struct.unpack_from(
+            "<IIQddII", data, 0)
         sk = cls(k)
         sk.min_k, sk.n, sk.min_item, sk.max_item = min_k, n, mn, mx
-        off = struct.calcsize("<IIQddI")
+        sk._compact_count = cc
+        off = struct.calcsize("<IIQddII")
         sk.levels = []
         for _ in range(n_levels):
             (cnt,) = struct.unpack_from("<I", data, off)
@@ -375,8 +382,10 @@ class KllItemsSketch:
     # -- serde (string items) ------------------------------------------------
     def to_bytes(self) -> bytes:
         import struct
-        parts = [struct.pack("<IIQI", self.k, self.min_k, self.n,
-                             len(self.levels))]
+        # _compact_count serialized for the same resume-determinism reason
+        # as the numeric sketch (see KllSketch.to_bytes).
+        parts = [struct.pack("<IIQII", self.k, self.min_k, self.n,
+                             self._compact_count, len(self.levels))]
         for extremum in (self.min_item, self.max_item):
             b = b"" if extremum is None else str(extremum).encode()
             parts.append(struct.pack("<i", -1 if extremum is None
@@ -393,10 +402,11 @@ class KllItemsSketch:
     @classmethod
     def from_bytes(cls, data: bytes) -> "KllItemsSketch":
         import struct
-        k, min_k, n, n_levels = struct.unpack_from("<IIQI", data, 0)
-        off = struct.calcsize("<IIQI")
+        k, min_k, n, cc, n_levels = struct.unpack_from("<IIQII", data, 0)
+        off = struct.calcsize("<IIQII")
         sk = cls(k)
         sk.min_k, sk.n = min_k, n
+        sk._compact_count = cc
         ext = []
         for _ in range(2):
             (ln,) = struct.unpack_from("<i", data, off)
