@@ -91,6 +91,43 @@ def _q_transcript_dedup(sf_dir: str):
     return res["clusters"].sort(["conv_id"])
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental dedup vs a prior checkpoint: dedup the even-conv half,
+    checkpoint it, then dedup the odd-conv half AGAINST that checkpoint
+    (no re-signing of the old corpus). Output equals the full-corpus
+    flagship clusters (pinned by tests/test_incremental_dedup.py)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import (
+        run_dedup, run_dedup_incremental)
+
+    def _part(b, want_even):
+        nums = np.array([int(c.rsplit("-", 1)[1]) for c in
+                         b.column("conv_id").to_pylist()])
+        m = nums % 2 == 0
+        return b.filter(pa.array(m if want_even else ~m))
+
+    tdir = _transcripts_dir(sf_dir)
+    ds_a = ray.data.read_parquet(
+        tdir, columns=["conv_id", "turn_idx", "text"]).map_batches(
+        lambda b: _part(b, True), batch_format="pyarrow")
+    ds_b = ray.data.read_parquet(
+        tdir, columns=["conv_id", "turn_idx", "text"]).map_batches(
+        lambda b: _part(b, False), batch_format="pyarrow")
+    ck = tempfile.mkdtemp(prefix="adgr_incr_ck_")
+    try:
+        run_dedup(ds_a, _dedup_config(), checkpoint_dir=ck)
+        res = run_dedup_incremental(ds_b, against=ck,
+                                    config=_dedup_config())
+        return res["clusters"].sort(["conv_id"]).materialize()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def _q_transcript_assemble(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.assemble import assemble
@@ -3782,6 +3819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
         # window
+        "incremental_dedup_clusters": _q_incremental_dedup,
         "fuzzy_boilerplate_turns": _q_fuzzy_boilerplate_turns,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_doc_clusters": _q_minhash_doc_clusters,

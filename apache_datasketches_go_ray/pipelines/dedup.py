@@ -110,3 +110,155 @@ def run_dedup(
 ):
     cfg = config or DedupConfig()
     return DedupPipeline(cfg, checkpoint_dir).run(transcripts_ds, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against an existing checkpoint
+# ---------------------------------------------------------------------------
+
+class IncrementalDedupPipeline(CheckpointedPipeline):
+    """Dedup a NEW batch of transcripts against a prior run's checkpoint
+    without re-signing the existing corpus — the mergeability contract
+    the reference's sketches promise (hll/union.go:151-158: a union
+    gadget folds previously-serialized state with fresh updates) applied
+    to the whole pipeline.
+
+    Reuses three checkpointed surfaces of the prior run:
+      * ``signatures`` — old convs are never re-assembled or re-signed;
+      * ``assembled``  — old texts for the containment pass;
+      * ``clusters``   — old connectivity, re-entering union-find as
+        (member, label) edges (connectivity-equivalent to the old edge
+        set but O(nodes) instead of O(edges)).
+
+    New candidate pairs come from banding old+new signatures together
+    and keeping only pairs that touch a new conv (old–old pairs were
+    fully explored by the prior run; its cluster labels carry that
+    connectivity). Verification runs only on those pairs, so the work
+    per increment is proportional to the increment + its collisions,
+    not to the corpus.
+
+    Equivalence: dedup(A), then incremental(B) ==
+    dedup(A ∪ B) cluster-for-cluster (pinned by pytest) — min-id labels
+    are order-independent and union-find is associative, exactly like
+    the reference's sketch merges.
+    """
+
+    def __init__(self, config: DedupConfig, against: str,
+                 checkpoint_dir: str | None = None):
+        super().__init__(config.to_dict(), checkpoint_dir)
+        self.cfg = config
+        self.against = against
+        ensure_hash_shuffle()
+
+    def run(self, new_transcripts_ds, *, input_fingerprint: str = "",
+            signer_concurrency=None):
+        import numpy as np
+
+        from ..functions.murmur3 import hash_strings
+        from ..stages.arrow_util import as_array
+        from ..stages.context import gather_table
+
+        cfg = self.cfg
+        t_start = time.time()
+        old_sigs = ray.data.read_parquet(
+            os.path.join(self.against, "signatures"))
+        old_assembled = ray.data.read_parquet(
+            os.path.join(self.against, "assembled"))
+        old_clusters = ray.data.read_parquet(
+            os.path.join(self.against, "clusters"))
+
+        assembled_new, fp = self._stage(
+            "assembled", input_fingerprint,
+            lambda: assemble(new_transcripts_ds, cfg.num_partitions,
+                             input_layout=cfg.input_layout),
+        )
+        sigs_new, fp = self._stage(
+            "signatures", fp,
+            lambda: sign(assembled_new, cfg,
+                         concurrency=signer_concurrency, keep_text=False),
+        )
+
+        # broadcast set of new conv-id hashes: the increment is the small
+        # side by construction (a daily batch vs the corpus)
+        id_tbl = gather_table(
+            sigs_new.select_columns(["conv_id"]),
+            schema=pa.schema([("conv_id", pa.string())]))
+        h_new, _ = hash_strings(as_array(id_tbl.column("conv_id")))
+        new_ids_ref = ray.put(np.unique(h_new))
+
+        def _touches_new(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch
+            ids = ray.get(new_ids_ref)
+
+            def _isin(col):
+                h, _ = hash_strings(as_array(batch.column(col)))
+                if not len(ids):
+                    return np.zeros(len(h), dtype=bool)
+                idx = np.searchsorted(ids, h)
+                idx[idx >= len(ids)] = 0
+                return ids[idx] == h
+
+            return batch.filter(pa.array(_isin("a") | _isin("b")))
+
+        sigs_all = old_sigs.union(sigs_new)
+        pairs_new, fp = self._stage(
+            "pairs", fp,
+            lambda: candidate_pairs(sigs_all, cfg, dedup=False)
+            .map_batches(_touches_new, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        )
+        verified_new, fp = self._stage(
+            "verified", fp,
+            lambda: verify_pairs(pairs_new, sigs_all, cfg,
+                                 dedup_pairs=True,
+                                 texts_ds=old_assembled.union(assembled_new)),
+        )
+        new_edges = verified_new.filter(expr="is_dup == True") \
+            .select_columns(["a", "b"])
+        # old connectivity re-enters as (member, label) edges; self-loops
+        # (cluster centers) are harmless to union-find but dropped to keep
+        # the edge set minimal
+        label_edges = old_clusters.map_batches(
+            lambda b: pa.table({
+                "a": b.column("conv_id").cast(pa.string()),
+                "b": b.column("cluster_id").cast(pa.string()),
+            }).filter(pc_not_equal_cols(b)),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+        clusters, fp = self._stage(
+            "clusters", fp,
+            lambda: cluster_edges(label_edges.union(new_edges),
+                                  cfg.num_partitions),
+        )
+        self.metrics["total_sec"] = round(time.time() - t_start, 3)
+        self._write_metrics()
+        return {
+            "assembled": assembled_new,
+            "signatures": sigs_new,
+            "pairs": pairs_new,
+            "verified": verified_new,
+            "clusters": clusters,
+            "metrics": self.metrics,
+        }
+
+
+def pc_not_equal_cols(b: pa.Table) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.invert(pc.equal(b.column("conv_id").cast(pa.string()),
+                              b.column("cluster_id").cast(pa.string())))
+
+
+def run_dedup_incremental(
+    new_transcripts_ds,
+    against: str,
+    config: DedupConfig | None = None,
+    checkpoint_dir: str | None = None,
+    **kwargs,
+):
+    """Dedup ``new_transcripts_ds`` against the checkpoint at ``against``
+    (a prior ``run_dedup(..., checkpoint_dir=...)`` output)."""
+    cfg = config or DedupConfig()
+    return IncrementalDedupPipeline(cfg, against, checkpoint_dir) \
+        .run(new_transcripts_ds, **kwargs)
