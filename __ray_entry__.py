@@ -2100,6 +2100,23 @@ def _q_kll_source_quantiles(sf_dir: str):
                                (0.25, 0.5, 0.75), k=k, num_partitions=4)
 
 
+def _q_kll_int64_quantiles(sf_dir: str):
+    """Per-source n_chars quartiles via the generic-items KLL runtime
+    with the INT64 ItemSketchOp (pluggable serde surface,
+    kll/items_sketch.go:29-37) — the int64-items twin of the string
+    query; exact regime via corpus-sized k, same discipline."""
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        items_quantiles_by,
+    )
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    k = min(65535,
+            max(4096, 1 << int(np.ceil(np.log2(max(docs.count(), 1))))))
+    return items_quantiles_by(docs, "source", "n_chars",
+                              (0.25, 0.5, 0.75), k=k, num_partitions=4,
+                              item_type="int64")
+
+
 def _q_ann_knn_join(sf_dir: str):
     """Exact cosine top-5 with a DATASET-sized query side (every 37th
     vector) via knn_join: query chunks staged in the object store, each
@@ -3778,6 +3795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_events_per_user": _q_top3_events_per_user,
         "lang_quantiles_exact": _q_lang_quantiles_exact,
         "kll_source_quantiles_by_lang": _q_kll_source_quantiles,
+        "kll_int64_quantiles_by_source": _q_kll_int64_quantiles,
         "ann_knn_join_topk": _q_ann_knn_join,
         "order_quartiles": _q_order_quartiles,
         "events_rollup": _q_events_rollup,
@@ -4638,6 +4656,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(source, 0.50) AS q50,
                    quantile_disc(source, 0.75) AS q75
             FROM documents GROUP BY lang
+        """,
+        "kll_int64_quantiles_by_source": """
+            SELECT source, count(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50,
+                   CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75
+            FROM documents GROUP BY source
         """,
         "lang_quantiles_exact": """
             SELECT lang,

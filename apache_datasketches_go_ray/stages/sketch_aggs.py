@@ -326,15 +326,29 @@ def approx_top_k_by(ds, group_col: str, item_col: str, k: int = 10,
 
 def string_quantiles_by(ds, group_col: str, value_col: str, ranks,
                         k: int = 200, num_partitions: int = 16):
-    """Grouped KLL quantiles over an ORDERED ITEM column (strings):
+    """Grouped KLL quantiles over an ORDERED string column — thin wrapper
+    over :func:`items_quantiles_by` with the string ItemSketchOp."""
+    return items_quantiles_by(ds, group_col, value_col, ranks, k=k,
+                              num_partitions=num_partitions,
+                              item_type="string")
+
+
+def items_quantiles_by(ds, group_col: str, value_col: str, ranks,
+                       k: int = 200, num_partitions: int = 16,
+                       item_type: str = "string"):
+    """Grouped KLL quantiles over an ORDERED ITEM column:
     the generic-items runtime path (kll/items_sketch.go:29-37 — the
-    reference's ItemsSketch[C] with an injected ordering; its own serde
-    tests exercise string sketches). Same partial/shuffle/merge shape
-    as approx_quantiles_by; when k >= the per-group item count the
-    sketch never compacts and get_quantile is the exact ceil(r*n)-th
-    order statistic (ANSI percentile_disc), making the operator
-    SQL-oracle-checkable at test scale."""
-    from ..state.kll import KllItemsSketch
+    reference's ItemsSketch[C] with an injected ItemSketchOp; its own
+    serde tests exercise string sketches). ``item_type`` selects the op
+    ("string" or "int64" — the pluggable-serde surface). Same
+    partial/shuffle/merge shape as approx_quantiles_by; when k >= the
+    per-group item count the sketch never compacts and get_quantile is
+    the exact ceil(r*n)-th order statistic (ANSI percentile_disc),
+    making the operator SQL-oracle-checkable at test scale."""
+    from ..state.kll import _ITEM_OPS, KllItemsSketch
+
+    op = _ITEM_OPS[item_type]
+    val_pa_type = pa.string() if item_type == "string" else pa.int64()
 
     ranks = [float(r) for r in ranks]
     rank_cols = [f"q{int(round(r * 100)):02d}" for r in ranks]
@@ -343,7 +357,7 @@ def string_quantiles_by(ds, group_col: str, value_col: str, ranks,
         gs = as_array(batch.column(group_col)).cast(pa.string()) \
             .to_numpy(zero_copy_only=False)
         vals = np.asarray(
-            as_array(batch.column(value_col)).cast(pa.string()).to_pylist(),
+            as_array(batch.column(value_col)).cast(val_pa_type).to_pylist(),
             dtype=object)
         order = np.argsort(gs, kind="stable")
         gs, vals = gs[order], vals[order]
@@ -354,7 +368,7 @@ def string_quantiles_by(ds, group_col: str, value_col: str, ranks,
         ends = np.concatenate([starts[1:], [len(gs)]])
         out_g, out_s = [], []
         for s, e in zip(starts, ends):
-            sk = KllItemsSketch(k)
+            sk = KllItemsSketch(k, op=op)
             sk.update_many(vals[s:e])
             out_g.append(gs[s])
             out_s.append(sk.to_bytes())
@@ -366,7 +380,7 @@ def string_quantiles_by(ds, group_col: str, value_col: str, ranks,
             cols = {group_col: pa.array([], type=pa.string()),
                     "n": pa.array([], type=pa.int64())}
             for c in rank_cols:
-                cols[c] = pa.array([], type=pa.string())
+                cols[c] = pa.array([], type=val_pa_type)
             return pa.table(cols)
         gs = np.asarray(as_array(batch.column(group_col)).to_pylist(),
                         dtype=object)
@@ -378,10 +392,10 @@ def string_quantiles_by(ds, group_col: str, value_col: str, ranks,
         i = 0
         while i < len(order):
             j = i
-            sk = KllItemsSketch.from_bytes(sks[order[i]])
+            sk = KllItemsSketch.from_bytes(sks[order[i]], op=op)
             while j + 1 < len(order) and gs[order[j + 1]] == gs[order[i]]:
                 j += 1
-                sk.merge(KllItemsSketch.from_bytes(sks[order[j]]))
+                sk.merge(KllItemsSketch.from_bytes(sks[order[j]], op=op))
             out[group_col].append(str(gs[order[i]]))
             out["n"].append(sk.n)
             for r, c in zip(ranks, rank_cols):
@@ -390,7 +404,7 @@ def string_quantiles_by(ds, group_col: str, value_col: str, ranks,
         cols = {group_col: pa.array(out[group_col], type=pa.string()),
                 "n": pa.array(out["n"], type=pa.int64())}
         for c in rank_cols:
-            cols[c] = pa.array(out[c], type=pa.string())
+            cols[c] = pa.array(out[c], type=val_pa_type)
         return pa.table(cols)
 
     return (

@@ -233,6 +233,59 @@ class KllSketch:
         return sk
 
 
+class ItemSketchOp:
+    """Pluggable item operations for :class:`KllItemsSketch` — the
+    runtime analogue of the reference's ``ItemSketchOp[C]`` interface
+    (kll/items_sketch.go:29-37: identity / lessFn / serialize /
+    deserialize, ordering type common/types.go:20).
+
+    * ``less_fn`` — optional custom strict ordering; ``None`` means the
+      items' natural Python ``<`` (numpy argsort fast path).
+    * ``ser_one`` / ``deser_one`` — serialize one item to bytes and
+      parse it back; variable-width items are length-prefixed by the
+      sketch, fixed-width items declare ``fixed_width`` and skip the
+      prefix (mirroring the reference's long vs string layouts).
+    """
+
+    def __init__(self, name: str, ser_one, deser_one,
+                 less_fn=None, fixed_width: int | None = None):
+        self.name = name
+        self.ser_one = ser_one
+        self.deser_one = deser_one
+        self.less_fn = less_fn
+        self.fixed_width = fixed_width
+
+
+def _ser_i64(v):
+    import struct
+    return struct.pack("<q", int(v))
+
+
+def _deser_i64(b):
+    import struct
+    return struct.unpack("<q", b)[0]
+
+
+def _ser_f64(v):
+    import struct
+    return struct.pack("<d", float(v))
+
+
+def _deser_f64(b):
+    import struct
+    return struct.unpack("<d", b)[0]
+
+
+STRING_ITEM_OP = ItemSketchOp(
+    "string", lambda v: str(v).encode(), lambda b: b.decode())
+INT64_ITEM_OP = ItemSketchOp("int64", _ser_i64, _deser_i64, fixed_width=8)
+FLOAT64_ITEM_OP = ItemSketchOp("float64", _ser_f64, _deser_f64,
+                               fixed_width=8)
+
+_ITEM_OPS = {op.name: op for op in (STRING_ITEM_OP, INT64_ITEM_OP,
+                                    FLOAT64_ITEM_OP)}
+
+
 class KllItemsSketch:
     """Generic ordered-item KLL sketch — the runtime analogue of the
     reference's ``ItemsSketch[C]`` with an injected ordering
@@ -243,19 +296,38 @@ class KllItemsSketch:
     level replay), with items held in numpy object arrays so any
     Python-comparable type works.
 
-    Serde is utf-8 string-specific (matching the string golden-file
-    layer in state/serde_compat.py)."""
+    ``op`` injects the item operations (ordering + serde) exactly like
+    the reference's ``ItemSketchOp[C]``; defaults to string items with
+    natural ordering (the golden-file layer in state/serde_compat.py
+    stays string-specific)."""
 
-    def __init__(self, k: int = DEFAULT_K):
+    def __init__(self, k: int = DEFAULT_K, op: ItemSketchOp | None = None):
         if not (MIN_M <= k <= 65535):
             raise ValueError("k out of range")
         self.k = k
         self.min_k = k
+        self.op = op or STRING_ITEM_OP
         self.levels: list[np.ndarray] = [np.empty(0, dtype=object)]
         self._compact_count = 0
         self.n = 0
         self.min_item = None
         self.max_item = None
+
+    # -- ordering helpers (natural `<` fast path; injected less_fn
+    #    falls back to comparator sorts on the bounded in-sketch arrays)
+    def _argsort(self, arr: np.ndarray) -> np.ndarray:
+        if self.op.less_fn is None:
+            return np.argsort(arr, kind="stable")
+        import functools
+        less = self.op.less_fn
+        keyf = functools.cmp_to_key(
+            lambda x, y: -1 if less(x, y) else (1 if less(y, x) else 0))
+        return np.asarray(
+            sorted(range(len(arr)), key=lambda i: keyf(arr[i])),
+            dtype=np.int64)
+
+    def _less(self, a, b) -> bool:
+        return a < b if self.op.less_fn is None else self.op.less_fn(a, b)
 
     # -- update -------------------------------------------------------------
     def update(self, item) -> None:
@@ -266,12 +338,19 @@ class KllItemsSketch:
         if len(vals) == 0:
             return
         self.n += len(vals)
-        lo = min(vals)
-        hi = max(vals)
-        self.min_item = lo if self.min_item is None \
-            else min(self.min_item, lo)
-        self.max_item = hi if self.max_item is None \
-            else max(self.max_item, hi)
+        if self.op.less_fn is None:
+            lo, hi = min(vals), max(vals)
+        else:
+            lo = hi = vals[0]
+            for v in vals[1:]:
+                if self.op.less_fn(v, lo):
+                    lo = v
+                if self.op.less_fn(hi, v):
+                    hi = v
+        if self.min_item is None or self._less(lo, self.min_item):
+            self.min_item = lo
+        if self.max_item is None or self._less(self.max_item, hi):
+            self.max_item = hi
         pos = 0
         while pos < len(vals):
             cap0 = _level_capacity(self.k, len(self.levels), 0)
@@ -291,7 +370,7 @@ class KllItemsSketch:
                 cap = _level_capacity(self.k, len(self.levels), h)
                 if len(self.levels[h]) >= cap:
                     break
-            lv = self.levels[h][np.argsort(self.levels[h], kind="stable")]
+            lv = self.levels[h][self._argsort(self.levels[h])]
             offset = self._compact_count & 1
             self._compact_count += 1
             if len(lv) % 2 == 1:
@@ -312,11 +391,13 @@ class KllItemsSketch:
             return
         self.n += other.n
         if other.min_item is not None:
-            self.min_item = other.min_item if self.min_item is None \
-                else min(self.min_item, other.min_item)
+            if self.min_item is None or self._less(other.min_item,
+                                                   self.min_item):
+                self.min_item = other.min_item
         if other.max_item is not None:
-            self.max_item = other.max_item if self.max_item is None \
-                else max(self.max_item, other.max_item)
+            if self.max_item is None or self._less(self.max_item,
+                                                   other.max_item):
+                self.max_item = other.max_item
         self.min_k = min(self.min_k, other.min_k)
         while len(self.levels) < len(other.levels):
             self.levels.append(np.empty(0, dtype=object))
@@ -338,7 +419,7 @@ class KllItemsSketch:
                     np.empty(0, dtype=np.int64))
         it = np.concatenate(items)
         wt = np.concatenate(weights)
-        order = np.argsort(it, kind="stable")
+        order = self._argsort(it)
         return it[order], np.cumsum(wt[order])
 
     def get_quantile(self, rank: float):
@@ -360,8 +441,17 @@ class KllItemsSketch:
         if self.n == 0:
             return float("nan")
         items, cum = self._sorted_view()
-        side = "right" if inclusive else "left"
-        idx = int(np.searchsorted(items, item, side=side))
+        if self.op.less_fn is None:
+            side = "right" if inclusive else "left"
+            idx = int(np.searchsorted(items, item, side=side))
+        else:
+            less = self.op.less_fn
+            idx = 0
+            for it in items:  # in-sketch array is O(k log(n/k)) small
+                if less(it, item) or (inclusive and not less(item, it)):
+                    idx += 1
+                else:
+                    break
         if idx == 0:
             return 0.0
         return float(cum[idx - 1]) / self.n
@@ -379,32 +469,42 @@ class KllItemsSketch:
         out[-1] = self.max_item
         return out
 
-    # -- serde (string items) ------------------------------------------------
+    # -- serde (item layout injected by the op, mirroring the
+    #    reference's SerializeManyToSlice/DeserializeFromSlice split:
+    #    fixed-width ops pack raw values, variable-width ops are
+    #    length-prefixed) ----------------------------------------------------
     def to_bytes(self) -> bytes:
         import struct
         # _compact_count serialized for the same resume-determinism reason
         # as the numeric sketch (see KllSketch.to_bytes).
         parts = [struct.pack("<IIQII", self.k, self.min_k, self.n,
                              self._compact_count, len(self.levels))]
+        ser = self.op.ser_one
+        fixed = self.op.fixed_width
         for extremum in (self.min_item, self.max_item):
-            b = b"" if extremum is None else str(extremum).encode()
+            b = b"" if extremum is None else ser(extremum)
             parts.append(struct.pack("<i", -1 if extremum is None
                                      else len(b)))
             parts.append(b)
         for lv in self.levels:
             parts.append(struct.pack("<I", len(lv)))
             for it in lv:
-                b = str(it).encode()
-                parts.append(struct.pack("<I", len(b)))
+                b = ser(it)
+                if fixed is None:
+                    parts.append(struct.pack("<I", len(b)))
                 parts.append(b)
         return b"".join(parts)
 
     @classmethod
-    def from_bytes(cls, data: bytes) -> "KllItemsSketch":
+    def from_bytes(cls, data: bytes,
+                   op: ItemSketchOp | None = None) -> "KllItemsSketch":
         import struct
+        op = op or STRING_ITEM_OP
+        deser = op.deser_one
+        fixed = op.fixed_width
         k, min_k, n, cc, n_levels = struct.unpack_from("<IIQII", data, 0)
         off = struct.calcsize("<IIQII")
-        sk = cls(k)
+        sk = cls(k, op=op)
         sk.min_k, sk.n = min_k, n
         sk._compact_count = cc
         ext = []
@@ -414,7 +514,7 @@ class KllItemsSketch:
             if ln < 0:
                 ext.append(None)
             else:
-                ext.append(data[off:off + ln].decode())
+                ext.append(deser(data[off:off + ln]))
                 off += ln
         sk.min_item, sk.max_item = ext
         sk.levels = []
@@ -423,9 +523,12 @@ class KllItemsSketch:
             off += 4
             items = []
             for _ in range(cnt):
-                (ln,) = struct.unpack_from("<I", data, off)
-                off += 4
-                items.append(data[off:off + ln].decode())
+                if fixed is None:
+                    (ln,) = struct.unpack_from("<I", data, off)
+                    off += 4
+                else:
+                    ln = fixed
+                items.append(deser(data[off:off + ln]))
                 off += ln
             sk.levels.append(np.asarray(items, dtype=object))
         return sk

@@ -759,12 +759,14 @@ class FreqCompatSketch:
     """Update-path replica of frequencies LongsSketch / ItemsSketch[string]
     (longs_sketch.go:61-95,399-443); `kind` is 'longs' or 'string'."""
 
-    def __init__(self, max_map_size: int = 64, kind: str = "longs"):
+    def __init__(self, max_map_size: int = 64, kind: str = "longs",
+                 lg_cur_map_size: int = _FREQ_LG_MIN_MAP_SIZE):
         lg_max = max_map_size.bit_length() - 1
         if 1 << lg_max != max_map_size:
             raise ValueError("maxMapSize must be a power of 2")
         self.kind = kind
         self.lg_max_map_size = max(lg_max, _FREQ_LG_MIN_MAP_SIZE)
+        lg_cur_map_size = max(lg_cur_map_size, _FREQ_LG_MIN_MAP_SIZE)
         if kind == "longs":
             probe = _freq_hash_fn
         else:
@@ -783,8 +785,7 @@ class FreqCompatSketch:
                 if h >= 1 << 31:  # Java int is signed; sign-extend to long
                     h -= 1 << 32
                 return _freq_hash_fn(h)
-        self.hash_map = _ReversePurgeHashMap(1 << _FREQ_LG_MIN_MAP_SIZE,
-                                             probe)
+        self.hash_map = _ReversePurgeHashMap(1 << lg_cur_map_size, probe)
         self.cur_map_cap = self.hash_map.load_threshold
         max_map_cap = int((1 << self.lg_max_map_size) * _FREQ_LOAD_FACTOR)
         self.sample_size = min(_FREQ_SAMPLE_SIZE, max_map_cap)
@@ -852,6 +853,68 @@ def write_frequencies_items_string(sk: FreqCompatSketch) -> bytes:
         raw = k.encode("utf-8")
         out += struct.pack("<I", len(raw)) + raw
     return bytes(out)
+
+
+def write_frequencies_string_form(sk: FreqCompatSketch) -> str:
+    """LongsSketch.ToString() (frequencies/longs_sketch.go:468-485):
+    ``serVer,famID,lgMaxMapSize,flags,streamWeight,offset,`` followed by
+    reversePurgeLongHashMap.serializeToString()
+    (frequencies/reverse_purge_long_hash_map.go:170-179):
+    ``numActive,curMapLen,key,value,...,`` — pairs in physical probe-table
+    slot order, every field comma-terminated (incl. the last)."""
+    if sk.kind != "longs":
+        raise ValueError("string form is defined for the longs sketch")
+    flags = _FREQ_EMPTY_FLAG_MASK if sk.is_empty else 0
+    parts = [f"{_FREQ_SER_VER},{_FAMILY_FREQUENCY},{sk.lg_max_map_size},"
+             f"{flags},{sk.stream_weight},{sk.offset},",
+             f"{sk.hash_map.num_active},{len(sk.hash_map)},"]
+    for k, v in sk.hash_map.active_in_slot_order():
+        parts.append(f"{k},{v},")
+    return "".join(parts)
+
+
+def read_frequencies_string_form(s: str) -> FreqCompatSketch:
+    """NewLongsSketchFromString (frequencies/longs_sketch.go:180-254):
+    parse the CSV form back into a live sketch. Mirrors the reference's
+    checks (SerVer, family, token count vs numActive) and its rebuild
+    semantics — pairs re-enter via adjustOrPut, then streamWeight and
+    offset are overridden from the preamble."""
+    if not s:
+        raise ValueError("string is empty")
+    if s.endswith(","):
+        s = s[:-1]
+    tokens = s.split(",")
+    _STR_PREAMBLE_TOKENS = 6  # frequencies/longs_sketch.go:50
+    if len(tokens) < _STR_PREAMBLE_TOKENS + 2:
+        raise ValueError(f"string not long enough: {len(tokens)}")
+    ser_ve, fam_id, lg_max, flags = (int(tokens[i]) for i in range(4))
+    stream_wt, offset = int(tokens[4]), int(tokens[5])
+    num_active = int(tokens[6])
+    cur_map_len = int(tokens[7])
+    lg_cur = (cur_map_len & -cur_map_len).bit_length() - 1 \
+        if cur_map_len else 0
+    if ser_ve != _FREQ_SER_VER:
+        raise ValueError(f"possible Corruption: Bad SerVer: {ser_ve}")
+    if fam_id != _FAMILY_FREQUENCY:
+        raise ValueError(f"possible Corruption: Bad Family: {fam_id}")
+    empty = flags > 0
+    if not empty and num_active == 0:
+        raise ValueError(
+            f"Possible Corruption: !Empty && NumActive=0;  strLen: "
+            f"{num_active}")
+    if 2 * num_active != len(tokens) - _STR_PREAMBLE_TOKENS - 2:
+        raise ValueError(
+            f"possible Corruption: Incorrect # of tokens: {len(tokens)}, "
+            f"numActive: {num_active}")
+    sk = FreqCompatSketch(1 << max(lg_max, _FREQ_LG_MIN_MAP_SIZE),
+                          kind="longs", lg_cur_map_size=lg_cur)
+    j = _STR_PREAMBLE_TOKENS + 2
+    for _ in range(num_active):
+        sk.hash_map.adjust_or_put(int(tokens[j]), int(tokens[j + 1]))
+        j += 2
+    sk.stream_weight = stream_wt
+    sk.offset = offset
+    return sk
 
 
 # ---------------------------------------------------------------------------

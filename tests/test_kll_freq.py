@@ -270,3 +270,75 @@ def test_kll_items_partition_boundaries():
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         frac = sum(1 for x in srt if lo <= x <= hi) / len(srt)
         assert 0.2 < frac < 0.3
+
+
+# ---------------------------------------------------------------------------
+# pluggable ItemSketchOp (kll/items_sketch.go:29-37)
+# ---------------------------------------------------------------------------
+
+def test_kll_items_int64_op_exact_and_serde():
+    from apache_datasketches_go_ray.state.kll import (
+        INT64_ITEM_OP, KllItemsSketch)
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(-10**9, 10**9, 150).tolist()
+    sk = KllItemsSketch(256, op=INT64_ITEM_OP)
+    sk.update_many(vals)
+    s = sorted(vals)
+    # exact regime: percentile_disc order statistics
+    for r in (0.0, 0.25, 0.5, 0.75, 1.0):
+        idx = max(int(np.ceil(r * len(s))) - 1, 0)
+        assert sk.get_quantile(r) == s[idx]
+    # fixed-width serde round-trip preserves everything incl. op layout
+    back = KllItemsSketch.from_bytes(sk.to_bytes(), op=INT64_ITEM_OP)
+    assert back.n == sk.n and back.min_item == min(vals)
+    assert back.max_item == max(vals)
+    assert back.to_bytes() == sk.to_bytes()
+    for r in (0.1, 0.5, 0.9):
+        assert back.get_quantile(r) == sk.get_quantile(r)
+
+
+def test_kll_items_int64_compacting_merge_deterministic():
+    from apache_datasketches_go_ray.state.kll import (
+        INT64_ITEM_OP, KllItemsSketch)
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10**6, 5000).tolist()
+    a = KllItemsSketch(64, op=INT64_ITEM_OP)
+    a.update_many(vals[:2500])
+    b = KllItemsSketch(64, op=INT64_ITEM_OP)
+    b.update_many(vals[2500:])
+    # serde round-trip mid-merge must not change the outcome
+    a2 = KllItemsSketch.from_bytes(a.to_bytes(), op=INT64_ITEM_OP)
+    b2 = KllItemsSketch.from_bytes(b.to_bytes(), op=INT64_ITEM_OP)
+    a.merge(b)
+    a2.merge(b2)
+    assert a.to_bytes() == a2.to_bytes()
+    assert a.n == 5000
+    # estimates stay inside the published rank-error envelope
+    s = np.sort(vals)
+    err = 3 * 2.296 / 64**0.9723
+    for r in (0.25, 0.5, 0.75):
+        got = a.get_quantile(r)
+        true_rank = np.searchsorted(s, got, side="right") / len(s)
+        assert abs(true_rank - r) <= err
+
+
+def test_kll_items_custom_less_fn_reverse_order():
+    from apache_datasketches_go_ray.state.kll import (
+        ItemSketchOp, KllItemsSketch)
+
+    # reverse ordering: quantile 0 must be the LARGEST value
+    op = ItemSketchOp("rev-int", lambda v: str(v).encode(),
+                      lambda b: int(b.decode()),
+                      less_fn=lambda x, y: x > y)
+    sk = KllItemsSketch(128, op=op)
+    vals = list(range(100))
+    sk.update_many(vals)
+    assert sk.min_item == 99 and sk.max_item == 0
+    assert sk.get_quantile(0.0) == 99
+    assert sk.get_quantile(1.0) == 0
+    # median under reverse order mirrors the natural-order median
+    assert sk.get_quantile(0.5) in (49, 50)
+    # rank is measured along the injected ordering
+    assert sk.get_rank(99, inclusive=True) == 1 / 100

@@ -317,3 +317,70 @@ def test_kll_string_write_read_round_trip(n):
         assert view.total_weight() == n
         assert view.min_item == int_to_fixed_length_string(1, digits)
         assert view.max_item == int_to_fixed_length_string(n, digits)
+
+
+# ---------------------------------------------------------------------------
+# frequencies CSV string form (ToString / NewLongsSketchFromString,
+# frequencies/longs_sketch.go:176-250,468-485)
+# ---------------------------------------------------------------------------
+
+from apache_datasketches_go_ray.state.serde_compat import (  # noqa: E402
+    read_frequencies_string_form,
+    write_frequencies_string_form,
+)
+
+
+def test_frequencies_string_form_format_pin():
+    # TestToString1's small fixture (longs_sketch_test.go:502-506):
+    # size 8, weights [1,1,1,1,1,1,1,2,3,4,5] on items 1..11
+    sk = FreqCompatSketch(8, "longs")
+    for i, w in enumerate([1, 1, 1, 1, 1, 1, 1, 2, 3, 4, 5], 1):
+        sk.update(i, w)
+    s = write_frequencies_string_form(sk)
+    head = s.split(",")[:8]
+    # serVer=1, famID=10, lgMaxMapSize=3, flags=0, streamWeight=21,
+    # offset (purges happened at size 8), numActive, curMapLen=8
+    assert head[0] == "1" and head[1] == "10" and head[2] == "3"
+    assert head[3] == "0"
+    assert int(head[4]) == 21
+    assert int(head[7]) == 8
+    assert s.endswith(",")
+    # pair region length consistent with numActive
+    assert len(s[:-1].split(",")) == 8 + 2 * int(head[6])
+
+
+@pytest.mark.parametrize("n", [0, 1, 10, 1000, 100000])
+def test_frequencies_string_form_round_trip(n):
+    sk = FreqCompatSketch(64, "longs")
+    for i in range(1, n + 1):
+        sk.update(i)
+    s = write_frequencies_string_form(sk)
+    back = read_frequencies_string_form(s)
+    assert back.stream_weight == sk.stream_weight
+    assert back.offset == sk.offset
+    assert back.hash_map.num_active == sk.hash_map.num_active
+    assert len(back.hash_map) == len(sk.hash_map)
+    assert dict(back.hash_map.active_in_slot_order()) == \
+        dict(sk.hash_map.active_in_slot_order())
+    # round-tripped sketch re-serializes to the identical string: pair
+    # insertion order == slot order, so the probe layout reproduces
+    assert write_frequencies_string_form(back) == s
+    # and the binary form of the round-tripped sketch matches too
+    assert write_frequencies_longs(back) == write_frequencies_longs(sk)
+
+
+def test_frequencies_string_form_errors():
+    with pytest.raises(ValueError):
+        read_frequencies_string_form("")
+    with pytest.raises(ValueError):
+        read_frequencies_string_form("1,10,6")  # too short
+    sk = FreqCompatSketch(8, "longs")
+    sk.update(42)
+    s = write_frequencies_string_form(sk)
+    bad = "9" + s[1:]  # SerVer
+    with pytest.raises(ValueError):
+        read_frequencies_string_form(bad)
+    toks = s[:-1].split(",")
+    toks[1] = "11"  # family
+    with pytest.raises(ValueError):
+        read_frequencies_string_form(",".join(toks) + ",")
