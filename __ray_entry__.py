@@ -1927,14 +1927,19 @@ def _q_props_extract(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
+    """REAL image decode path: deterministic 8-bit PNG payloads decoded
+    through the actor-pool pipeline by the pure-stdlib decoder (zlib +
+    numpy scanline unfilter — no codec libraries, no fake decode), then
+    resize + features. jpeg/mp4 remain the only stubbed codecs."""
     import ray.data
     from apache_datasketches_go_ray.stages.multimodal import (
-        make_fake_media_batch, decode_pipeline,
+        make_real_media_batch, decode_pipeline,
     )
     import pyarrow as pa
 
-    media = ray.data.from_arrow(make_fake_media_batch(list(range(64))))
-    out = decode_pipeline(media, fake=True, batch_size=16)
+    media = ray.data.from_arrow(
+        make_real_media_batch(list(range(64)), kind="image/png"))
+    out = decode_pipeline(media, fake=False, batch_size=16)
 
     def project(b):
         feats = [np.frombuffer(x, dtype=np.float32)

@@ -9,8 +9,12 @@ Decode support is tiered:
   via struct + numpy). Encoders (``encode_wav`` / ``encode_bmp``) live
   here too, so round-trip exactness is testable end-to-end through the
   actor pool.
-* **Stub** for compressed formats (png/jpeg/mp4/...): the codec
-  libraries (PIL, torchaudio, av) are NOT present in this environment,
+* **Real byte-level decode** additionally for ``image/png``
+  (non-interlaced 8-bit gray/RGB/RGBA: stdlib zlib + a numpy scanline
+  unfilter; ``encode_png`` writes the same subset).
+* **Stub** for the remaining compressed formats (jpeg/mp4/...): the
+  codec libraries (PIL, torchaudio, av) are NOT present in this
+  environment,
   so ``DecodeStage`` raises ``NotImplementedError`` for them unless
   ``fake=True``, in which case a deterministic fake decoder (seeded
   from the payload hash) produces pseudo pixel/sample arrays.
@@ -124,6 +128,121 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return px[::-1] if flip else px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (PNG spec 11.2.2); bit depth 8 only
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W) grayscale / (H, W, C) uint8 with C in {1,2,3,4} ->
+    non-interlaced 8-bit PNG bytes (pure stdlib: zlib + struct).
+    Scanlines use filter type 0 (None)."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * c)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(filt: np.ndarray, recon: np.ndarray, ftype: int,
+                  prev: np.ndarray, bpp: int) -> None:
+    """Reconstruct one scanline in place (PNG spec 9.2, filters 0-4).
+    Up/Sub/None are vectorized; Average/Paeth carry a left-dependency
+    and fall back to a per-pixel pass (rare in practice — most encoders
+    emit None/Sub/Up for 8-bit truecolor)."""
+    n = len(filt)
+    if ftype == 0:
+        recon[:] = filt
+    elif ftype == 2:  # Up
+        recon[:] = filt + prev
+    elif ftype == 1:  # Sub: per byte-phase cumulative sum mod 256
+        for p in range(bpp):
+            recon[p::bpp] = np.cumsum(
+                filt[p::bpp], dtype=np.uint64).astype(np.uint8)
+    elif ftype == 3:  # Average
+        for x in range(n):
+            left = int(recon[x - bpp]) if x >= bpp else 0
+            recon[x] = (int(filt[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for x in range(n):
+            a = int(recon[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            cc = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - cc
+            pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc
+                                                        else cc)
+            recon[x] = (int(filt[x]) + pred) & 0xFF
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) ->
+    (H, W) or (H, W, C) uint8 array. Pure stdlib: chunk walk + zlib +
+    numpy scanline unfilter. Palette/16-bit/interlaced images raise
+    NotImplementedError (out of scope for the pipeline's image columns)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = 8
+    w = h = None
+    color_type = None
+    idat = bytearray()
+    while off < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4: off + 8]
+        body = payload[off + 8: off + 8 + ln]
+        off += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color_type} (palette?) unsupported")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG IDAT length mismatch")
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        _png_unfilter(raw[y, 1:], out[y], int(raw[y, 0]), prev, c)
+        prev = out[y]
+    return out.reshape(h, w) if c == 1 else out.reshape(h, w, c)
+
+
 def make_real_media_batch(ids: list[int], kind: str = "audio/wav") -> pa.Table:
     """Deterministic REAL encoded payloads (WAV or BMP) — exercised by
     the round-trip tests and the real-decode query path."""
@@ -134,6 +253,11 @@ def make_real_media_batch(ids: list[int], kind: str = "audio/wav") -> pa.Table:
         if kind == "image/bmp":
             px = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
             payloads.append(encode_bmp(px))
+            metas.append(json.dumps({"width": 17, "height": 12,
+                                     "channels": 3}))
+        elif kind == "image/png":
+            px = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+            payloads.append(encode_png(px))
             metas.append(json.dumps({"width": 17, "height": 12,
                                      "channels": 3}))
         else:
@@ -158,6 +282,8 @@ def _decode_payload(payload: bytes, media_type: str, meta: dict,
         return _decode_wav(payload)
     if media_type == "image/bmp":
         return _decode_bmp(payload)
+    if media_type == "image/png":
+        return _decode_png(payload)
     if not fake:
         raise NotImplementedError(
             f"real decode for {media_type} requires codec libraries not "

@@ -87,3 +87,99 @@ def test_decode_stage_real_formats(ray_session):
     assert len(bout) == 8
     sh = json.loads(bout.loc[0, "decoded_shape"])
     assert sh["shape"] == [12, 17, 3] and sh["dtype"] == "uint8"
+
+
+def test_png_roundtrip_exact():
+    """Pure-stdlib PNG codec: encode -> decode is bit-exact for
+    non-interlaced 8-bit gray / gray+alpha / RGB / RGBA."""
+    import numpy as np
+
+    from apache_datasketches_go_ray.stages.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(9)
+    for shape in [(7, 11), (7, 11, 2), (9, 13, 3), (5, 8, 4), (1, 1, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(_decode_png(encode_png(px)), px), shape
+
+
+def test_png_all_filter_types_decode():
+    """Hand-build a PNG whose scanlines use every filter type (None,
+    Sub, Up, Average, Paeth) and check the decoder reconstructs the
+    target image — the unfilter path, not just the filter-0 fast path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from apache_datasketches_go_ray.stages.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        _png_chunk,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w, c = 5, 6, 3
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    flat = px.reshape(h, w * c).astype(np.int32)
+    rows = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            filt = cur - ((left + prev) >> 1)
+        else:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            filt = cur - pred
+        rows.append(bytes([ftype]) + (filt & 0xFF).astype(np.uint8)
+                    .tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(_decode_png(payload), px)
+
+
+def test_decode_stage_real_png(ray_session):
+    """DecodeStage on REAL PNG payloads through Ray: the former stub
+    path now decodes without fake=True."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.multimodal import (
+        DecodeStage,
+        make_real_media_batch,
+    )
+
+    tbl = make_real_media_batch(list(range(6)), kind="image/png")
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(DecodeStage, fn_constructor_args=(False,),
+                        concurrency=2, batch_size=3,
+                        batch_format="pyarrow")
+           .take_all())
+    assert len(out) == 6
+    for r in out:
+        info = json.loads(r["decoded_shape"])
+        assert tuple(info["shape"]) == (12, 17, 3)
+        assert info["dtype"] == "uint8"
+        arr = np.frombuffer(r["decoded"], dtype=np.uint8) \
+            .reshape(info["shape"])
+        assert arr.shape == (12, 17, 3)
