@@ -1927,18 +1927,22 @@ def _q_props_extract(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """REAL image decode path: deterministic 8-bit PNG payloads decoded
-    through the actor-pool pipeline by the pure-stdlib decoder (zlib +
-    numpy scanline unfilter — no codec libraries, no fake decode), then
-    resize + features. jpeg/mp4 remain the only stubbed codecs."""
+    """REAL image decode path: a MIXED-format media column — 8-bit PNG
+    (stdlib zlib + numpy scanline unfilter) and baseline JPEG (pure
+    numpy/struct SOF0 Huffman decoder, functions/jpegcodec.py) — decoded
+    through one actor-pool pipeline with no codec libraries and no fake
+    decode, then resize + features. mp4 video frames remain the only
+    stubbed codec."""
     import ray.data
     from apache_datasketches_go_ray.stages.multimodal import (
         make_real_media_batch, decode_pipeline,
     )
     import pyarrow as pa
 
-    media = ray.data.from_arrow(
-        make_real_media_batch(list(range(64)), kind="image/png"))
+    media = ray.data.from_arrow(pa.concat_tables([
+        make_real_media_batch(list(range(64)), kind="image/png"),
+        make_real_media_batch(list(range(64, 96)), kind="image/jpeg"),
+    ]))
     out = decode_pipeline(media, fake=False, batch_size=16)
 
     def project(b):

@@ -11,10 +11,12 @@ Decode support is tiered:
   actor pool.
 * **Real byte-level decode** additionally for ``image/png``
   (non-interlaced 8-bit gray/RGB/RGBA: stdlib zlib + a numpy scanline
-  unfilter; ``encode_png`` writes the same subset).
-* **Stub** for the remaining compressed formats (jpeg/mp4/...): the
-  codec libraries (PIL, torchaudio, av) are NOT present in this
-  environment,
+  unfilter; ``encode_png`` writes the same subset) and ``image/jpeg``
+  (baseline SOF0 sequential, gray / 4:4:4 YCbCr, restart markers —
+  functions/jpegcodec.py; progressive/subsampled streams raise).
+* **Stub** for the remaining compressed formats (mp4 video frames,
+  progressive jpeg, ...): the codec libraries (PIL, torchaudio, av)
+  are NOT present in this environment,
   so ``DecodeStage`` raises ``NotImplementedError`` for them unless
   ``fake=True``, in which case a deterministic fake decoder (seeded
   from the payload hash) produces pseudo pixel/sample arrays.
@@ -260,6 +262,12 @@ def make_real_media_batch(ids: list[int], kind: str = "audio/wav") -> pa.Table:
             payloads.append(encode_png(px))
             metas.append(json.dumps({"width": 17, "height": 12,
                                      "channels": 3}))
+        elif kind == "image/jpeg":
+            from ..functions.jpegcodec import encode_jpeg
+            px = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+            payloads.append(encode_jpeg(px, quality=100))
+            metas.append(json.dumps({"width": 17, "height": 12,
+                                     "channels": 3}))
         else:
             n = 800 + int(h1 % 400)
             samples = (rng.integers(-20000, 20000, size=n)
@@ -284,6 +292,9 @@ def _decode_payload(payload: bytes, media_type: str, meta: dict,
         return _decode_bmp(payload)
     if media_type == "image/png":
         return _decode_png(payload)
+    if media_type == "image/jpeg":
+        from ..functions.jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
             f"real decode for {media_type} requires codec libraries not "
