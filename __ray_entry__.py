@@ -529,6 +529,49 @@ def _q_quality_scores(sf_dir: str):
         fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality filters (duplicate-line fraction,
+    duplicate-line char fraction, top-bigram char fraction — Rae et al.
+    2021): the pre-dedup quality gate every LLM training-data pipeline
+    runs. One vectorized map_batches pass; integer counting + a single
+    x*1.0/y division per metric makes the DuckDB oracle value-exact."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.textops import (
+        repetition_stats_batch,
+    )
+
+    def fn(b):
+        out = repetition_stats_batch(b)
+        return out.select(["doc_id", "n_lines", "dup_line_frac",
+                           "dup_line_char_frac", "top_bigram_char_frac"])
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII scrubbing (email + phone redaction): plant one deterministic
+    email and phone per doc via identical string concat on both sides,
+    then scan/replace with RE2 patterns — pyarrow's regex kernels and
+    DuckDB's regexp_replace are both RE2-backed, so the oracle compares
+    the redacted text value-exact, not approximately."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.textops import redact_pii_batch
+
+    def fn(b):
+        ids = b.column("doc_id").cast(pa.string())
+        aug = pc.binary_join_element_wise(
+            b.column("text").combine_chunks(),
+            pa.scalar(" contact user"), ids,
+            pa.scalar("@example.com or call +1 (555) 010-"), ids, "")
+        out = redact_pii_batch(pa.table({
+            "doc_id": b.column("doc_id"), "text": aug}))
+        return out.select(["doc_id", "n_emails", "n_phones",
+                           "redacted_text"])
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_fingerprints(sf_dir: str):
     import pyarrow as pa
     from apache_datasketches_go_ray.stages.textops import fingerprint_batch
@@ -3842,6 +3885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "user_spend_summary": _q_user_spend_summary,
         "docs_containing_pattern": _q_docs_containing_pattern,
+        "repetition_stats": _q_repetition_stats,
+        "pii_redact": _q_pii_redact,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -4885,6 +4930,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN text LIKE '%and%' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_match
             FROM documents GROUP BY lang
+        """,
+        "repetition_stats": r"""
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS c, length(line) AS len
+              FROM l GROUP BY doc_id, line
+            ), lagg AS (
+              SELECT doc_id,
+                     sum(c) AS total_lines,
+                     count(*) AS distinct_lines,
+                     sum(c * len) AS total_line_chars,
+                     coalesce(sum(CASE WHEN c > 1 THEN c * len END), 0)
+                       AS dup_line_chars
+              FROM lc GROUP BY doc_id
+            ), t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS toks
+              FROM documents
+            ), u AS (
+              SELECT doc_id, unnest(toks) AS w,
+                     generate_subscripts(toks, 1) AS i
+              FROM t
+            ), tc AS (
+              SELECT doc_id, sum(length(w)) AS total_tok_chars
+              FROM u GROUP BY doc_id
+            ), bc AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*) AS c,
+                     length(a.w) + length(b.w) AS len2
+              FROM u a JOIN u b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              GROUP BY a.doc_id, a.w, b.w, length(a.w) + length(b.w)
+            ), bt AS (
+              SELECT doc_id, max(c * len2) AS top_score
+              FROM bc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(lagg.total_lines AS BIGINT) AS n_lines,
+                   (lagg.total_lines - lagg.distinct_lines) * 1.0
+                     / lagg.total_lines AS dup_line_frac,
+                   CASE WHEN lagg.total_line_chars > 0
+                        THEN lagg.dup_line_chars * 1.0
+                             / lagg.total_line_chars
+                        ELSE 0.0 END AS dup_line_char_frac,
+                   CASE WHEN coalesce(tc.total_tok_chars, 0) > 0
+                             AND bt.top_score IS NOT NULL
+                        THEN bt.top_score * 1.0 / tc.total_tok_chars
+                        ELSE 0.0 END AS top_bigram_char_frac
+            FROM documents d
+            LEFT JOIN lagg USING (doc_id)
+            LEFT JOIN tc USING (doc_id)
+            LEFT JOIN bt USING (doc_id)
+        """,
+        "pii_redact": r"""
+            WITH a AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or call +1 (555) 010-'
+                          || CAST(doc_id AS VARCHAR) AS t
+              FROM documents
+            ), e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                       )) AS n_emails,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM a
+            )
+            SELECT doc_id,
+                   CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                     '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT)
+                     AS n_phones,
+                   regexp_replace(t1, '\+?[0-9][0-9()\- ]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS redacted_text
+            FROM e
         """,
         "dup_rate_by_source": """
             WITH d AS (

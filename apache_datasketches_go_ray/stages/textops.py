@@ -7,6 +7,9 @@ compute / numpy) or cheap per-row kernels on pre-tokenized arrays:
   * language id — stopword-hit heuristic over small built-in lists
   * simhash — 64-bit document fingerprint from token hashes
   * winnowing fingerprints — rolling-hash document fingerprint set
+  * repetition stats — Gopher-style duplicate-line / top-bigram
+    repetition fractions (Rae et al. 2021, public paper), the standard
+    quality filters an LLM training-data pipeline runs before dedup
 """
 
 from __future__ import annotations
@@ -111,6 +114,121 @@ def quality_stats_batch(batch: pa.Table, text_col: str = "text",
         .append_column("digit_ratio", pa.array(digit_ratio))
         .append_column("quality_score", pa.array(score))
     )
+
+
+def repetition_stats_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Append Gopher-style repetition metrics per document:
+
+    * ``n_lines`` — count of newline-split lines (>=1, '' is one line)
+    * ``dup_line_frac`` — (lines - distinct lines) / lines
+    * ``dup_line_char_frac`` — chars in lines occurring >1 time (all
+      occurrences) / total line chars
+    * ``top_bigram_char_frac`` — max over word-bigrams of
+      occurrences x (len(w1)+len(w2)), over total token chars
+
+    Pure int arithmetic folded with bincount/np.unique and a single
+    ``x * 1.0 / y`` division per metric, so a DuckDB oracle running the
+    identical op sequence compares value-exact (same convention as
+    quality_stats_batch). No Python row loop: lines/tokens are flattened
+    once, duplicates counted via dictionary_encode + packed-int
+    np.unique."""
+    texts = as_array(batch.column(text_col))
+    n = len(texts)
+    dup_line_frac = np.zeros(n)
+    dup_char_frac = np.zeros(n)
+    top_frac = np.zeros(n)
+    n_lines = np.zeros(n, dtype=np.int64)
+
+    lines = pc.split_pattern(texts, "\n")
+    flat = as_array(pc.list_flatten(lines))
+    if len(flat):
+        parent = pc.list_parent_indices(lines) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = max(len(d.dictionary), 1)
+        uniq, first_idx, cnts = np.unique(parent * K + codes,
+                                          return_index=True,
+                                          return_counts=True)
+        line_len = pc.utf8_length(flat) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u_doc = uniq // K
+        total_lines = np.bincount(parent, minlength=n)
+        distinct_lines = np.bincount(u_doc, minlength=n)
+        total_chars = np.bincount(parent, weights=line_len, minlength=n)
+        dup = cnts > 1
+        dup_chars = np.zeros(n)
+        np.add.at(dup_chars, u_doc[dup],
+                  (cnts[dup] * line_len[first_idx][dup]).astype(np.float64))
+        n_lines = total_lines.astype(np.int64)
+        nz = total_lines > 0
+        dup_line_frac[nz] = (total_lines[nz] - distinct_lines[nz]) \
+            * 1.0 / total_lines[nz]
+        cz = total_chars > 0
+        dup_char_frac[cz] = dup_chars[cz] / total_chars[cz]
+
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    empty = pc.equal(pc.utf8_trim_whitespace(texts), "") \
+        .to_numpy(zero_copy_only=False)
+    flat_t = as_array(pc.list_flatten(toks))
+    if len(flat_t):
+        parent_t = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~empty[parent_t]
+        tl = pc.utf8_length(flat_t) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        total_tok = np.bincount(parent_t[keep], weights=tl[keep],
+                                minlength=n)
+        same = np.zeros(len(flat_t) - 1, dtype=bool) \
+            if len(flat_t) > 1 else np.zeros(0, dtype=bool)
+        if len(same):
+            same = (parent_t[1:] == parent_t[:-1]) & keep[1:] & keep[:-1]
+        top = np.zeros(n, dtype=np.int64)
+        if same.any():
+            idx = np.flatnonzero(same)
+            w1 = flat_t.take(pa.array(idx))
+            w2 = flat_t.take(pa.array(idx + 1))
+            big = pc.binary_join_element_wise(w1, w2, "\x00")
+            d2 = pc.dictionary_encode(big)
+            codes2 = d2.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            K2 = max(len(d2.dictionary), 1)
+            docb = parent_t[idx]
+            uq, fi, ct = np.unique(docb * K2 + codes2,
+                                   return_index=True, return_counts=True)
+            chars2 = tl[idx] + tl[idx + 1]
+            np.maximum.at(top, uq // K2, ct * chars2[fi])
+        tz = total_tok > 0
+        top_frac[tz] = top[tz] * 1.0 / total_tok[tz]
+
+    return (batch.append_column("n_lines", pa.array(n_lines))
+            .append_column("dup_line_frac", pa.array(dup_line_frac))
+            .append_column("dup_line_char_frac", pa.array(dup_char_frac))
+            .append_column("top_bigram_char_frac", pa.array(top_frac)))
+
+
+# PII patterns (RE2 syntax — pyarrow's replace_substring_regex and
+# DuckDB's regexp_replace are both RE2-backed, so the oracle comparison
+# is semantics-exact, not merely similar)
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails then phone-number-shaped spans, appending
+    ``n_emails`` / ``n_phones`` (non-overlapping match counts, each
+    counted against the text the scan actually ran on: emails on the
+    raw text, phones on the email-redacted text — the same sequential
+    order a second regexp_replace sees) and ``redacted_text``."""
+    texts = as_array(batch.column(text_col))
+    n_emails = pc.count_substring_regex(texts, EMAIL_RE).cast(pa.int64())
+    t1 = pc.replace_substring_regex(texts, EMAIL_RE, "<EMAIL>")
+    n_phones = pc.count_substring_regex(t1, PHONE_RE).cast(pa.int64())
+    t2 = pc.replace_substring_regex(t1, PHONE_RE, "<PHONE>")
+    return (batch.append_column("n_emails", n_emails)
+            .append_column("n_phones", n_phones)
+            .append_column("redacted_text", t2))
 
 
 def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

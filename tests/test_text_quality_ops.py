@@ -1,0 +1,83 @@
+"""Gopher-style repetition metrics + PII redaction kernels (the DuckDB
+value-exact oracle runs at sf0.01 via tools/check_oracle.py; these pin
+hand-computed values and edge cases)."""
+
+import numpy as np
+import pyarrow as pa
+
+from apache_datasketches_go_ray.stages.textops import (
+    redact_pii_batch,
+    repetition_stats_batch,
+)
+
+
+def _rep(texts):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    return repetition_stats_batch(t).to_pandas()
+
+
+def test_repetition_hand_computed():
+    out = _rep(["a\na\nb",          # dup lines: 2 of 3; dup chars 2/3
+                "x y x y x y",      # top bigram (x,y) 3x2 chars / 6
+                "",                 # empty: one empty line, all zeros
+                "unique lines\nonly here"])
+    assert out["n_lines"].tolist() == [3, 1, 1, 2]
+    assert np.isclose(out["dup_line_frac"][0], 1.0 / 3.0)
+    assert np.isclose(out["dup_line_char_frac"][0], 2.0 / 3.0)
+    # "a a b": bigrams (a,a) and (a,b), both score 1x2 over 3 chars
+    assert np.isclose(out["top_bigram_char_frac"][0], 2.0 / 3.0)
+    assert out["dup_line_frac"][1] == 0.0
+    assert np.isclose(out["top_bigram_char_frac"][1], 1.0)
+    assert (out.loc[2, ["dup_line_frac", "dup_line_char_frac",
+                        "top_bigram_char_frac"]] == 0).all()
+    assert out["dup_line_frac"][3] == 0.0
+
+
+def test_repetition_counts_all_occurrences():
+    # 4 identical lines of 2 chars + 1 distinct of 6 chars:
+    # dup_line_frac = (5-2)/5; dup chars = 4*2 / (4*2+6)
+    out = _rep(["ab\nab\nab\nab\nlonger"])
+    assert np.isclose(out["dup_line_frac"][0], 3.0 / 5.0)
+    assert np.isclose(out["dup_line_char_frac"][0], 8.0 / 14.0)
+
+
+def test_repetition_independent_of_batch_grouping():
+    texts = ["a\na\nb", "x y x y x y", "", "q w e r t y q w"]
+    whole = _rep(texts)
+    parts = [
+        repetition_stats_batch(pa.table({
+            "doc_id": pa.array([i], type=pa.int64()),
+            "text": pa.array([s], type=pa.string())})).to_pandas()
+        for i, s in enumerate(texts)]
+    import pandas as pd
+    split = pd.concat(parts, ignore_index=True)
+    for c in ("n_lines", "dup_line_frac", "dup_line_char_frac",
+              "top_bigram_char_frac"):
+        assert np.allclose(whole[c], split[c]), c
+
+
+def test_pii_redaction():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "mail bob.smith+x@corp.example.org now",
+            "call +1 (555) 010-7788 or 020-7946-0958 today",
+            "no pii here",
+        ], type=pa.string())})
+    out = redact_pii_batch(t).to_pandas()
+    assert out["n_emails"].tolist() == [1, 0, 0]
+    assert out["n_phones"].tolist() == [0, 2, 0]
+    assert out["redacted_text"][0] == "mail <EMAIL> now"
+    assert out["redacted_text"][1] == "call <PHONE> or <PHONE> today"
+    assert out["redacted_text"][2] == "no pii here"
+
+
+def test_pii_email_then_phone_order():
+    # digits inside an email are consumed by the email pass first
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": pa.array(["x 12345678@nums.example.com y"])})
+    out = redact_pii_batch(t).to_pandas()
+    assert out["n_emails"][0] == 1
+    assert out["n_phones"][0] == 0
+    assert out["redacted_text"][0] == "x <EMAIL> y"
