@@ -572,6 +572,45 @@ def _q_pii_redact(sf_dir: str):
         fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_domain_reweight(sf_dir: str):
+    """Domain-mixture reweighting: resample the 20 sources to a ramp
+    mixture (share of src{i} proportional to i+1). Streaming
+    hash-threshold filter, no shuffle — the scalable form of "adjust
+    the web/books/code mix before training". Pure int/float arithmetic
+    on the Knuth hash keeps the DuckDB oracle value-exact."""
+    from apache_datasketches_go_ray.stages.mixing import reweight_sample
+
+    weights = {f"src{i}": (i + 1) / 210.0 for i in range(20)}
+    return reweight_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        "source", weights, "doc_id")
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing: greedy fill of docs into 256-token packs, one
+    independent packing per (doc_id % 4) partition key — the
+    batch-construction step of LLM training. The in-block kernel jumps
+    pack-by-pack along the token prefix sum (np.searchsorted), matching
+    the sequential recurrence the DuckDB recursive-CTE oracle runs."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.packing import pack_sequences
+    from apache_datasketches_go_ray.stages.textops import (
+        token_count_batch,
+    )
+
+    def tok(b):
+        out = token_count_batch(b)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "n_tokens": out.column("n_tokens").cast(pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tok, batch_format="pyarrow", zero_copy_batch=True)
+    return pack_sequences(ds, budget=256, n_parts=4,
+                          tok_col="n_tokens", id_col="doc_id")
+
+
 def _q_fingerprints(sf_dir: str):
     import pyarrow as pa
     from apache_datasketches_go_ray.stages.textops import fingerprint_batch
@@ -3887,6 +3926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_containing_pattern": _q_docs_containing_pattern,
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
+        "domain_reweight_sample": _q_domain_reweight,
+        "pack_sequences": _q_pack_sequences,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -5011,6 +5052,58 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t1, '\+?[0-9][0-9()\- ]{6,}[0-9]',
                                   '<PHONE>', 'g') AS redacted_text
             FROM e
+        """,
+        "domain_reweight_sample": """
+            WITH w(source, wt) AS (VALUES """ + ", ".join(
+            f"('src{i}', {i + 1}.0)" for i in range(20)) + """),
+            c AS (
+              SELECT source, count(*) AS cnt FROM documents
+              GROUP BY source
+            ), j AS (
+              SELECT c.source, c.cnt, w.wt / 210.0 AS p
+              FROM c JOIN w USING (source)
+            ), m AS (
+              SELECT min(cnt / p) AS mx FROM j
+            ), t AS (
+              SELECT source,
+                     floor(p * (SELECT mx FROM m) / cnt
+                           * 4294967296.0) AS thr
+              FROM j
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN t USING (source)
+            WHERE ((d.doc_id * 2654435761) % 4294967296) < t.thr
+        """,
+        "pack_sequences": r"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     doc_id % 4 AS part,
+                     row_number() OVER (PARTITION BY doc_id % 4
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), s AS (
+              SELECT part, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS pack, n_tokens AS filled
+              FROM tok WHERE rn = 1
+              UNION ALL
+              SELECT t.part, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN s.filled + t.n_tokens > 256
+                          THEN s.pack + 1 ELSE s.pack END,
+                     CASE WHEN s.filled + t.n_tokens > 256
+                          THEN t.n_tokens
+                          ELSE s.filled + t.n_tokens END
+              FROM s JOIN tok t
+                ON t.part = s.part AND t.rn = s.rn + 1
+            )
+            SELECT doc_id, n_tokens,
+                   part * 4294967296 + pack AS pack_id,
+                   CAST(row_number() OVER (PARTITION BY part, pack
+                                           ORDER BY rn) - 1 AS BIGINT)
+                     AS pack_pos
+            FROM s
         """,
         "dup_rate_by_source": """
             WITH d AS (
