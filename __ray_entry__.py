@@ -654,6 +654,35 @@ def _q_embedding_near_dups(sf_dir: str):
                                     num_partitions=16)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: plant near-duplicate embeddings
+    (2% noise, ids offset by 10^6) and prune them with the
+    kmeans-cluster + in-cluster cosine operator. Rows-only (kmeans is
+    not SQL); the planted-dup drop contract is pinned by pytest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from apache_datasketches_go_ray.stages.ann import semantic_dedup
+
+    base = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    m = np.array(base.column("embedding").to_pylist(), dtype=np.float32)
+    ids = np.array(base.column("vec_id").to_pylist(), dtype=np.int64)
+    rng = np.random.default_rng(42)
+    k = min(50, len(ids))
+    noise = rng.standard_normal((k, m.shape[1])).astype(np.float32)
+    dup = m[:k] + 0.02 * noise * np.linalg.norm(
+        m[:k], axis=1, keepdims=True) / np.sqrt(m.shape[1])
+    aug = pa.table({
+        "vec_id": pa.array(np.concatenate([ids, ids[:k] + 1_000_000]),
+                           type=pa.int64()),
+        "embedding": pa.array(
+            list(np.concatenate([m, dup]).astype(np.float32)),
+            type=pa.list_(pa.float32())),
+    })
+    return semantic_dedup(ray.data.from_arrow(aug), threshold=0.95,
+                          n_clusters=8, num_partitions=8)
+
+
 def _q_customer_nation_revenue(sf_dir: str):
     """orders ⋈ customer (engine hash_join: broadcast or co-partition by
     size) -> per-nation order count + revenue in exact cents."""
@@ -3949,6 +3978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_fingerprints,
         "embedding_near_dups": _q_embedding_near_dups,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_knn_join_topk": _q_ann_lsh_knn_join,

@@ -180,6 +180,97 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
     )
 
 
+def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 16,
+                   sample_size: int = 4096, id_col: str = "vec_id",
+                   emb_col: str = "embedding", seed: int = 9001,
+                   num_partitions: int = 16, chunk: int = 2048):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): cluster embeddings with a
+    spherical k-means coarse quantizer trained on a bounded driver
+    sample, shuffle rows by cluster id, then inside each cluster drop
+    every member whose cosine similarity to a LOWER-ID member is
+    >= threshold.
+
+    Keep-min-id is order- and partition-independent (no greedy scan
+    order to disagree about), mirroring the exact-dedup keep-first
+    contract; the trade is that a chain a~b, b~c (a!~c) drops both b
+    and c where sequential SemDeDup may keep c.
+
+    Scale shape: the corpus streams through one assign pass (broadcast
+    centroid matmul per batch) and one cluster-keyed shuffle; all
+    pairwise work is cluster-local and the in-block similarity matmul
+    is chunked (``chunk`` columns at a time), so per-task memory is
+    O(cluster x chunk) not O(cluster^2). Cross-cluster near-dups are
+    missed by construction — the documented SemDeDup recall trade.
+
+    Returns (vec_id, cluster, keep): decisions for every row.
+    """
+    sample_tbl = ds.limit(sample_size).materialize().to_arrow_refs()
+    sample = np.concatenate(
+        [_embeddings_matrix(t, emb_col)
+         for t in (ray.get(r) for r in sample_tbl) if len(t)])
+    C = _spherical_kmeans(sample, n_clusters, seed=seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             emb_col: batch.column(emb_col),
+                             "cluster": pa.array([], type=pa.int64())})
+        m = _embeddings_matrix(batch, emb_col).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cl = np.argmax((m / norms) @ C.T, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: as_array(batch.column(id_col)).cast(pa.int64()),
+            emb_col: as_array(batch.column(emb_col)),
+            "cluster": pa.array(cl, type=pa.int64()),
+        })
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64()),
+                             "keep": pa.array([], type=pa.bool_())})
+        ids = as_array(batch.column(id_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cl = as_array(batch.column("cluster")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = _embeddings_matrix(batch, emb_col).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        order = np.lexsort((ids, cl))
+        keep = np.ones(len(batch), dtype=bool)
+        grp = cl[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(grp)) + 1])
+        ends = np.concatenate([starts[1:], [len(grp)]])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = order[s:e]           # ascending id within cluster
+            sub = mn[idx]
+            for c0 in range(1, e - s, chunk):
+                c1 = min(c0 + chunk, e - s)
+                # cols c0:c1 vs all strictly-lower rows
+                sims = sub[:c1] @ sub[c0:c1].T
+                rows = np.arange(c1)[:, None]
+                cols = np.arange(c0, c1)[None, :]
+                dup = ((sims >= threshold) & (rows < cols)).any(axis=0)
+                keep[idx[c0:c1][dup]] = False
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "cluster": pa.array(cl, type=pa.int64()),
+            "keep": pa.array(keep),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(num_partitions, keys=["cluster"])
+            .map_batches(prune, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 class _LshTopkPartial:
     """Partial top-k against only the corpus rows whose LSH bucket is in
     the query's multi-probe set (own bucket + all hamming-1 flips)."""
