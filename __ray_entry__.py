@@ -1360,16 +1360,21 @@ def _q_containment_dups(sf_dir: str):
 
 
 def _q_video_frame_features(sf_dir: str):
-    """Video frame-sampling plumbing: fake raw videos -> every-6th-frame
-    rows -> per-frame channel features (actor-pool stages, flat-map
-    batch expansion)."""
+    """Video frame sampling over a MIXED column: raw-buffer videos plus
+    REAL MP4 containers whose sample tables are parsed at the ISO-BMFF
+    box level (functions/mp4box.py — stsz/stsc/stco offsets, no codec
+    library) -> every-6th-frame rows -> per-frame channel features
+    (actor-pool stages, flat-map batch expansion)."""
     import ray.data
     import pyarrow as pa
     from apache_datasketches_go_ray.stages.multimodal import (
-        make_fake_video_batch, frame_pipeline,
+        make_fake_video_batch, make_real_video_batch, frame_pipeline,
     )
 
-    media = ray.data.from_arrow(make_fake_video_batch(list(range(16))))
+    media = ray.data.from_arrow(pa.concat_tables([
+        make_fake_video_batch(list(range(16))),
+        make_real_video_batch(list(range(16, 28))),
+    ]))
     out = frame_pipeline(media, every_k=6, batch_size=4)
 
     def project(b):

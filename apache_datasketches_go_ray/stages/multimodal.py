@@ -418,23 +418,75 @@ def make_fake_video_batch(ids: list[int], n_frames: int = 24,
     })
 
 
+def make_real_video_batch(ids: list[int], n_frames: int = 24,
+                          h: int = 8, w: int = 8,
+                          fps: int = 12) -> pa.Table:
+    """Deterministic REAL MP4 containers ('rawv' sample payloads) —
+    exercised by the container round-trip tests and the real video
+    frame-sample path."""
+    from ..functions.mp4box import encode_mp4
+
+    payloads, metas = [], []
+    for i in ids:
+        rng = np.random.default_rng(1000 + i)
+        arr = rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+        payloads.append(encode_mp4([f.tobytes() for f in arr],
+                                   fps=fps, width=w, height=h))
+        metas.append(json.dumps({"fps": fps}))
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "media_type": pa.array(["video/mp4"] * len(ids)),
+        "payload": pa.array(payloads, type=pa.large_binary()),
+        "meta": pa.array(metas, type=pa.string()),
+    })
+
+
 class FrameSampleStage:
-    """Actor-pool stage: sample every k-th frame of a decoded video
-    payload (the video analogue of the image resize stage). Emits one
-    row per SAMPLED FRAME (flat_map-style batch expansion) so the
-    downstream image stages (resize / feature) apply unchanged."""
+    """Actor-pool stage: sample every k-th frame of a video payload
+    (the video analogue of the image resize stage). Emits one row per
+    SAMPLED FRAME (flat_map-style batch expansion) so the downstream
+    image stages (resize / feature) apply unchanged.
+
+    Two real paths:
+      * ``video/raw`` — payload is a raw (n, h, w, 3) buffer described
+        by the meta JSON.
+      * ``video/mp4`` — payload is an ISO-BMFF container; the sample
+        table is parsed at the box level (functions/mp4box.py) and the
+        k-th SAMPLE payloads are pulled at their file offsets. 'rawv'
+        samples (our writer's fourcc) decode by reshape; compressed
+        codecs (h264/...) raise NotImplementedError — container
+        parsing is real, frame-payload decode needs a codec library.
+    """
 
     def __init__(self, every_k: int = 6):
         self.k = every_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mp4box import extract_frames
+
         ids = as_array(batch.column("media_id")).to_numpy(
             zero_copy_only=False)
         blobs = as_array(batch.column("payload")).to_pylist()
+        kinds = as_array(batch.column("media_type")).to_pylist()
         metas = [json.loads(s) for s in
                  as_array(batch.column("meta")).to_pylist()]
         out_id, out_frame, out_blob, out_shape = [], [], [], []
-        for mid, blob, meta in zip(ids, blobs, metas):
+        for mid, blob, kind, meta in zip(ids, blobs, kinds, metas):
+            if kind == "video/mp4":
+                info, samples = extract_frames(blob, self.k)
+                if info["codec"] != "rawv":
+                    raise NotImplementedError(
+                        f"frame-payload decode for codec "
+                        f"{info['codec']!r} requires a codec library; "
+                        "container-level sampling only")
+                shape = [info["height"], info["width"], 3]
+                for f, _, payload in samples:
+                    out_id.append(int(mid))
+                    out_frame.append(f)
+                    out_blob.append(payload)
+                    out_shape.append(json.dumps(
+                        {"shape": shape, "dtype": "uint8"}))
+                continue
             arr = np.frombuffer(blob, dtype=meta["dtype"]) \
                 .reshape(meta["shape"])
             for f in range(0, arr.shape[0], self.k):
