@@ -683,6 +683,26 @@ def _q_semantic_dedup(sf_dir: str):
                           n_clusters=8, num_partitions=8)
 
 
+def _q_lm_quality_scores(sf_dir: str):
+    """CCNet-style LM quality scoring: byte-trigram model trained on
+    the corpus's own leading sample (bounded, deterministic), broadcast
+    once, scored in one streaming vectorized pass. Rows-only (the
+    smoothed log-prob model is not SQL); kernel parity vs a dict-based
+    reference and gibberish discrimination are pinned by pytest."""
+    from apache_datasketches_go_ray.stages.lmscore import lm_quality_score
+
+    def fin(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return b.set_column(
+            b.schema.get_field_index("lm_score"), "lm_score",
+            pc.round(b.column("lm_score"), ndigits=6))
+    return lm_quality_score(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        sample_size=256).map_batches(
+        fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_customer_nation_revenue(sf_dir: str):
     """orders ⋈ customer (engine hash_join: broadcast or co-partition by
     size) -> per-nation order count + revenue in exact cents."""
@@ -3984,6 +4004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "embedding_near_dups": _q_embedding_near_dups,
         "semantic_dedup": _q_semantic_dedup,
+        "lm_quality_scores": _q_lm_quality_scores,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_knn_join_topk": _q_ann_lsh_knn_join,
