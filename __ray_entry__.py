@@ -703,6 +703,91 @@ def _q_lm_quality_scores(sf_dir: str):
         fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_theta_user_overlap(sf_dir: str):
+    """Theta/KMV sketch SET OPERATIONS: per-event-type distinct-user
+    sketches (per-block partials -> keyed merge), then pairwise
+    intersect / a-not-b on the driver (5 tiny sketches). k=4096 exceeds
+    the user cardinality through sf0.1, so the sketches are in the
+    exact regime and the DuckDB oracle checks the overlap counts
+    value-exact; at corpus scale the same operator degrades to the
+    bounded-error sketch (state/theta.py)."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.state.theta import (
+        ThetaSketch, hash_int64_values,
+    )
+
+    K = 4096
+
+    def partial(b):
+        et = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        uid = b.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = hash_int64_values(uid)
+        order = np.argsort(et, kind="stable")
+        ets, hs = et[order], h[order]
+        newgrp = np.ones(len(ets), dtype=bool)
+        if len(ets) > 1:
+            newgrp[1:] = ets[1:] != ets[:-1]
+        starts = np.flatnonzero(newgrp)
+        ends = np.concatenate([starts[1:], [len(ets)]])
+        out_k, out_s = [], []
+        for s, e in zip(starts, ends):
+            sk = ThetaSketch(K)
+            sk.update_hashes(hs[s:e])
+            out_k.append(ets[s])
+            out_s.append(sk.to_bytes())
+        return pa.table({"event_type": pa.array(out_k, type=pa.string()),
+                         "sk": pa.array(out_s, type=pa.large_binary())})
+
+    def combine(b):
+        ks = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        sks = b.column("sk").to_pylist()
+        order = np.argsort(ks, kind="stable")
+        out_k, out_s = [], []
+        i = 0
+        while i < len(order):
+            j = i
+            sk = ThetaSketch.from_bytes(sks[order[i]])
+            while j + 1 < len(order) and ks[order[j + 1]] == ks[order[i]]:
+                j += 1
+                sk.merge(ThetaSketch.from_bytes(sks[order[j]]))
+            out_k.append(ks[order[i]])
+            out_s.append(sk.to_bytes())
+            i = j + 1
+        return pa.table({"event_type": pa.array(out_k, type=pa.string()),
+                         "sk": pa.array(out_s, type=pa.large_binary())})
+
+    rows = (_read(sf_dir, "events", ["event_type", "user_id"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["event_type"])
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .take_all())
+    sketches = {r["event_type"]: ThetaSketch.from_bytes(r["sk"])
+                for r in rows}
+    types = sorted(sketches)
+    ta, tb, na, nb, nc, nao = [], [], [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            common = ThetaSketch.intersect(sketches[a], sketches[b])
+            only_a = ThetaSketch.a_not_b(sketches[a], sketches[b])
+            ta.append(a)
+            tb.append(b)
+            na.append(sketches[a].get_retained())
+            nb.append(sketches[b].get_retained())
+            nc.append(common.get_retained())
+            nao.append(only_a.get_retained())
+    return pa.table({
+        "type_a": pa.array(ta, type=pa.string()),
+        "type_b": pa.array(tb, type=pa.string()),
+        "n_a": pa.array(na, type=pa.int64()),
+        "n_b": pa.array(nb, type=pa.int64()),
+        "n_common": pa.array(nc, type=pa.int64()),
+        "n_a_only": pa.array(nao, type=pa.int64()),
+    })
+
+
 def _q_customer_nation_revenue(sf_dir: str):
     """orders ⋈ customer (engine hash_join: broadcast or co-partition by
     size) -> per-nation order count + revenue in exact cents."""
@@ -3982,6 +4067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "domain_reweight_sample": _q_domain_reweight,
         "pack_sequences": _q_pack_sequences,
+        "theta_user_overlap": _q_theta_user_overlap,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -5129,6 +5215,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN t USING (source)
             WHERE ((d.doc_id * 2654435761) % 4294967296) < t.thr
+        """,
+        "theta_user_overlap": """
+            WITH p AS (
+              SELECT DISTINCT event_type, user_id FROM events
+            ), c AS (
+              SELECT event_type, count(*) AS n FROM p GROUP BY 1
+            ), inter AS (
+              SELECT x.event_type AS ta, y.event_type AS tb,
+                     count(*) AS nc
+              FROM p x JOIN p y
+                ON x.user_id = y.user_id
+               AND x.event_type < y.event_type
+              GROUP BY 1, 2
+            )
+            SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+                   CAST(ca.n AS BIGINT) AS n_a,
+                   CAST(cb.n AS BIGINT) AS n_b,
+                   CAST(coalesce(i.nc, 0) AS BIGINT) AS n_common,
+                   CAST(ca.n - coalesce(i.nc, 0) AS BIGINT) AS n_a_only
+            FROM c ca
+            JOIN c cb ON ca.event_type < cb.event_type
+            LEFT JOIN inter i
+              ON i.ta = ca.event_type AND i.tb = cb.event_type
         """,
         "pack_sequences": r"""
             WITH RECURSIVE tok AS (
