@@ -37,12 +37,23 @@ class CurateConfig:
     def __init__(self, *, min_quality: float = 0.35,
                  allowed_langs: tuple = ("en",),
                  min_chars: int = 20, max_chars: int = 1_000_000,
+                 max_dup_line_frac: float | None = None,
+                 max_top_bigram_char_frac: float | None = None,
+                 redact_pii: bool = False,
                  num_partitions: int = 32,
                  dedup: DedupConfig | None = None):
         self.min_quality = min_quality
         self.allowed_langs = tuple(allowed_langs)
         self.min_chars = min_chars
         self.max_chars = max_chars
+        # Gopher-style repetition gates (None = off): docs whose
+        # duplicate-line / top-bigram character fractions exceed the
+        # threshold are dropped in the filter stage
+        self.max_dup_line_frac = max_dup_line_frac
+        self.max_top_bigram_char_frac = max_top_bigram_char_frac
+        # scrub emails/phones BEFORE anything hashes the text, so
+        # dedup/fingerprints operate on the redacted corpus
+        self.redact_pii = redact_pii
         self.num_partitions = num_partitions
         self.dedup = dedup or DedupConfig(num_partitions=num_partitions)
 
@@ -52,15 +63,30 @@ class CurateConfig:
             "allowed_langs": list(self.allowed_langs),
             "min_chars": self.min_chars,
             "max_chars": self.max_chars,
+            "max_dup_line_frac": self.max_dup_line_frac,
+            "max_top_bigram_char_frac": self.max_top_bigram_char_frac,
+            "redact_pii": self.redact_pii,
             "num_partitions": self.num_partitions,
             "dedup": self.dedup.to_dict(),
         }
 
 
-def _annotate(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    out = quality_stats_batch(batch.select([id_col, text_col]),
-                              text_col=text_col, round_to=None)
+def _annotate(batch: pa.Table, id_col: str, text_col: str,
+              cfg: CurateConfig | None = None) -> pa.Table:
+    sub = batch.select([id_col, text_col])
+    if cfg is not None and cfg.redact_pii:
+        from ..stages.textops import redact_pii_batch
+
+        red = redact_pii_batch(sub, text_col=text_col)
+        sub = pa.table({id_col: red.column(id_col),
+                        text_col: red.column("redacted_text")})
+    out = quality_stats_batch(sub, text_col=text_col, round_to=None)
     out = langid_batch(out, text_col=text_col)
+    if cfg is not None and (cfg.max_dup_line_frac is not None
+                            or cfg.max_top_bigram_char_frac is not None):
+        from ..stages.textops import repetition_stats_batch
+
+        out = repetition_stats_batch(out, text_col=text_col)
     return out
 
 
@@ -77,6 +103,13 @@ def _filter(batch: pa.Table, cfg: CurateConfig) -> pa.Table:
             pc.less_equal(batch.column("n_chars"), cfg.max_chars),
         ),
     )
+    if cfg.max_dup_line_frac is not None:
+        keep = pc.and_(keep, pc.less_equal(
+            batch.column("dup_line_frac"), cfg.max_dup_line_frac))
+    if cfg.max_top_bigram_char_frac is not None:
+        keep = pc.and_(keep, pc.less_equal(
+            batch.column("top_bigram_char_frac"),
+            cfg.max_top_bigram_char_frac))
     return batch.filter(keep)
 
 
@@ -131,7 +164,7 @@ class CuratePipeline(CheckpointedPipeline):
             "filtered", input_fingerprint,
             lambda: docs_ds.map_batches(
                 functools.partial(_annotate, id_col=id_col,
-                                  text_col=text_col),
+                                  text_col=text_col, cfg=cfg),
                 batch_format="pyarrow", zero_copy_batch=True,
             ).map_batches(
                 functools.partial(_filter, cfg=cfg),

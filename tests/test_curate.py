@@ -124,3 +124,41 @@ def test_curate_transcripts_dedups_planted_groups(ray_session):
         assert len(survivors) >= 1, gid
     # every non-duplicated conversation survives the funnel
     assert (all_convs - dup_members) <= curated
+
+
+def test_curate_repetition_and_pii_gates(ray_session):
+    """Round-3 gates: Gopher repetition thresholds drop repetitive docs
+    and redact_pii scrubs emails BEFORE dedup hashes the text (two docs
+    differing only in their email collapse to one)."""
+    rng = np.random.default_rng(33)
+    ids, texts = [], []
+    for i in range(20):
+        ids.append(i)
+        texts.append(_clean_doc(rng))
+    ids.append(300)      # duplicate-line spam
+    line = _clean_doc(rng, n=8)
+    texts.append("\n".join([line] * 12))
+    ids.append(301)      # one bigram repeated everywhere
+    texts.append("buy now " * 40)
+    base = _clean_doc(rng)
+    ids.append(302)      # same doc, different emails -> PII-collapsed
+    texts.append(base + " contact alice@example.com")
+    ids.append(303)
+    texts.append(base + " contact bob@other.example.org")
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    cfg = CurateConfig(min_quality=0.2, num_partitions=4,
+                       max_dup_line_frac=0.5,
+                       max_top_bigram_char_frac=0.5,
+                       redact_pii=True,
+                       dedup=DedupConfig(num_partitions=4))
+    res = run_curate(ray.data.from_arrow(tbl).repartition(3), cfg)
+    out = res["curated"].to_pandas()
+    kept = set(out["doc_id"])
+    assert 300 not in kept           # dup-line gate
+    assert 301 not in kept           # top-bigram gate
+    assert 302 in kept and 303 not in kept   # redacted texts identical
+    assert len(kept & set(range(20))) == 20
+    # the surviving text is the REDACTED form
+    t302 = out.set_index("doc_id").loc[302, "text"]
+    assert "<EMAIL>" in t302 and "alice" not in t302
