@@ -37,6 +37,8 @@ def _byte_views(texts: pa.Array):
         arr = arr.cast(pa.large_string())
     elif arr.type != pa.large_string():
         raise TypeError(f"expected string column, got {arr.type}")
+    if len(arr) == 0 or arr.buffers()[1] is None:
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
         arr.offset: arr.offset + len(arr) + 1]
     buf = arr.buffers()[2]

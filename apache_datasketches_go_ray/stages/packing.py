@@ -49,6 +49,13 @@ def _pack_group(tokens: np.ndarray, budget: int) -> np.ndarray:
 
 def pack_sequences_block(b: pa.Table, budget: int, part_col: str,
                          tok_col: str, id_col: str) -> pa.Table:
+    if len(b) == 0:   # hash collisions can leave a keyed partition empty
+        return pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            tok_col: pa.array([], type=pa.int64()),
+            "pack_id": pa.array([], type=pa.int64()),
+            "pack_pos": pa.array([], type=pa.int64()),
+        })
     part = as_array(b.column(part_col)).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     ids = as_array(b.column(id_col)).to_numpy(zero_copy_only=False) \
