@@ -3956,6 +3956,34 @@ def _q_transcript_tool_usage(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Exact TF-IDF: global df via one token-keyed shuffle, broadcast
+    lookup, block-local per-doc top-3."""
+    from apache_datasketches_go_ray.stages.corpusops import tfidf_top_terms
+
+    return tfidf_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           top_n=3, num_partitions=16)
+
+
+def _q_dup_span_stats(sf_dir: str):
+    """Span-level dup detection (Lee et al. 2022 shape): per-doc share
+    of 13-token grams that also occur in another doc."""
+    from apache_datasketches_go_ray.stages.corpusops import dup_span_stats
+
+    return dup_span_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          k=13, num_partitions=16)
+
+
+def _q_dsir_importance(sf_dir: str):
+    """DSIR-style unigram log-likelihood-ratio importance weights
+    toward the lang='en' slice (vocabulary-exact feature space)."""
+    from apache_datasketches_go_ray.stages.corpusops import dsir_importance
+
+    return dsir_importance(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        target_col="lang", target_value="en", num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -4100,6 +4128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": _q_curate_docs,
         "curate_transcripts": _q_curate_transcripts,
         "containment_dups": _q_containment_dups,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "dup_span_stats": _q_dup_span_stats,
+        "dsir_importance": _q_dsir_importance,
     }
 
 
@@ -5383,5 +5414,89 @@ def oracle_sql() -> dict[str, str]:
                         sum(cents) OVER (PARTITION BY o_custkey)
                         AS BIGINT) AS share_ppm
             FROM t
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token,
+                     floor(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0)
+                           * 10000 + 0.5) / 10000 AS score
+              FROM tf JOIN df USING (token) CROSS JOIN n
+            ), ranked AS (
+              SELECT doc_id, token, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, token ASC)
+                       AS term_rank
+              FROM scored
+            )
+            SELECT doc_id, CAST(term_rank AS BIGINT) AS rank, token, score
+            FROM ranked WHERE term_rank <= 3
+        """,
+        "dup_span_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 12)) AS i
+              FROM t WHERE len(toks) >= 13
+            ), g AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(toks, i, i + 12), ' ')
+                       AS gram
+              FROM idx
+            ), gd AS (
+              SELECT DISTINCT doc_id, gram FROM g
+            ), dupg AS (
+              SELECT gram FROM gd GROUP BY gram HAVING count(*) >= 2
+            ), dup_per_doc AS (
+              SELECT gd.doc_id, count(*) AS n_dup_grams
+              FROM gd JOIN dupg USING (gram) GROUP BY gd.doc_id
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS n_grams FROM gd GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_grams, 0) AS n_grams,
+                   COALESCE(x.n_dup_grams, 0) AS n_dup_grams,
+                   floor(COALESCE(x.n_dup_grams, 0) * 1.0 /
+                         greatest(COALESCE(p.n_grams, 0), 1)
+                         * 10000 + 0.5) / 10000 AS dup_ratio
+            FROM documents d
+            LEFT JOIN per_doc p USING (doc_id)
+            LEFT JOIN dup_per_doc x USING (doc_id)
+        """,
+        "dsir_importance": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            ), toks2 AS (
+              SELECT * FROM toks WHERE token <> ''
+            ), cnt AS (
+              SELECT token, count(*) AS c_all,
+                     count(*) FILTER (WHERE lang = 'en') AS c_tgt
+              FROM toks2 GROUP BY token
+            ), tot AS (
+              SELECT sum(c_all) * 1.0 AS r, sum(c_tgt) * 1.0 AS t,
+                     count(*) * 1.0 AS v
+              FROM cnt
+            )
+            SELECT t2.doc_id,
+                   floor(avg(ln((cnt.c_tgt + 1.0) / (tot.t + tot.v))
+                             - ln((cnt.c_all + 1.0) / (tot.r + tot.v)))
+                         * 10000 + 0.5) / 10000 AS llr
+            FROM toks2 t2 JOIN cnt USING (token) CROSS JOIN tot
+            GROUP BY t2.doc_id
         """,
     }

@@ -1,0 +1,549 @@
+"""Corpus-level statistics operators for training-data curation.
+
+* ``tfidf_top_terms`` — exact TF-IDF with global document frequencies
+  (the classic quality/topic signal over a crawl corpus).
+* ``dup_span_stats`` — per-document duplicated k-token-gram spans: the
+  detection half of span-level dedup (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better"), hash-grouped on the
+  engine's fmix64 shingle substrate instead of a suffix array (the
+  suffix-array containment pass lives in stages/verify.py).
+* ``dsir_importance`` — unigram log-likelihood-ratio importance weights
+  (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling"), vocabulary-exact variant: the feature buckets are the
+  tokens themselves so the score is SQL-reproducible; swap the token
+  dictionary for ``hash % n_buckets`` to get the hashed-DSIR form.
+
+All three follow the engine's shapes: vectorized block-local
+``map_batches`` partials, one keyed ``repartition`` per wide step, and
+broadcast-or-co-partition for the small-side lookup (never an unkeyed
+shuffle, never all-pairs). Token canonicalization matches the rest of
+the engine (whitespace split after trim — the same token stream the
+reference hashes item-by-item, hll/hll_sketch.go:274-295).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .arrow_util import as_array
+from ..functions.murmur3 import fmix64, hash_strings
+
+# second-lane seed for the 128-bit gram key (golden-ratio constant —
+# any odd constant works; this keeps the two lanes decorrelated)
+_LANE2 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _round4(x: np.ndarray) -> np.ndarray:
+    """Round-half-up to 4 decimals — the engine's float-parity rule
+    (identical expression on the DuckDB side)."""
+    return np.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def _tokens_of(col) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace-tokenize a string column.
+
+    Returns (flat_tokens, doc_offsets): doc i's tokens are
+    flat[offsets[i]:offsets[i+1]], empty tokens dropped.
+    """
+    col = as_array(col)
+    if col.type != pa.string():
+        col = col.cast(pa.string())
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(col))
+    toks = pc.if_else(pc.is_valid(toks), toks, pa.scalar([], type=toks.type))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    flat = toks.values
+    if len(flat):
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        if not keep.all():
+            doc_of = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+            counts = np.bincount(doc_of[keep], minlength=len(offsets) - 1)
+            offsets = np.concatenate(
+                [[0], np.cumsum(counts)]).astype(np.int64)
+            flat = flat.filter(pa.array(keep))
+    return flat, offsets
+
+
+def _doc_token_pairs(flat: pa.Array, offsets: np.ndarray):
+    """Distinct (doc, token) pairs with occurrence counts, block-local.
+
+    Returns (doc_idx, token_codes, tf, dictionary) where dictionary is
+    the block-local distinct token array and codes index into it.
+    """
+    n_docs = len(offsets) - 1
+    if len(flat) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, pa.array([], type=pa.string())
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = d.dictionary
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    vocab = len(dictionary)
+    key = doc_of * vocab + codes
+    uk, tf = np.unique(key, return_counts=True)
+    return uk // vocab, uk % vocab, tf.astype(np.int64), dictionary
+
+
+_EMPTY_DF = pa.table({"token": pa.array([], type=pa.string()),
+                      "df": pa.array([], type=pa.int64())})
+_EMPTY_TF = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "token": pa.array([], type=pa.string()),
+                      "tf": pa.array([], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    top_n: int = 3, num_partitions: int = 32,
+                    broadcast_threshold: int = 1 << 30):
+    """Top-``top_n`` TF-IDF terms per document, exact global df.
+
+    score = tf * (ln((N+1)/(df+1)) + 1), round-half-up to 4 decimals;
+    ties break token-ascending. Documents with no tokens emit no rows.
+
+    Plan: one block-local pass emits distinct (doc, token, tf) rows
+    (materialized once — consumed by both the df reduction and the
+    scoring pass, the dedup pipeline's checkpoint trade); df is a keyed
+    token shuffle + fold; the df lookup is broadcast when it fits
+    (vocabulary-sized — the common case) else a co-partition join, and
+    the broadcast path keeps doc rows block-local so the per-doc top-n
+    needs no further shuffle.
+    """
+    import ray
+
+    n_total = ds.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _tokens_of(batch.column(text_col))
+        doc_idx, codes, tf, dictionary = _doc_token_pairs(flat, offsets)
+        if len(doc_idx) == 0:
+            return _EMPTY_TF
+        ids = as_array(batch.column(id_col)).take(pa.array(doc_idx))
+        return pa.table({
+            "doc_id": ids,
+            "token": dictionary.take(pa.array(codes)).cast(pa.string()),
+            "tf": pa.array(tf, type=pa.int64()),
+        })
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        tf_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def df_fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_DF
+        g = batch.group_by("token").aggregate([("tf", "count")])
+        return pa.table({"token": g.column("token"),
+                         "df": g.column("tf_count").cast(pa.int64())})
+
+    df_ds = (pairs.select_columns(["token", "tf"])
+             .repartition(num_partitions, keys=["token"])
+             .map_batches(df_fold, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True))
+
+    def topn_block(batch: pa.Table) -> pa.Table:
+        """Per-doc top-n inside a doc-complete block."""
+        if len(batch) == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "token": pa.array([], type=pa.string()),
+                "score": pa.array([], type=pa.float64())})
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("doc_id", "ascending"), ("score", "descending"),
+            ("token", "ascending")])
+        t = batch.take(idx)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.arange(len(d), dtype=np.int64)
+        new = np.concatenate([[True], d[1:] != d[:-1]])
+        start = np.maximum.accumulate(np.where(new, pos, 0))
+        rank = pos - start + 1
+        keep = rank <= top_n
+        t = t.append_column("rank", pa.array(rank, type=pa.int64()))
+        return t.filter(pa.array(keep)).select(
+            ["doc_id", "rank", "token", "score"])
+
+    if df_ds.size_bytes() <= broadcast_threshold:
+        # broadcast df: one plasma copy per node, map-side lookup;
+        # pairs blocks stay doc-complete so top-n folds in place
+        from .context import gather_table
+
+        df_tbl = gather_table(df_ds, schema=_EMPTY_DF.schema)
+        df_ref = ray.put((df_tbl.column("token").combine_chunks(),
+                          df_tbl.column("df").to_numpy(
+                              zero_copy_only=False).astype(np.float64)))
+
+        def score_block(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return topn_block(batch)
+            tok_arr, df_np = ray.get(df_ref)
+            pos = pc.index_in(batch.column("token"),
+                              value_set=tok_arr).to_numpy(
+                zero_copy_only=False)
+            df = df_np[pos]
+            tf = batch.column("tf").to_numpy(zero_copy_only=False)
+            score = _round4(tf * (np.log((n_total + 1.0) / (df + 1.0))
+                                  + 1.0))
+            return topn_block(pa.table({
+                "doc_id": batch.column("doc_id"),
+                "token": batch.column("token"),
+                "score": pa.array(score, type=pa.float64())}))
+
+        return pairs.map_batches(score_block, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # co-partition path: join pairs↔df on token, then re-key by doc for
+    # the top-n fold (two keyed shuffles; no broadcast memory)
+    from .join import hash_join
+
+    joined = hash_join(pairs, df_ds, on=("token", "token"),
+                       num_partitions=num_partitions,
+                       broadcast_threshold=0)
+
+    def score_row_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "score": pa.array([], type=pa.float64())})
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        df = batch.column("df").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        score = _round4(tf * (np.log((n_total + 1.0) / (df + 1.0)) + 1.0))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "token": batch.column("token"),
+                         "score": pa.array(score, type=pa.float64())})
+
+    return (joined.map_batches(score_row_block, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(num_partitions, keys=["doc_id"])
+            .map_batches(topn_block, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+# ---------------------------------------------------------------------------
+# duplicated k-gram spans
+# ---------------------------------------------------------------------------
+
+def _gram_keys(flat: pa.Array, offsets: np.ndarray, k: int):
+    """Strict k-token windows per doc → 128-bit (h1, h2) gram keys.
+
+    Docs with fewer than k tokens contribute no grams (unlike the
+    MinHash shingler's zero-padded short-doc window — span dedup wants
+    exact spans only). Returns (h1, h2, doc_of_gram), per-doc distinct.
+    """
+    lens = np.diff(offsets)
+    n_docs = len(offsets) - 1
+    n_g = np.maximum(lens - k + 1, 0)
+    total = int(n_g.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z, np.empty(0, dtype=np.int64)
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    h_dict, _ = hash_strings(d.dictionary)
+    tok_h = h_dict[d.indices.to_numpy(zero_copy_only=False)]
+    windows = np.lib.stride_tricks.sliding_window_view(
+        np.ascontiguousarray(tok_h), k)
+    ends = np.cumsum(n_g)
+    starts_rep = np.repeat(offsets[:-1], n_g)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - n_g, n_g)
+    sel = windows[starts_rep + within]  # (total, k) uint64
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_g)
+    kk = np.uint64(k)
+    h1 = fmix64(np.full(total, kk, dtype=np.uint64))
+    h2 = fmix64(np.full(total, kk, dtype=np.uint64) ^ _LANE2)
+    for j in range(k):
+        h1 = fmix64(h1 ^ sel[:, j])
+        h2 = fmix64(h2 ^ sel[:, j])
+    # per-doc distinct on the 128-bit key
+    order = np.lexsort((h2, h1, doc_of))
+    d_s, h1_s, h2_s = doc_of[order], h1[order], h2[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = ((h1_s[1:] != h1_s[:-1]) | (h2_s[1:] != h2_s[:-1])
+                | (d_s[1:] != d_s[:-1]))
+    return h1_s[keep], h2_s[keep], d_s[keep]
+
+
+def dup_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 13, num_partitions: int = 32):
+    """Per-doc duplicated-span stats: of a doc's distinct k-token grams,
+    how many also occur in at least one OTHER doc.
+
+    Output (doc_id, n_grams, n_dup_grams, dup_ratio) for every input
+    doc (docs with < k tokens report 0/0/0.0); ratio round-half-up 4dp.
+
+    Plan: gram pass emits per-doc-distinct (h1,h2,doc) rows → keyed
+    shuffle on h1 → in-block 128-bit group fold keeps only grams with
+    ≥2 docs and emits per-doc partial dup counts → the per-doc merge is
+    a tagged UNION + one doc-keyed shuffle (a join with no join: both
+    sides carry the other's column as 0 and the fold sums) — so no
+    broadcast is ever needed and skew lives only on the gram key, which
+    is a hash. 64-bit lanes ×2 give a 128-bit gram identity: collisions
+    are negligible even at 10^12 grams (birthday bound ~2^-64 · n²).
+    """
+    z64 = pa.array([], type=pa.int64())
+
+    def gram_pairs(batch: pa.Table) -> pa.Table:
+        flat, offsets = _tokens_of(batch.column(text_col))
+        h1, h2, doc_of = _gram_keys(flat, offsets, k)
+        if len(h1) == 0:
+            return pa.table({"h1": pa.array([], type=pa.uint64()),
+                             "h2": pa.array([], type=pa.uint64()),
+                             "doc_id": z64})
+        ids = as_array(batch.column(id_col)).take(pa.array(doc_of))
+        return pa.table({"h1": pa.array(h1, type=pa.uint64()),
+                         "h2": pa.array(h2, type=pa.uint64()),
+                         "doc_id": ids})
+
+    def dup_partial(batch: pa.Table) -> pa.Table:
+        """Block holds complete gram groups (keyed by h1)."""
+        if len(batch) == 0:
+            return pa.table({"doc_id": z64, "n_dup": z64})
+        h1 = batch.column("h1").to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        h1_s, h2_s = h1[order], h2[order]
+        new = np.ones(len(h1_s), dtype=bool)
+        new[1:] = (h1_s[1:] != h1_s[:-1]) | (h2_s[1:] != h2_s[:-1])
+        gid = np.cumsum(new) - 1
+        gsize = np.bincount(gid)
+        dup_rows = gsize[gid] >= 2  # rows whose gram occurs in ≥2 docs
+        ids = as_array(batch.column("doc_id")).take(
+            pa.array(order[dup_rows]))
+        if len(ids) == 0:
+            return pa.table({"doc_id": z64, "n_dup": z64})
+        t = pa.table({"doc_id": ids}).group_by("doc_id").aggregate(
+            [("doc_id", "count")])
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_dup": t.column("doc_id_count").cast(pa.int64())})
+
+    def gram_count(batch: pa.Table) -> pa.Table:
+        """(doc_id, n_grams, n_dup=0) for EVERY doc — tagged-union left
+        side; re-tokenizes instead of materializing the gram pass."""
+        flat, offsets = _tokens_of(batch.column(text_col))
+        n_docs = len(offsets) - 1
+        lens = np.diff(offsets)
+        n_g = np.maximum(lens - k + 1, 0)
+        if n_docs and n_g.sum():
+            _, _, doc_of = _gram_keys(flat, offsets, k)
+            n_distinct = np.bincount(doc_of, minlength=n_docs)
+        else:
+            n_distinct = np.zeros(n_docs, dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(n_distinct, type=pa.int64()),
+            "n_dup": pa.array(np.zeros(n_docs, dtype=np.int64)),
+        })
+
+    dups = (ds.select_columns([id_col, text_col])
+            .map_batches(gram_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(num_partitions, keys=["h1"])
+            .map_batches(dup_partial, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .map_batches(lambda b: pa.table({
+                id_col: b.column("doc_id"),
+                "n_grams": pa.array(
+                    np.zeros(len(b), dtype=np.int64)),
+                "n_dup": b.column("n_dup")}),
+                batch_format="pyarrow", zero_copy_batch=True))
+
+    base = ds.select_columns([id_col, text_col]).map_batches(
+        gram_count, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: z64, "n_grams": z64,
+                             "n_dup_grams": z64,
+                             "dup_ratio": pa.array([], type=pa.float64())})
+        g = batch.group_by(id_col).aggregate(
+            [("n_grams", "sum"), ("n_dup", "sum")])
+        n_grams = g.column("n_grams_sum").to_numpy(zero_copy_only=False)
+        n_dup = g.column("n_dup_sum").to_numpy(zero_copy_only=False)
+        ratio = _round4(n_dup / np.maximum(n_grams, 1))
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_grams": pa.array(n_grams.astype(np.int64)),
+            "n_dup_grams": pa.array(n_dup.astype(np.int64)),
+            "dup_ratio": pa.array(ratio, type=pa.float64()),
+        })
+
+    return (base.union(dups)
+            .repartition(num_partitions, keys=[id_col])
+            .map_batches(merge_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def dsir_importance(ds, id_col: str = "doc_id", text_col: str = "text",
+                    target_col: str = "lang", target_value: str = "en",
+                    num_partitions: int = 32,
+                    broadcast_threshold: int = 1 << 30):
+    """Per-doc importance weight for resampling toward a target slice.
+
+    llr(doc) = mean over token OCCURRENCES of
+        ln((c_target(tok)+1) / (T+V)) − ln((c_all(tok)+1) / (R+V))
+    with T/R total target/raw token counts and V the global vocabulary
+    size (add-one smoothing on both unigram LMs). Docs with no tokens
+    emit no row. Output (doc_id, llr) round-half-up 4dp.
+
+    Plan: one block-local pass emits (token, c_all, c_tgt) partials →
+    keyed token shuffle + fold = the two unigram LMs; totals reduce via
+    Dataset.sum (vocab-sized input); the weight lookup broadcasts when
+    it fits, else co-partition joins token-occurrence rows and re-keys
+    by doc for the mean fold — same gate as tfidf_top_terms.
+    """
+    import ray
+
+    empty_cnt = pa.table({"token": pa.array([], type=pa.string()),
+                          "c_all": pa.array([], type=pa.int64()),
+                          "c_tgt": pa.array([], type=pa.int64())})
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _tokens_of(batch.column(text_col))
+        if len(flat) == 0:
+            return empty_cnt
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = len(d.dictionary)
+        c_all = np.bincount(codes, minlength=vocab)
+        is_tgt = pc.fill_null(pc.equal(as_array(batch.column(target_col)),
+                                       pa.scalar(target_value)), False)
+        tgt_mask = is_tgt.to_numpy(zero_copy_only=False).astype(bool)
+        doc_of = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        tok_tgt = tgt_mask[doc_of]
+        c_tgt = np.bincount(codes[tok_tgt], minlength=vocab)
+        return pa.table({
+            "token": d.dictionary.cast(pa.string()),
+            "c_all": pa.array(c_all.astype(np.int64)),
+            "c_tgt": pa.array(c_tgt.astype(np.int64)),
+        })
+
+    def cnt_fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_cnt
+        g = batch.group_by("token").aggregate(
+            [("c_all", "sum"), ("c_tgt", "sum")])
+        return pa.table({"token": g.column("token"),
+                         "c_all": g.column("c_all_sum").cast(pa.int64()),
+                         "c_tgt": g.column("c_tgt_sum").cast(pa.int64())})
+
+    counts = (ds.select_columns([id_col, text_col, target_col])
+              .map_batches(cnt_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(num_partitions, keys=["token"])
+              .map_batches(cnt_fold, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+              .materialize())
+
+    totals = counts.sum(["c_all", "c_tgt"])
+    r_tot = float(totals["sum(c_all)"])
+    t_tot = float(totals["sum(c_tgt)"])
+    v_tot = float(counts.count())
+
+    def _weights(c_all: np.ndarray, c_tgt: np.ndarray) -> np.ndarray:
+        return (np.log((c_tgt + 1.0) / (t_tot + v_tot))
+                - np.log((c_all + 1.0) / (r_tot + v_tot)))
+
+    empty_out = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "llr": pa.array([], type=pa.float64())})
+
+    if counts.size_bytes() <= broadcast_threshold:
+        from .context import gather_table
+
+        cnt_tbl = gather_table(counts, schema=empty_cnt.schema)
+        w = _weights(
+            cnt_tbl.column("c_all").to_numpy(
+                zero_copy_only=False).astype(np.float64),
+            cnt_tbl.column("c_tgt").to_numpy(
+                zero_copy_only=False).astype(np.float64))
+        w_ref = ray.put((cnt_tbl.column("token").combine_chunks(), w))
+
+        def score_block(batch: pa.Table) -> pa.Table:
+            tok_arr, w_np = ray.get(w_ref)
+            flat, offsets = _tokens_of(batch.column(text_col))
+            n_docs = len(offsets) - 1
+            if len(flat) == 0 or n_docs == 0:
+                return empty_out
+            pos = pc.index_in(flat, value_set=tok_arr).to_numpy(
+                zero_copy_only=False)
+            tok_w = w_np[pos]
+            doc_of = np.repeat(np.arange(n_docs), np.diff(offsets))
+            sums = np.bincount(doc_of, weights=tok_w, minlength=n_docs)
+            n_tok = np.diff(offsets)
+            has = n_tok > 0
+            ids = as_array(batch.column(id_col)).filter(pa.array(has))
+            llr = _round4(sums[has] / n_tok[has])
+            return pa.table({"doc_id": ids,
+                             "llr": pa.array(llr, type=pa.float64())})
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            score_block, batch_format="pyarrow", zero_copy_batch=True)
+
+    # co-partition path: explode (doc, token) occurrence rows, join the
+    # weight table on token, re-key by doc and fold the mean
+    from .join import hash_join
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        flat, offsets = _tokens_of(batch.column(text_col))
+        n_docs = len(offsets) - 1
+        if len(flat) == 0 or n_docs == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string())})
+        doc_of = np.repeat(np.arange(n_docs), np.diff(offsets))
+        ids = as_array(batch.column(id_col)).take(pa.array(doc_of))
+        return pa.table({"doc_id": ids, "token": flat.cast(pa.string())})
+
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        occ_rows, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(occ, counts, on=("token", "token"),
+                       num_partitions=num_partitions,
+                       broadcast_threshold=0)
+
+    def w_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "w_sum": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        w = _weights(batch.column("c_all").to_numpy(
+            zero_copy_only=False).astype(np.float64),
+            batch.column("c_tgt").to_numpy(
+                zero_copy_only=False).astype(np.float64))
+        t = pa.table({"doc_id": batch.column("doc_id"),
+                      "w_sum": pa.array(w, type=pa.float64()),
+                      "n": pa.array(np.ones(len(w), dtype=np.int64))})
+        g = t.group_by("doc_id").aggregate([("w_sum", "sum"), ("n", "sum")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "w_sum": g.column("w_sum_sum"),
+                         "n": g.column("n_sum").cast(pa.int64())})
+
+    def mean_fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_out
+        g = batch.group_by("doc_id").aggregate(
+            [("w_sum", "sum"), ("n", "sum")])
+        llr = _round4(g.column("w_sum_sum").to_numpy(zero_copy_only=False)
+                      / g.column("n_sum").to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "llr": pa.array(llr, type=pa.float64())})
+
+    return (joined.map_batches(w_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(num_partitions, keys=["doc_id"])
+            .map_batches(mean_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))

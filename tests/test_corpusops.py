@@ -1,0 +1,150 @@
+"""Corpus-stats operators: TF-IDF, duplicated-span stats, DSIR weights.
+
+Each operator is checked against a brute-force single-process oracle on
+a small synthetic corpus, on BOTH the broadcast and the co-partition
+(broadcast_threshold=0) paths — the two paths must agree exactly.
+"""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from apache_datasketches_go_ray.stages.corpusops import (
+    dsir_importance, dup_span_stats, tfidf_top_terms)
+
+
+def _docs_table():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, langs = [], []
+    for i in range(60):
+        n = int(rng.integers(0, 30))
+        toks = [vocab[int(j)] for j in rng.integers(0, len(vocab), n)]
+        texts.append(" ".join(toks))
+        langs.append(["en", "fr", "de"][i % 3])
+    # a planted shared span of 5 tokens between docs 0 and 1 (k=3 grams)
+    span = "s1 s2 s3 s4 s5"
+    texts[0] = texts[0] + " " + span
+    texts[1] = span + " " + texts[1]
+    texts[2] = ""  # empty doc
+    return pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+    })
+
+
+def _ds(tbl, blocks=7):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _r4(x):
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def _brute_tfidf(tbl, top_n=3):
+    docs = {i: t.split() for i, t in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())}
+    n_total = len(docs)
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    rows = []
+    for d, toks in docs.items():
+        if not toks:
+            continue
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            ((_r4(c * (math.log((n_total + 1.0) / (df[t] + 1.0)) + 1.0)), t)
+             for t, c in tf.items()),
+            key=lambda p: (-p[0], p[1]))
+        for r, (s, t) in enumerate(scored[:top_n], 1):
+            rows.append((d, r, t, s))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("threshold", [1 << 30, 0])
+def test_tfidf_matches_brute_force(ray_session, threshold):
+    tbl = _docs_table()
+    out = tfidf_top_terms(_ds(tbl), top_n=3, num_partitions=5,
+                          broadcast_threshold=threshold).to_pandas()
+    got = sorted(zip(out["doc_id"], out["rank"], out["token"], out["score"]))
+    assert got == _brute_tfidf(tbl)
+
+
+def _brute_spans(tbl, k):
+    docs = {i: t.split() for i, t in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())}
+    grams = {d: {tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+             for d, toks in docs.items()}
+    by_gram = {}
+    for d, gs in grams.items():
+        for g in gs:
+            by_gram.setdefault(g, set()).add(d)
+    rows = []
+    for d, gs in grams.items():
+        nd = sum(1 for g in gs if len(by_gram[g]) >= 2)
+        rows.append((d, len(gs), nd, _r4(nd / max(len(gs), 1))))
+    return sorted(rows)
+
+
+def test_dup_span_stats_matches_brute_force(ray_session):
+    tbl = _docs_table()
+    out = dup_span_stats(_ds(tbl), k=3, num_partitions=5).to_pandas()
+    got = sorted(zip(out["doc_id"], out["n_grams"], out["n_dup_grams"],
+                     out["dup_ratio"]))
+    assert got == _brute_spans(tbl, 3)
+    # the planted 5-token span gives docs 0 and 1 at least 3 dup 3-grams
+    per = {d: nd for d, _, nd, _ in got}
+    assert per[0] >= 3 and per[1] >= 3
+    # every doc row present, including the empty doc (0/0/0.0)
+    assert len(got) == 60 and per[2] == 0
+
+
+def _brute_dsir(tbl, target="en"):
+    docs = {i: t.split() for i, t in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())}
+    langs = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("lang").to_pylist()))
+    c_all, c_tgt = {}, {}
+    for d, toks in docs.items():
+        for t in toks:
+            c_all[t] = c_all.get(t, 0) + 1
+            if langs[d] == target:
+                c_tgt[t] = c_tgt.get(t, 0) + 1
+    r = sum(c_all.values())
+    tt = sum(c_tgt.values())
+    v = len(c_all)
+    rows = []
+    for d, toks in docs.items():
+        if not toks:
+            continue
+        w = [math.log((c_tgt.get(t, 0) + 1.0) / (tt + v))
+             - math.log((c_all[t] + 1.0) / (r + v)) for t in toks]
+        rows.append((d, _r4(sum(w) / len(w))))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("threshold", [1 << 30, 0])
+def test_dsir_matches_brute_force(ray_session, threshold):
+    tbl = _docs_table()
+    out = dsir_importance(_ds(tbl), target_value="en", num_partitions=5,
+                          broadcast_threshold=threshold).to_pandas()
+    got = sorted(zip(out["doc_id"], out["llr"]))
+    want = _brute_dsir(tbl)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=2e-4)
+    # en docs should on average score higher than non-en docs
+    langs = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("lang").to_pylist()))
+    en = [s for d, s in got if langs[d] == "en"]
+    other = [s for d, s in got if langs[d] != "en"]
+    assert np.mean(en) > np.mean(other)
