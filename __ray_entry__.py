@@ -3984,6 +3984,34 @@ def _q_dsir_importance(sf_dir: str):
         target_col="lang", target_value="en", num_partitions=16)
 
 
+def _q_turn_dedup_rewrite(sf_dir: str):
+    """C4-style corpus-level turn dedup with conversation rewrite: a
+    turn whose exact text occurs elsewhere in the corpus survives only
+    at its first occurrence (min (conv_id, turn_idx)); conversations
+    are rewritten from their surviving turns. Two keyed shuffles
+    (turn-text hash, then conv_id), vectorized folds; value-exact vs
+    the window-function SQL oracle."""
+    import ray.data
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        line_dedup_rewrite)
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    return line_dedup_rewrite(ds, num_partitions=16)
+
+
+def _q_collocation_stats(sf_dir: str):
+    """Adjacent-bigram collocation counts (PMI components) over the
+    document corpus: exact global n_xy / marginal n_x, n_y / n_total,
+    integer-exact so the SQL oracle hashes identically; PMI is a pure
+    function of the row."""
+    from apache_datasketches_go_ray.stages.corpusops import (
+        collocation_stats)
+
+    return collocation_stats(_read(sf_dir, "documents", ["text"]),
+                             min_count=5, num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -4096,6 +4124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_reweight_sample": _q_domain_reweight,
         "pack_sequences": _q_pack_sequences,
         "theta_user_overlap": _q_theta_user_overlap,
+        "turn_dedup_rewrite": _q_turn_dedup_rewrite,
+        "collocation_pmi_stats": _q_collocation_stats,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -5269,6 +5299,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN c cb ON ca.event_type < cb.event_type
             LEFT JOIN inter i
               ON i.ta = ca.event_type AND i.tb = cb.event_type
+        """,
+        "turn_dedup_rewrite": f"""
+            WITH r AS (
+              SELECT conv_id, turn_idx, text,
+                     row_number() OVER (PARTITION BY text
+                                        ORDER BY conv_id, turn_idx) AS rn
+              FROM {T}
+            )
+            SELECT conv_id,
+                   CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT)
+                     AS n_kept,
+                   CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT)
+                     AS n_dropped,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN text END,
+                                       chr(10) ORDER BY turn_idx), '')
+                     AS text
+            FROM r GROUP BY conv_id
+        """,
+        "collocation_pmi_stats": r"""
+            WITH t AS (
+              SELECT string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ),
+            p AS (
+              SELECT toks[i] AS x, toks[i+1] AS y
+              FROM t, LATERAL (
+                SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+              WHERE len(toks) >= 2
+            ),
+            n AS (SELECT count(*) AS n_total FROM p),
+            bx AS (SELECT x, count(*) AS n_x FROM p GROUP BY x),
+            by_ AS (SELECT y, count(*) AS n_y FROM p GROUP BY y),
+            b AS (SELECT x, y, count(*) AS n_xy FROM p GROUP BY x, y)
+            SELECT b.x || ' ' || b.y AS bigram,
+                   CAST(n_xy AS BIGINT) AS n_xy,
+                   CAST(n_x AS BIGINT) AS n_x,
+                   CAST(n_y AS BIGINT) AS n_y,
+                   CAST(n_total AS BIGINT) AS n_total
+            FROM b JOIN bx USING (x) JOIN by_ ON b.y = by_.y CROSS JOIN n
+            WHERE n_xy >= 5
         """,
         "pack_sequences": r"""
             WITH RECURSIVE tok AS (

@@ -547,3 +547,134 @@ def dsir_importance(ds, id_col: str = "doc_id", text_col: str = "text",
             .repartition(num_partitions, keys=["doc_id"])
             .map_batches(mean_fold, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True))
+
+
+# ---------------------------------------------------------------------------
+# adjacent-bigram collocations (PMI components)
+# ---------------------------------------------------------------------------
+
+_EMPTY_BG = pa.table({"x": pa.array([], type=pa.string()),
+                      "y": pa.array([], type=pa.string()),
+                      "n_xy": pa.array([], type=pa.int64())})
+
+
+def collocation_stats(ds, text_col: str = "text", min_count: int = 5,
+                      num_partitions: int = 32):
+    """Adjacent-bigram collocation counts with exact global marginals.
+
+    Over the corpus-wide stream of within-document adjacent token pairs
+    (x = position i, y = position i+1): emits one row per bigram with
+    ``n_xy >= min_count`` — ``(bigram, n_xy, n_x, n_y, n_total)`` where
+    ``n_x`` / ``n_y`` are the marginal counts of x as a pair-left /
+    y as a pair-right and ``n_total`` the corpus pair count. All columns
+    integer-exact; PMI = ln(n_xy * n_total / (n_x * n_y)) is left to the
+    consumer so the row hashes deterministically.
+
+    Plan: block-local pair counting (dictionary-encode once, count
+    code-pair keys with one np.unique) -> keyed (x, y) shuffle + fold
+    for exact global bigram counts -> marginals reduced from the folded
+    table (vocabulary-sized, so per-block partials finish on the driver
+    and broadcast back via ray.put for the map-side annotate). The raw
+    token stream is never shuffled. Sketch parallel: the marginal
+    broadcast is the same small-side discipline as the frequent-items
+    merge (datasketches-go frequencies/longs_sketch.go merge path).
+    """
+    import ray
+
+    from .context import gather_table
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _tokens_of(batch.column(text_col))
+        if len(flat) < 2:
+            return _EMPTY_BG
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = len(d.dictionary)
+        doc_of = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                           np.diff(offsets))
+        mask = doc_of[1:] == doc_of[:-1]
+        cx, cy = codes[:-1][mask], codes[1:][mask]
+        if len(cx) == 0:
+            return _EMPTY_BG
+        key = cx * vocab + cy
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "x": d.dictionary.take(pa.array(uk // vocab)).cast(pa.string()),
+            "y": d.dictionary.take(pa.array(uk % vocab)).cast(pa.string()),
+            "n_xy": pa.array(cnt.astype(np.int64)),
+        })
+
+    def bigram_fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_BG
+        g = batch.group_by(["x", "y"]).aggregate([("n_xy", "sum")])
+        return pa.table({"x": g.column("x"), "y": g.column("y"),
+                         "n_xy": g.column("n_xy_sum").cast(pa.int64())})
+
+    bigrams = (ds.select_columns([text_col])
+               .map_batches(pair_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .repartition(num_partitions, keys=["x", "y"])
+               .map_batches(bigram_fold, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+               .materialize())  # consumed 3x: two marginals + annotate
+
+    _empty_marg = pa.table({"t": pa.array([], type=pa.string()),
+                            "n": pa.array([], type=pa.int64())})
+
+    def marg_partial(col):
+        def f(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return _empty_marg
+            g = batch.group_by(col).aggregate([("n_xy", "sum")])
+            return pa.table({"t": g.column(col).cast(pa.string()),
+                             "n": g.column("n_xy_sum").cast(pa.int64())})
+        return f
+
+    def marginal(col):
+        part = bigrams.map_batches(marg_partial(col),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        tbl = gather_table(part, schema=_empty_marg.schema)
+        g = tbl.group_by("t").aggregate([("n", "sum")])
+        toks = as_array(g.column("t"))
+        return toks, g.column("n_sum").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    x_toks, x_n = marginal("x")
+    y_toks, y_n = marginal("y")
+    n_total = int(x_n.sum())
+    marg_ref = ray.put((x_toks, x_n, y_toks, y_n))
+
+    _empty_out = pa.table({
+        "bigram": pa.array([], type=pa.string()),
+        "n_xy": pa.array([], type=pa.int64()),
+        "n_x": pa.array([], type=pa.int64()),
+        "n_y": pa.array([], type=pa.int64()),
+        "n_total": pa.array([], type=pa.int64()),
+    })
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch.column("n_xy"),
+                                              min_count))
+        if len(batch) == 0:
+            return _empty_out
+        xa, xn, ya, yn = ray.get(marg_ref)
+        px = pc.index_in(batch.column("x"), value_set=xa).to_numpy(
+            zero_copy_only=False)
+        py = pc.index_in(batch.column("y"), value_set=ya).to_numpy(
+            zero_copy_only=False)
+        n = len(batch)
+        return pa.table({
+            "bigram": pc.binary_join_element_wise(
+                batch.column("x"), batch.column("y"), " "),
+            "n_xy": batch.column("n_xy"),
+            "n_x": pa.array(xn[px]),
+            "n_y": pa.array(yn[py]),
+            "n_total": pa.array(np.full(n, n_total, dtype=np.int64)),
+        })
+
+    return bigrams.map_batches(annotate, batch_format="pyarrow",
+                               zero_copy_batch=True)

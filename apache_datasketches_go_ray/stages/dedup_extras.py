@@ -844,3 +844,122 @@ def consecutive_edit_distance(ds, id_col: str = "doc_id",
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def line_dedup_rewrite(ds, key_col: str = "conv_id", idx_col: str = "turn_idx",
+                       text_col: str = "text", sep: str = "\n",
+                       num_partitions: int = 32):
+    """C4-style corpus-level exact-unit dedup with document rewrite.
+
+    Treats each row as one unit (a line / a transcript turn) of the
+    document identified by ``key_col``, ordered by ``idx_col``. A unit
+    whose exact text occurs elsewhere in the corpus survives only at its
+    first occurrence (minimal ``(key, idx)`` in lexicographic order);
+    every later copy is dropped. Documents are then rewritten from their
+    surviving units in ``idx_col`` order, joined with ``sep``.
+
+    Returns one row per input document: ``(key, n_kept, n_dropped,
+    text)`` — documents whose every unit was dropped appear with
+    ``text = ''``.
+
+    Scale shape: two keyed shuffles (unit-text hash, then document key),
+    each followed by a fully vectorized in-block fold; dropped units
+    ship an empty string through the second shuffle, so the payload is
+    bounded by the surviving corpus. Reference parallel: the keep-first
+    discipline is the KMV "min hash wins" rule (datasketches-go
+    hll/coupons, theta ordering) applied to whole-unit text equality.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = as_array(batch.column(text_col))
+        if texts.type != pa.string():
+            texts = texts.cast(pa.string())
+        h1, _ = hash_strings(texts)
+        return pa.table({
+            key_col: as_array(batch.column(key_col)).cast(pa.string()),
+            idx_col: as_array(batch.column(idx_col)).cast(pa.int64()),
+            text_col: texts,
+            "unit_hash": pa.array(h1, type=pa.uint64()),
+        })
+
+    empty_mid = pa.table({
+        key_col: pa.array([], type=pa.string()),
+        idx_col: pa.array([], type=pa.int64()),
+        text_col: pa.array([], type=pa.string()),
+        "keep": pa.array([], type=pa.bool_()),
+    })
+
+    def keep_fold(batch: pa.Table) -> pa.Table:
+        # identical texts are co-located by unit_hash: sort the block by
+        # (text, key, idx) in C++ and keep each text group's first row
+        if len(batch) == 0:
+            return empty_mid
+        order = pc.sort_indices(batch, sort_keys=[
+            (text_col, "ascending"), (key_col, "ascending"),
+            (idx_col, "ascending")])
+        texts = as_array(batch.column(text_col))
+        codes = as_array(pc.dictionary_encode(texts)).indices \
+            .to_numpy(zero_copy_only=False)
+        codes_s = codes[order.to_numpy(zero_copy_only=False)]
+        keep = np.empty(len(codes_s), dtype=bool)
+        if len(keep):
+            keep[0] = True
+            np.not_equal(codes_s[1:], codes_s[:-1], out=keep[1:])
+        keep_arr = pa.array(keep)
+        texts_s = texts.take(order)
+        return pa.table({
+            key_col: as_array(batch.column(key_col)).take(order),
+            idx_col: as_array(batch.column(idx_col)).take(order),
+            # dropped units ship '' — the rewrite only needs their count
+            text_col: pc.if_else(keep_arr, texts_s, ""),
+            "keep": keep_arr,
+        })
+
+    def rewrite_fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                key_col: pa.array([], type=pa.string()),
+                "n_kept": pa.array([], type=pa.int64()),
+                "n_dropped": pa.array([], type=pa.int64()),
+                text_col: pa.array([], type=pa.string()),
+            })
+        dict_arr = as_array(pc.dictionary_encode(
+            as_array(batch.column(key_col))))
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        n_keys = len(dict_arr.dictionary)
+        keep = as_array(batch.column("keep")).to_numpy(
+            zero_copy_only=False)
+        idx = as_array(batch.column(idx_col)).to_numpy(
+            zero_copy_only=False)
+        n_all = np.bincount(codes, minlength=n_keys)
+        n_kept = np.bincount(codes[keep], minlength=n_keys)
+        # joined text from surviving units in idx order; keys with zero
+        # survivors get an empty list -> binary_join yields ''
+        kcodes, kidx = codes[keep], idx[keep]
+        korder = np.lexsort((kidx, kcodes))
+        counts = np.bincount(kcodes[korder], minlength=n_keys) \
+            if len(korder) else np.zeros(n_keys, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        texts = as_array(batch.column(text_col))
+        kept_texts = texts.take(pa.array(np.flatnonzero(keep)[korder]))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            kept_texts.cast(pa.string())
+            if kept_texts.type != pa.string() else kept_texts)
+        return pa.table({
+            key_col: dict_arr.dictionary.cast(pa.string()),
+            "n_kept": pa.array(n_kept.astype(np.int64)),
+            "n_dropped": pa.array((n_all - n_kept).astype(np.int64)),
+            text_col: pc.binary_join(lists, sep),
+        })
+
+    return (
+        ds.select_columns([key_col, idx_col, text_col])
+        .map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions, keys=["unit_hash"])
+        .map_batches(keep_fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+        .repartition(num_partitions, keys=[key_col])
+        .map_batches(rewrite_fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )

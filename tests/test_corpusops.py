@@ -148,3 +148,36 @@ def test_dsir_matches_brute_force(ray_session, threshold):
     en = [s for d, s in got if langs[d] == "en"]
     other = [s for d, s in got if langs[d] != "en"]
     assert np.mean(en) > np.mean(other)
+
+
+# ---------------------------------------------------------------------------
+# collocation_stats
+# ---------------------------------------------------------------------------
+
+def _brute_collocations(tbl, min_count):
+    from collections import Counter
+
+    pairs = []
+    for t in tbl.column("text").to_pylist():
+        toks = t.split()
+        pairs.extend(zip(toks, toks[1:]))
+    n_total = len(pairs)
+    n_xy = Counter(pairs)
+    n_x = Counter(x for x, _ in pairs)
+    n_y = Counter(y for _, y in pairs)
+    return {f"{x} {y}": (c, n_x[x], n_y[y], n_total)
+            for (x, y), c in n_xy.items() if c >= min_count}
+
+
+@pytest.mark.parametrize("parts", [2, 8])
+def test_collocation_stats_matches_brute(ray_session, parts):
+    from apache_datasketches_go_ray.stages.corpusops import collocation_stats
+
+    tbl = _docs_table()
+    out = collocation_stats(_ds(tbl), min_count=2,
+                            num_partitions=parts).to_pandas()
+    exp = _brute_collocations(tbl, min_count=2)
+    got = {r.bigram: (r.n_xy, r.n_x, r.n_y, r.n_total)
+           for r in out.itertuples()}
+    assert got == exp
+    assert len(out) == len(exp)
