@@ -4012,6 +4012,129 @@ def _q_collocation_stats(sf_dir: str):
                              min_count=5, num_partitions=16)
 
 
+def _q_role_alternation(sf_dir: str):
+    """Transcript QA: per-conversation role-alternation profile —
+    n_turns, count of adjacent same-role turn pairs (a structure
+    violation for chat-format training data) and the opening role.
+    One conv-key shuffle + vectorized in-block fold."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "role"])
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "n_turns": pa.array([], type=pa.int64()),
+                "n_repeats": pa.array([], type=pa.int64()),
+                "first_role": pa.array([], type=pa.string()),
+            })
+        conv = as_array(b.column("conv_id")).to_numpy(zero_copy_only=False)
+        tidx = as_array(b.column("turn_idx")).to_numpy(zero_copy_only=False)
+        role = as_array(b.column("role"))
+        _, ccodes = np.unique(conv, return_inverse=True)
+        _, rcodes = np.unique(
+            role.to_numpy(zero_copy_only=False), return_inverse=True)
+        order = np.lexsort((tidx, ccodes))
+        c, r = ccodes[order], rcodes[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        np.not_equal(c[1:], c[:-1], out=first[1:])
+        same = np.concatenate([[False], (r[1:] == r[:-1]) & ~first[1:]])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(c))
+        rep = np.concatenate([[0], np.cumsum(same)])
+        return pa.table({
+            "conv_id": pa.array(conv[order][starts]),
+            "n_turns": pa.array(ends - starts, type=pa.int64()),
+            "n_repeats": pa.array(rep[ends] - rep[starts],
+                                  type=pa.int64()),
+            "first_role": role.take(pa.array(order[starts])),
+        })
+
+    return (ds.repartition(16, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_vocab_stats_by_source(sf_dir: str):
+    """Corpus analytics: per-source document / token / distinct-token
+    counts (the Heaps-law inputs). Distinct counting never co-locates a
+    whole source: pre-distinct per block, shuffle on (source, token).
+    Result is source-cardinality-sized, finished as a driver-side
+    left join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.corpusops import _tokens_of
+    from apache_datasketches_go_ray.stages.relational import (
+        distinct_count_by)
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    _empty = pa.table({"source": pa.array([], type=pa.string()),
+                       "n_docs": pa.array([], type=pa.int64()),
+                       "n_tokens": pa.array([], type=pa.int64())})
+
+    def count_partial(b):
+        if len(b) == 0:
+            return _empty
+        flat, offsets = _tokens_of(b.column("text"))
+        ntok = np.diff(offsets)
+        t = pa.table({"source": b.column("source"),
+                      "n_tokens": pa.array(ntok, type=pa.int64())})
+        g = t.group_by("source").aggregate(
+            [("n_tokens", "sum"), ("n_tokens", "count")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_docs": g.column("n_tokens_count").cast(pa.int64()),
+            "n_tokens": g.column("n_tokens_sum").cast(pa.int64()),
+        })
+
+    counts = gather_table(
+        docs.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True), schema=_empty.schema)
+    counts = counts.group_by("source").aggregate(
+        [("n_docs", "sum"), ("n_tokens", "sum")])
+
+    _empty_tok = pa.table({"source": pa.array([], type=pa.string()),
+                           "token": pa.array([], type=pa.string())})
+
+    def explode(b):
+        if len(b) == 0:
+            return _empty_tok
+        flat, offsets = _tokens_of(b.column("text"))
+        doc_of = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                           np.diff(offsets))
+        # block-local pre-distinct before the token stream ships
+        t = pa.table({
+            "source": as_array(b.column("source")).take(pa.array(doc_of)),
+            "token": flat.cast(pa.string()),
+        })
+        return t.group_by(["source", "token"]).aggregate([])
+
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    tok_ds = docs.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    dist = gather_table(
+        distinct_count_by(tok_ds, "source", "token", num_partitions=16),
+        schema=pa.schema([("source", pa.string()),
+                          ("n_distinct", pa.int64())]))
+
+    joined = counts.join(dist, keys="source", join_type="left outer")
+    nd = pc.coalesce(joined.column("n_distinct"), pa.scalar(0, pa.int64()))
+    return pa.table({
+        "source": joined.column("source").cast(pa.string()),
+        "n_docs": joined.column("n_docs_sum").cast(pa.int64()),
+        "n_tokens": joined.column("n_tokens_sum").cast(pa.int64()),
+        "n_distinct_tokens": nd.cast(pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -4126,6 +4249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_user_overlap": _q_theta_user_overlap,
         "turn_dedup_rewrite": _q_turn_dedup_rewrite,
         "collocation_pmi_stats": _q_collocation_stats,
+        "role_alternation": _q_role_alternation,
+        "vocab_stats_by_source": _q_vocab_stats_by_source,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -5316,6 +5441,41 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) ORDER BY turn_idx), '')
                      AS text
             FROM r GROUP BY conv_id
+        """,
+        "role_alternation": f"""
+            WITH o AS (
+              SELECT conv_id, turn_idx, role,
+                     lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev
+              FROM {T}
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(CASE WHEN role = prev THEN 1 END) AS BIGINT)
+                     AS n_repeats,
+                   arg_min(role, turn_idx) AS first_role
+            FROM o GROUP BY conv_id
+        """,
+        "vocab_stats_by_source": r"""
+            WITH d AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source
+            ),
+            t AS (
+              SELECT source,
+                     unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ),
+            a AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT token) AS BIGINT)
+                       AS n_distinct_tokens
+              FROM t GROUP BY source
+            )
+            SELECT d.source, d.n_docs,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens
+            FROM d LEFT JOIN a USING (source)
         """,
         "collocation_pmi_stats": r"""
             WITH t AS (
