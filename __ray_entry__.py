@@ -4135,6 +4135,63 @@ def _q_vocab_stats_by_source(sf_dir: str):
     })
 
 
+def _q_context_truncate(sf_dir: str, budget: int = 512):
+    """Context-window truncation stats: per conversation, how many
+    trailing turns fit a fixed token budget (greedy suffix by
+    whitespace-token count) and how many tokens they carry — the
+    planning numbers for last-N-tokens context packing. One conv-key
+    shuffle, segmented reverse cumsum in-block."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+    from apache_datasketches_go_ray.stages.corpusops import _tokens_of
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "n_turns": pa.array([], type=pa.int64()),
+                "n_kept_tail": pa.array([], type=pa.int64()),
+                "tokens_kept": pa.array([], type=pa.int64()),
+            })
+        conv = as_array(b.column("conv_id")).to_numpy(zero_copy_only=False)
+        tidx = as_array(b.column("turn_idx")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        _, offsets = _tokens_of(b.column("text"))
+        ntok = np.diff(offsets)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((-tidx, codes))  # per conv, last turn first
+        c, nt = codes[order], ntok[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        np.not_equal(c[1:], c[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(c))
+        csum = np.cumsum(nt)
+        base = np.repeat(csum[starts] - nt[starts], ends - starts)
+        rcum = csum - base  # suffix token total down to each turn
+        fit = rcum <= budget
+        nfit = np.concatenate([[0], np.cumsum(fit)])
+        n_kept = nfit[ends] - nfit[starts]
+        # tokens in the kept suffix = rcum at the last fitting row
+        tokens_kept = np.where(
+            n_kept > 0, rcum[np.minimum(starts + n_kept - 1, len(c) - 1)],
+            0).astype(np.int64)
+        return pa.table({
+            "conv_id": pa.array(conv[order][starts]),
+            "n_turns": pa.array(ends - starts, type=pa.int64()),
+            "n_kept_tail": pa.array(n_kept, type=pa.int64()),
+            "tokens_kept": pa.array(tokens_kept),
+        })
+
+    return (ds.repartition(16, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -4250,6 +4307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_dedup_rewrite": _q_turn_dedup_rewrite,
         "collocation_pmi_stats": _q_collocation_stats,
         "role_alternation": _q_role_alternation,
+        "context_truncate_stats": _q_context_truncate,
         "vocab_stats_by_source": _q_vocab_stats_by_source,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
@@ -5440,6 +5498,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN rn = 1 THEN text END,
                                        chr(10) ORDER BY turn_idx), '')
                      AS text
+            FROM r GROUP BY conv_id
+        """,
+        "context_truncate_stats": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                                      '\\s+')) END AS ntok
+              FROM {T}
+            ),
+            r AS (
+              SELECT conv_id, turn_idx, ntok,
+                     sum(ntok) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx DESC) AS rtot
+              FROM t
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(CASE WHEN rtot <= 512 THEN 1 END) AS BIGINT)
+                     AS n_kept_tail,
+                   CAST(coalesce(max(CASE WHEN rtot <= 512 THEN rtot END),
+                                 0) AS BIGINT) AS tokens_kept
             FROM r GROUP BY conv_id
         """,
         "role_alternation": f"""
