@@ -4192,6 +4192,65 @@ def _q_context_truncate(sf_dir: str, budget: int = 512):
                          zero_copy_batch=True))
 
 
+def _q_events_out_of_order(sf_dir: str):
+    """Event-time disorder profile (the watermark-sizing numbers for a
+    streaming ingest): per user, how many events arrive with a
+    timestamp behind the running max of earlier arrivals (arrival order
+    = event_id) and the worst regression in microseconds. One user-key
+    shuffle; segmented running max via an offset-shifted cummax."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "n_out_of_order": pa.array([], type=pa.int64()),
+                "max_regression_us": pa.array([], type=pa.int64()),
+            })
+        uid = as_array(b.column("user_id")).to_numpy(zero_copy_only=False)
+        eid = as_array(b.column("event_id")).to_numpy(zero_copy_only=False)
+        ts = as_array(b.column("ts")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        users, codes = np.unique(uid, return_inverse=True)
+        order = np.lexsort((eid, codes))
+        c, t = codes[order], ts[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        np.not_equal(c[1:], c[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(c))
+        # segmented cummax: shift each segment into its own disjoint
+        # value band so accumulate never carries across segments
+        t0 = t - t.min()
+        K = int(t0.max()) + 1
+        n_seg = len(starts)
+        assert K * n_seg < (1 << 62), "offset-shift cummax would overflow"
+        shifted = t0 + c.astype(np.int64) * K
+        run = np.maximum.accumulate(shifted)
+        # prior max within the segment (first row of a segment has none)
+        prior = np.concatenate([[0], run[:-1]]) - c.astype(np.int64) * K
+        late = (~first) & (t0 < prior)
+        reg = np.where(late, prior - t0, 0)
+        nl = np.concatenate([[0], np.cumsum(late)])
+        n_late = nl[ends] - nl[starts]
+        max_reg = np.maximum.reduceat(reg, starts)
+        return pa.table({
+            "user_id": pa.array(users, type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+            "n_out_of_order": pa.array(n_late, type=pa.int64()),
+            "max_regression_us": pa.array(max_reg, type=pa.int64()),
+        })
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -4308,6 +4367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocation_pmi_stats": _q_collocation_stats,
         "role_alternation": _q_role_alternation,
         "context_truncate_stats": _q_context_truncate,
+        "events_out_of_order": _q_events_out_of_order,
         "vocab_stats_by_source": _q_vocab_stats_by_source,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
@@ -5499,6 +5559,24 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) ORDER BY turn_idx), '')
                      AS text
             FROM r GROUP BY conv_id
+        """,
+        "events_out_of_order": """
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     max(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prior_max
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(CASE WHEN t < prior_max THEN 1 END)
+                        AS BIGINT) AS n_out_of_order,
+                   CAST(coalesce(max(CASE WHEN t < prior_max
+                                          THEN prior_max - t END), 0)
+                        AS BIGINT) AS max_regression_us
+            FROM o GROUP BY user_id
         """,
         "context_truncate_stats": f"""
             WITH t AS (
