@@ -4251,6 +4251,18 @@ def _q_events_out_of_order(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_exact_dedup_keep_best(sf_dir: str):
+    """Exact dedup with winner-by-quality: per duplicate group keep the
+    longest copy (ties: lowest doc_id) — the keep-best policy of a
+    curation funnel, vs exact_dedup_docs' keep-first."""
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        exact_dedup_keep_best)
+
+    return exact_dedup_keep_best(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]),
+        num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -4368,6 +4380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_alternation": _q_role_alternation,
         "context_truncate_stats": _q_context_truncate,
         "events_out_of_order": _q_events_out_of_order,
+        "exact_dedup_keep_best": _q_exact_dedup_keep_best,
         "vocab_stats_by_source": _q_vocab_stats_by_source,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
@@ -5559,6 +5572,20 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) ORDER BY turn_idx), '')
                      AS text
             FROM r GROUP BY conv_id
+        """,
+        "exact_dedup_keep_best": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (PARTITION BY text
+                                        ORDER BY n_chars DESC,
+                                                 doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY text) AS n_copies
+              FROM documents
+            )
+            SELECT doc_id AS keeper_id,
+                   CAST(n_copies AS BIGINT) AS n_copies,
+                   CAST(n_chars AS BIGINT) AS keeper_score
+            FROM r WHERE rn = 1
         """,
         "events_out_of_order": """
             WITH o AS (

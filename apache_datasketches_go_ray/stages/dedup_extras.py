@@ -963,3 +963,66 @@ def line_dedup_rewrite(ds, key_col: str = "conv_id", idx_col: str = "turn_idx",
         .map_batches(rewrite_fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def exact_dedup_keep_best(ds, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          score_col: str = "n_chars",
+                          num_partitions: int = 32):
+    """Exact dedup with winner-by-quality selection: one row per
+    distinct text keeping the copy with the highest ``score_col``
+    (ties: lowest id) — the keep-best policy a curation funnel applies
+    after duplicate grouping, instead of keep-first.
+
+    Returns ``(keeper_id, n_copies, keeper_score)``. Same shape as
+    :func:`exact_dedup` (one text-hash keyed shuffle + in-block fold);
+    the fold sorts by (text, -score, id) in C++ and takes each text
+    group's first row.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = as_array(batch.column(text_col))
+        h1, _ = hash_strings(texts)
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: texts,
+            score_col: batch.column(score_col),
+            "text_hash": pa.array(h1, type=pa.uint64()),
+        })
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "keeper_id": pa.array([], type=pa.int64()),
+                "n_copies": pa.array([], type=pa.int64()),
+                "keeper_score": pa.array([], type=pa.int64()),
+            })
+        order = pc.sort_indices(batch, sort_keys=[
+            (text_col, "ascending"), (score_col, "descending"),
+            (id_col, "ascending")])
+        codes = as_array(pc.dictionary_encode(
+            as_array(batch.column(text_col)))).indices \
+            .to_numpy(zero_copy_only=False)
+        onp = order.to_numpy(zero_copy_only=False)
+        codes_s = codes[onp]
+        firsts = np.empty(len(codes_s), dtype=bool)
+        firsts[0] = True
+        np.not_equal(codes_s[1:], codes_s[:-1], out=firsts[1:])
+        starts = np.flatnonzero(firsts)
+        sizes = np.diff(np.append(starts, len(codes_s)))
+        win = pa.array(onp[starts])
+        return pa.table({
+            "keeper_id": as_array(batch.column(id_col)).take(win)
+                .cast(pa.int64()),
+            "n_copies": pa.array(sizes.astype(np.int64)),
+            "keeper_score": as_array(batch.column(score_col)).take(win)
+                .cast(pa.int64()),
+        })
+
+    return (
+        ds.select_columns([id_col, text_col, score_col])
+        .map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions, keys=["text_hash"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
