@@ -4402,6 +4402,62 @@ def _q_events_profile(sf_dir: str):
     })
 
 
+def _q_tool_chains(sf_dir: str):
+    """Agent-transcript analytics: corpus-wide counts of tool->tool
+    transitions (consecutive tool-bearing turns within a conversation)
+    — the edge list of the tool-usage graph. Conv-key shuffle +
+    in-block adjacent-pair fold; the chain vocabulary is tool²-bounded
+    so partials finish on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+    from apache_datasketches_go_ray.stages.context import gather_table
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "tool"])
+
+    _empty = pa.table({"chain": pa.array([], type=pa.string()),
+                       "n": pa.array([], type=pa.int64())})
+
+    def partial(b):
+        b = b.filter(pc.not_equal(b.column("tool"), ""))
+        if len(b) < 2:
+            return _empty
+        conv = as_array(b.column("conv_id")).to_numpy(
+            zero_copy_only=False)
+        tidx = as_array(b.column("turn_idx")).to_numpy(
+            zero_copy_only=False)
+        tool = as_array(b.column("tool"))
+        tools, rcodes = np.unique(
+            tool.to_numpy(zero_copy_only=False), return_inverse=True)
+        _, ccodes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, ccodes))
+        c, r = ccodes[order], rcodes[order]
+        same = c[1:] == c[:-1]
+        a, bnext = r[:-1][same], r[1:][same]
+        if len(a) == 0:
+            return _empty
+        key = a * len(tools) + bnext
+        uk, cnt = np.unique(key, return_counts=True)
+        ta = pa.array(tools[uk // len(tools)])
+        tb = pa.array(tools[uk % len(tools)])
+        return pa.table({
+            "chain": pc.binary_join_element_wise(ta, tb, " -> "),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    # conv-key shuffle so every conversation's turn sequence is whole
+    # in one block; the per-block chain counts are tool²-bounded
+    part = (ds.repartition(16, keys=["conv_id"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+    tbl = gather_table(part, schema=_empty.schema)
+    g = tbl.group_by("chain").aggregate([("n", "sum")])
+    return pa.table({"chain": g.column("chain").cast(pa.string()),
+                     "n": g.column("n_sum").cast(pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -4522,6 +4578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_keep_best": _q_exact_dedup_keep_best,
         "lang_mad_outliers": _q_lang_mad_outliers,
         "events_profile": _q_events_profile,
+        "tool_chains": _q_tool_chains,
         "vocab_stats_by_source": _q_vocab_stats_by_source,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
@@ -5713,6 +5770,21 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) ORDER BY turn_idx), '')
                      AS text
             FROM r GROUP BY conv_id
+        """,
+        "tool_chains": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, tool FROM {T} WHERE tool <> ''
+            ),
+            o AS (
+              SELECT tool,
+                     lead(tool) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS next_tool
+              FROM t
+            )
+            SELECT tool || ' -> ' || next_tool AS chain,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE next_tool IS NOT NULL
+            GROUP BY 1
         """,
         "events_profile": """
             SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT)
