@@ -4135,6 +4135,283 @@ def _q_vocab_stats_by_source(sf_dir: str):
     })
 
 
+def _q_source_token_overlap(sf_dir: str):
+    """Pairwise distinct-token vocabulary overlap between sources (the
+    mirrored-feed detector): exact |A|, |B|, |A∩B| per source pair plus
+    Jaccard, via a token-keyed shuffle folding per-block incidence
+    matmuls — never co-locates a source's vocabulary, never all-pairs."""
+    from apache_datasketches_go_ray.stages.corpusops import (
+        source_vocab_overlap)
+
+    return source_vocab_overlap(_read(sf_dir, "documents",
+                                      ["source", "text"]),
+                                num_partitions=16)
+
+
+def _q_conv_turn_repeats(sf_dir: str):
+    """Agent-loop QA: per conversation, how many turns repeat an
+    identical earlier turn text — n_turns, distinct turn texts, and the
+    largest identical-text repeat run. A stuck tool loop shows up as
+    max_text_repeats >> 1. One conv-key shuffle, two in-block arrow
+    group_bys."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "text"])
+
+    _empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "n_distinct_texts": pa.array([], type=pa.int64()),
+        "max_text_repeats": pa.array([], type=pa.int64()),
+    })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        g = b.group_by(["conv_id", "text"]).aggregate([("text", "count")])
+        g2 = g.group_by("conv_id").aggregate([
+            ("text_count", "sum"), ("text_count", "count"),
+            ("text_count", "max")])
+        return pa.table({
+            "conv_id": g2.column("conv_id"),
+            "n_turns": g2.column("text_count_sum").cast(pa.int64()),
+            "n_distinct_texts":
+                g2.column("text_count_count").cast(pa.int64()),
+            "max_text_repeats":
+                g2.column("text_count_max").cast(pa.int64()),
+        })
+
+    return (ds.repartition(16, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility per language: BPE-ish pretokens per
+    whitespace word (the multilingual cost signal — a language whose
+    fertility is 2x pays 2x the context window). Integer sums from one
+    vectorized RE2 + split pass; single-division fertility rounded
+    half-up to 6 so the SQL oracle hashes identically."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.corpusops import _tokens_of
+    from apache_datasketches_go_ray.stages.textops import (
+        bpe_token_count_batch)
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    _empty = pa.table({
+        "lang": pa.array([], type=pa.string()),
+        "n_docs": pa.array([], type=pa.int64()),
+        "n_ws_tokens": pa.array([], type=pa.int64()),
+        "n_bpe_tokens": pa.array([], type=pa.int64()),
+    })
+
+    def partial(b):
+        if len(b) == 0:
+            return _empty
+        _, offsets = _tokens_of(b.column("text"))
+        nws = np.diff(offsets)
+        nbpe = bpe_token_count_batch(b).column("n_bpe_tokens")
+        t = pa.table({"lang": b.column("lang"),
+                      "n_ws_tokens": pa.array(nws, type=pa.int64()),
+                      "n_bpe_tokens": nbpe})
+        g = t.group_by("lang").aggregate([
+            ("n_ws_tokens", "sum"), ("n_bpe_tokens", "sum"),
+            ("n_ws_tokens", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "n_docs": g.column("n_ws_tokens_count").cast(pa.int64()),
+            "n_ws_tokens": g.column("n_ws_tokens_sum").cast(pa.int64()),
+            "n_bpe_tokens": g.column("n_bpe_tokens_sum").cast(pa.int64()),
+        })
+
+    tbl = gather_table(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        schema=_empty.schema)
+    g = tbl.group_by("lang").aggregate([
+        ("n_docs", "sum"), ("n_ws_tokens", "sum"), ("n_bpe_tokens", "sum")])
+    nws = g.column("n_ws_tokens_sum").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nbpe = g.column("n_bpe_tokens_sum").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    fert = np.where(nws > 0, np.floor(nbpe / np.maximum(nws, 1) * 1e6
+                                      + 0.5) / 1e6, 0.0)
+    return pa.table({
+        "lang": g.column("lang").cast(pa.string()),
+        "n_docs": g.column("n_docs_sum").cast(pa.int64()),
+        "n_ws_tokens": pa.array(nws),
+        "n_bpe_tokens": pa.array(nbpe),
+        "fertility": pa.array(fert, type=pa.float64()),
+    })
+
+
+def _q_eval_ngram_coverage(sf_dir: str):
+    """Benchmark-novelty metric: for each eval-split document (same
+    deterministic Knuth-hash split as train_eval_split), the fraction of
+    its distinct token bigrams that appear anywhere in the train split.
+    High coverage = the eval doc is paraphrasable from training data;
+    the aggregate curve is the standard memorization-risk report.
+    One bigram-keyed shuffle; the train side ships as pre-distinct
+    block-local bigrams (never a text), eval side as (bigram, doc_id)."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.corpusops import _tokens_of
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    _empty_bg = pa.table({
+        "bigram": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
+    })
+
+    def pre(b):
+        if len(b) == 0:
+            return _empty_bg
+        import pyarrow.compute as pc
+        flat, offsets = _tokens_of(b.column("text"))
+        if len(flat) < 2:
+            return _empty_bg
+        doc_idx = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                            np.diff(offsets))
+        mask = doc_idx[1:] == doc_idx[:-1]
+        if not mask.any():
+            return _empty_bg
+        pos = np.flatnonzero(mask)
+        grams = pc.binary_join_element_wise(
+            flat.take(pa.array(pos)), flat.take(pa.array(pos + 1)), " ")
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc_idx[pos]]
+        is_eval = ((ids * 2654435761) % 4294967296) % 100 < 10
+        # train rows collapse to doc_id = -1 (set semantics): only the
+        # distinct bigram matters, so the shuffle payload shrinks to
+        # one row per (block, train bigram)
+        t = pa.table({"bigram": grams.cast(pa.string()),
+                      "doc_id": pa.array(np.where(is_eval, ids, -1))})
+        return t.group_by(["bigram", "doc_id"]).aggregate([])
+
+    _empty_cov = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_bigrams": pa.array([], type=pa.int64()),
+        "n_covered": pa.array([], type=pa.int64()),
+    })
+
+    def cover(b):
+        if len(b) == 0:
+            return _empty_cov
+        d = b.group_by(["bigram", "doc_id"]).aggregate([])
+        ids = d.column("doc_id").to_numpy(zero_copy_only=False)
+        bg = pc.dictionary_encode(
+            d.column("bigram").combine_chunks()
+            if isinstance(d.column("bigram"), pa.ChunkedArray)
+            else d.column("bigram"))
+        codes = bg.indices.to_numpy(zero_copy_only=False)
+        in_train = np.zeros(len(bg.dictionary), dtype=bool)
+        in_train[codes[ids == -1]] = True
+        ev = ids >= 0
+        if not ev.any():
+            return _empty_cov
+        eids = ids[ev]
+        covered = in_train[codes[ev]]
+        t = pa.table({"doc_id": pa.array(eids),
+                      "n_bigrams": pa.array(
+                          np.ones(len(eids), dtype=np.int64)),
+                      "n_covered": pa.array(covered.astype(np.int64))})
+        g = t.group_by("doc_id").aggregate(
+            [("n_bigrams", "sum"), ("n_covered", "sum")])
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_bigrams": g.column("n_bigrams_sum").cast(pa.int64()),
+            "n_covered": g.column("n_covered_sum").cast(pa.int64()),
+        })
+
+    import pyarrow.compute as pc
+
+    parts = (docs.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .repartition(16, keys=["bigram"])
+             .map_batches(cover, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True))
+    tbl = gather_table(parts, schema=_empty_cov.schema)
+    g = tbl.group_by("doc_id").aggregate(
+        [("n_bigrams", "sum"), ("n_covered", "sum")])
+    nb = g.column("n_bigrams_sum").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nc = g.column("n_covered_sum").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cov = np.floor(nc / nb * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "doc_id": g.column("doc_id").cast(pa.int64()),
+        "n_bigrams": pa.array(nb),
+        "n_covered": pa.array(nc),
+        "coverage": pa.array(cov, type=pa.float64()),
+    })
+
+
+def _q_reply_length_by_depth(sf_dir: str):
+    """SFT shape analytics: reply length by conversation depth — per
+    (role, turn-depth bucket 0-3/4-7/8-15/16+) turn counts and exact
+    char sums, the drift signal for assistant verbosity over long
+    conversations. Pure map-side partials + one tiny grouped fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.stages.context import gather_table
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["turn_idx", "role", "text"])
+
+    _empty = pa.table({
+        "role": pa.array([], type=pa.string()),
+        "depth_bucket": pa.array([], type=pa.string()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "sum_chars": pa.array([], type=pa.int64()),
+    })
+
+    def partial(b):
+        if len(b) == 0:
+            return _empty
+        ti = b.column("turn_idx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bucket = np.select(
+            [ti <= 3, ti <= 7, ti <= 15],
+            ["00-03", "04-07", "08-15"], default="16+")
+        t = pa.table({
+            "role": b.column("role"),
+            "depth_bucket": pa.array(bucket, type=pa.string()),
+            "n_chars": pc.utf8_length(b.column("text").combine_chunks()
+                                      if isinstance(b.column("text"),
+                                                    pa.ChunkedArray)
+                                      else b.column("text"))
+            .cast(pa.int64()),
+        })
+        g = t.group_by(["role", "depth_bucket"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({
+            "role": g.column("role"),
+            "depth_bucket": g.column("depth_bucket"),
+            "n_turns": g.column("n_chars_count").cast(pa.int64()),
+            "sum_chars": g.column("n_chars_sum").cast(pa.int64()),
+        })
+
+    tbl = gather_table(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        schema=_empty.schema)
+    g = tbl.group_by(["role", "depth_bucket"]).aggregate(
+        [("n_turns", "sum"), ("sum_chars", "sum")])
+    return pa.table({
+        "role": g.column("role").cast(pa.string()),
+        "depth_bucket": g.column("depth_bucket").cast(pa.string()),
+        "n_turns": g.column("n_turns_sum").cast(pa.int64()),
+        "sum_chars": g.column("sum_chars_sum").cast(pa.int64()),
+    })
+
+
 def _q_context_truncate(sf_dir: str, budget: int = 512):
     """Context-window truncation stats: per conversation, how many
     trailing turns fit a fixed token budget (greedy suffix by
@@ -4580,6 +4857,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "tool_chains": _q_tool_chains,
         "vocab_stats_by_source": _q_vocab_stats_by_source,
+        "source_token_overlap": _q_source_token_overlap,
+        "conv_turn_repeats": _q_conv_turn_repeats,
+        "tokenizer_fertility_by_lang": _q_tokenizer_fertility,
+        "eval_ngram_coverage": _q_eval_ngram_coverage,
+        "reply_length_by_depth": _q_reply_length_by_depth,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -5914,6 +6196,103 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_tokens, 0) AS n_tokens,
                    coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens
             FROM d LEFT JOIN a USING (source)
+        """,
+        "source_token_overlap": r"""
+            WITH t AS (
+              SELECT DISTINCT source, token FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(text), '\s+'))
+                         AS token
+                FROM documents WHERE trim(text) <> ''
+              )
+            ),
+            c AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+            p AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS n_common
+              FROM t a JOIN t b
+                ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT source_a, source_b,
+                   CAST(ca.n AS BIGINT) AS n_a,
+                   CAST(cb.n AS BIGINT) AS n_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   floor(CAST(n_common AS DOUBLE)
+                         / (ca.n + cb.n - n_common) * 1e6 + 0.5) / 1e6
+                     AS jaccard
+            FROM p
+            JOIN c ca ON ca.source = p.source_a
+            JOIN c cb ON cb.source = p.source_b
+            WHERE n_common > 0
+        """,
+        "conv_turn_repeats": f"""
+            WITH c AS (
+              SELECT conv_id, text, count(*) AS n
+              FROM {T} GROUP BY conv_id, text
+            )
+            SELECT conv_id,
+                   CAST(sum(n) AS BIGINT) AS n_turns,
+                   CAST(count(*) AS BIGINT) AS n_distinct_texts,
+                   CAST(max(n) AS BIGINT) AS max_text_repeats
+            FROM c GROUP BY conv_id
+        """,
+        "tokenizer_fertility_by_lang": r"""
+            WITH d AS (
+              SELECT lang,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS n_ws,
+                     CAST(len(regexp_extract_all(text,
+                          ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))
+                          AS BIGINT) AS n_bpe
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+                   CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+                   CASE WHEN sum(n_ws) > 0
+                        THEN floor(CAST(sum(n_bpe) AS DOUBLE)
+                                   / sum(n_ws) * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS fertility
+            FROM d GROUP BY lang
+        """,
+        "eval_ngram_coverage": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100
+                               < 10
+                          THEN 'eval' ELSE 'train' END AS split,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ),
+            t AS (
+              SELECT doc_id, split, toks[i] || ' ' || toks[i+1] AS bigram
+              FROM s, LATERAL (
+                SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+              WHERE len(toks) >= 2
+            ),
+            e AS (SELECT DISTINCT doc_id, bigram FROM t
+                  WHERE split = 'eval'),
+            tr AS (SELECT DISTINCT bigram FROM t WHERE split = 'train')
+            SELECT e.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(count(tr.bigram) AS BIGINT) AS n_covered,
+                   floor(CAST(count(tr.bigram) AS DOUBLE) / count(*)
+                         * 1e6 + 0.5) / 1e6 AS coverage
+            FROM e LEFT JOIN tr USING (bigram)
+            GROUP BY e.doc_id
+        """,
+        "reply_length_by_depth": f"""
+            SELECT role,
+                   CASE WHEN turn_idx <= 3 THEN '00-03'
+                        WHEN turn_idx <= 7 THEN '04-07'
+                        WHEN turn_idx <= 15 THEN '08-15'
+                        ELSE '16+' END AS depth_bucket,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM {T} GROUP BY 1, 2
         """,
         "collocation_pmi_stats": r"""
             WITH t AS (

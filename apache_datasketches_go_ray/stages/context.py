@@ -49,7 +49,10 @@ def gather_table(ds, schema=None):
     import pyarrow as pa
     import ray
 
-    all_blocks = ray.get(ds.to_arrow_refs())
+    # materialize first: to_arrow_refs() on a lazy dataset executes the
+    # pipeline a second time for a limit-1 schema pass (which still runs
+    # upstream shuffles) — see BASELINE.md "Single-execution gather fix"
+    all_blocks = ray.get(ds.materialize().to_arrow_refs())
     blocks = [t for t in all_blocks if t.num_rows > 0]
     if blocks:
         return pa.concat_tables(blocks).combine_chunks()

@@ -678,3 +678,105 @@ def collocation_stats(ds, text_col: str = "text", min_count: int = 5,
 
     return bigrams.map_batches(annotate, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+_EMPTY_SRCPAIR = pa.table({
+    "source_a": pa.array([], type=pa.string()),
+    "source_b": pa.array([], type=pa.string()),
+    "n_common": pa.array([], type=pa.int64()),
+})
+
+
+def source_vocab_overlap(ds, group_col: str = "source",
+                         text_col: str = "text",
+                         num_partitions: int = 16) -> pa.Table:
+    """Pairwise distinct-token vocabulary overlap between sources.
+
+    The crawl-provenance signal: two sources whose vocabularies are
+    near-identical are usually the same feed mirrored twice — worth
+    checking BEFORE paying for document-level dedup between them.
+    Output (driver-side, ``n_sources^2``-bounded): one row per unordered
+    source pair with ``(n_a, n_b, n_common, jaccard)`` where the counts
+    are exact distinct-token cardinalities (the exact version of the
+    reference's HLL-union intersection estimate, hll/union.go:151-158 —
+    swap in the HLL aggregate when vocabularies stop fitting a block).
+
+    Plan: block-local distinct (source, token) -> keyed token shuffle
+    (a token's rows meet in one block, so post-shuffle distinct is
+    global and no block ever holds a whole source's vocabulary) ->
+    per-block boolean incidence matrix (distinct tokens x sources)
+    folded to an n_sources^2 co-occurrence matmul -> tiny driver fold.
+    The token stream crosses the wire once, pre-shrunk to per-block
+    distinct pairs; nothing all-pairs ever materializes.
+    """
+    from .context import gather_table
+
+    _empty_st = pa.table({group_col: pa.array([], type=pa.string()),
+                          "token": pa.array([], type=pa.string())})
+
+    def pre(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty_st
+        flat, offsets = _tokens_of(b.column(text_col))
+        if len(flat) == 0:
+            return _empty_st
+        doc_of = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                           np.diff(offsets))
+        t = pa.table({
+            group_col: as_array(b.column(group_col)).take(pa.array(doc_of)),
+            "token": flat.cast(pa.string()),
+        })
+        return t.group_by([group_col, "token"]).aggregate([])
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _EMPTY_SRCPAIR
+        # token partition arrived: distinct here is globally distinct
+        d = b.group_by([group_col, "token"]).aggregate([])
+        src = pc.dictionary_encode(as_array(d.column(group_col)))
+        tok = pc.dictionary_encode(as_array(d.column("token")))
+        scodes = src.indices.to_numpy(zero_copy_only=False)
+        tcodes = tok.indices.to_numpy(zero_copy_only=False)
+        n_src = len(src.dictionary)
+        n_tok = len(tok.dictionary)
+        m = np.zeros((n_tok, n_src), dtype=np.float32)
+        m[tcodes, scodes] = 1.0
+        co = (m.T @ m).astype(np.int64)  # n_src^2 co-occurrence counts
+        ai, bi = np.nonzero(co)
+        return pa.table({
+            "source_a": src.dictionary.take(pa.array(ai)).cast(pa.string()),
+            "source_b": src.dictionary.take(pa.array(bi)).cast(pa.string()),
+            "n_common": pa.array(co[ai, bi]),
+        })
+
+    parts = (ds.select_columns([group_col, text_col])
+             .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+             .repartition(num_partitions, keys=["token"])
+             .map_batches(pair_counts, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True))
+    folded = gather_table(parts, schema=_EMPTY_SRCPAIR.schema) \
+        .group_by(["source_a", "source_b"]).aggregate([("n_common", "sum")])
+
+    sa = as_array(folded.column("source_a"))
+    sb = as_array(folded.column("source_b"))
+    n = folded.column("n_common_sum").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # diagonal = exact per-source distinct-token counts
+    diag_mask = pc.equal(sa, sb).to_numpy(zero_copy_only=False)
+    sizes = {sa[i].as_py(): int(n[i]) for i in np.flatnonzero(diag_mask)}
+    keep = np.flatnonzero(
+        ~diag_mask
+        & (pc.less(sa, sb).to_numpy(zero_copy_only=False))
+        & (n > 0))
+    na = np.array([sizes[sa[int(i)].as_py()] for i in keep], dtype=np.int64)
+    nb = np.array([sizes[sb[int(i)].as_py()] for i in keep], dtype=np.int64)
+    nc = n[keep]
+    jac = np.floor(nc / (na + nb - nc) * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "source_a": sa.take(pa.array(keep)),
+        "source_b": sb.take(pa.array(keep)),
+        "n_a": pa.array(na),
+        "n_b": pa.array(nb),
+        "n_common": pa.array(nc),
+        "jaccard": pa.array(jac, type=pa.float64()),
+    })

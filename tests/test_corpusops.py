@@ -181,3 +181,44 @@ def test_collocation_stats_matches_brute(ray_session, parts):
            for r in out.itertuples()}
     assert got == exp
     assert len(out) == len(exp)
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_overlap
+# ---------------------------------------------------------------------------
+
+def _brute_overlap(tbl):
+    vocab = {}
+    for s, t in zip(tbl.column("source").to_pylist(),
+                    tbl.column("text").to_pylist()):
+        vocab.setdefault(s, set()).update(t.split())
+    rows = {}
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            nc = len(vocab[a] & vocab[b])
+            if nc:
+                j = math.floor(
+                    nc / (len(vocab[a]) + len(vocab[b]) - nc) * 1e6
+                    + 0.5) / 1e6
+                rows[(a, b)] = (len(vocab[a]), len(vocab[b]), nc, j)
+    return rows
+
+
+def test_source_vocab_overlap_matches_brute(ray_session):
+    from apache_datasketches_go_ray.stages.corpusops import (
+        source_vocab_overlap)
+
+    tbl = _docs_table().rename_columns(["doc_id", "text", "source"])
+    out = source_vocab_overlap(_ds(tbl, blocks=5), num_partitions=4)
+    got = {}
+    for r in out.to_pylist():
+        got[(r["source_a"], r["source_b"])] = (
+            r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+    assert got == _brute_overlap(tbl)
+    # partition-count independence
+    out2 = source_vocab_overlap(_ds(tbl, blocks=1), num_partitions=9)
+    got2 = {(r["source_a"], r["source_b"]):
+            (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+            for r in out2.to_pylist()}
+    assert got2 == got
