@@ -310,7 +310,7 @@ class _LshTopkPartial:
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
-        q_out, v_out, s_out = [], [], []
+        q_parts, v_parts, s_parts = [], [], []
         for qi in range(len(self.q_ids)):
             mask = np.isin(bucket, self.probes[qi])
             if not mask.any():
@@ -320,15 +320,16 @@ class _LshTopkPartial:
             sc = self.qn[qi] @ sub.T
             k = min(self.k, len(sc))
             part = np.argpartition(-sc, k - 1)[:k]
-            for j in part:
-                q_out.append(int(self.q_ids[qi]))
-                v_out.append(int(sub_ids[j]))
-                s_out.append(float(sc[j]))
-        if not q_out:
+            q_parts.append(np.full(k, self.q_ids[qi], dtype=np.int64))
+            v_parts.append(sub_ids[part].astype(np.int64))
+            s_parts.append(sc[part])
+        if not q_parts:
             return empty
-        return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
-                         "vec_id": pa.array(v_out, type=pa.int64()),
-                         "score": pa.array(s_out, type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(q_parts)),
+            "vec_id": pa.array(np.concatenate(v_parts)),
+            "score": pa.array(np.concatenate(s_parts).astype(np.float64)),
+        })
 
 
 def lsh_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
@@ -411,7 +412,7 @@ class _IvfTopkPartial:
         norms[norms == 0] = 1.0
         mn = m / norms
         assign = np.argmax(mn @ self.C.T, axis=1)
-        q_out, v_out, s_out = [], [], []
+        q_parts, v_parts, s_parts = [], [], []
         for qi in range(len(self.q_ids)):
             mask = np.isin(assign, self.probes[qi])
             if not mask.any():
@@ -421,15 +422,16 @@ class _IvfTopkPartial:
             sc = self.qn[qi] @ sub.T
             k = min(self.k, len(sc))
             part = np.argpartition(-sc, k - 1)[:k]
-            for j in part:
-                q_out.append(int(self.q_ids[qi]))
-                v_out.append(int(sub_ids[j]))
-                s_out.append(float(sc[j]))
-        if not q_out:
+            q_parts.append(np.full(k, self.q_ids[qi], dtype=np.int64))
+            v_parts.append(sub_ids[part].astype(np.int64))
+            s_parts.append(sc[part])
+        if not q_parts:
             return empty
-        return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
-                         "vec_id": pa.array(v_out, type=pa.int64()),
-                         "score": pa.array(s_out, type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(q_parts)),
+            "vec_id": pa.array(np.concatenate(v_parts)),
+            "score": pa.array(np.concatenate(s_parts).astype(np.float64)),
+        })
 
 
 def _fold_topk(parts, k: int, round_to: int) -> pa.Table:

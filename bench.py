@@ -48,6 +48,30 @@ def _bench_transcripts(sf_dir: str, n: int | None = None) -> str:
     return os.path.join(cache, "transcripts")
 
 
+def _dup_pair_recall(tdir: str, clusters_ds) -> float | None:
+    """Dup-pair recall vs the fixture's planted dup_groups ground truth
+    (the north-rule headline criterion: >= 0.99). Vectorized pandas
+    group counts — pairs are never enumerated."""
+    import pyarrow.parquet as pq
+
+    gt_path = os.path.join(os.path.dirname(tdir), "dup_groups.parquet")
+    if not os.path.exists(gt_path):
+        return None
+    from apache_datasketches_go_ray.stages.context import gather_table
+
+    gt = pq.read_table(gt_path).to_pandas()
+    cl = gather_table(clusters_ds).to_pandas()
+    g = gt.merge(cl, on="conv_id", how="left")
+    sizes = g.groupby("group_id").size()
+    total = int((sizes * (sizes - 1) // 2).sum())
+    if total == 0:
+        return None
+    same = g.dropna(subset=["cluster_id"]) \
+        .groupby(["group_id", "cluster_id"]).size()
+    tp = int((same * (same - 1) // 2).sum())
+    return round(tp / total, 6)
+
+
 def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False,
              convs: int | None = None) -> dict:
     import ray
@@ -74,6 +98,7 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False,
     n_clusters = res["clusters"].count()
     dedup_sec = time.time() - t0
     queries["transcript_dedup"] = round(dedup_sec, 3)
+    recall = _dup_pair_recall(tdir, res["clusters"])
 
     if not flagship_only:
         import __ray_entry__ as entrymod
@@ -98,6 +123,7 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool = False,
         "num_cpus": num_cpus,
         "turns": turns,
         "clustered_convs": n_clusters,
+        "dup_pair_recall": recall,
         "turns_per_sec": round(turns / dedup_sec, 1),
         "dedup_stages": {k: v["sec"]
                          for k, v in res["metrics"]["stages"].items()},
