@@ -4412,6 +4412,116 @@ def _q_reply_length_by_depth(sf_dir: str):
     })
 
 
+def _q_chatml_format(sf_dir: str):
+    """SFT serialization: each conversation rendered to a single
+    chat-format training string ('<|role|>text' per turn, newline
+    joined, stable turn order). Same shape as conversation assembly
+    (stages/assemble.py): one conv-key shuffle, in-block lexsort, and a
+    zero-loop ListArray + binary_join concatenation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "role",
+                                        "text"])
+
+    _empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "chatml": pa.array([], type=pa.large_string()),
+    })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        conv = as_array(b.column("conv_id")).to_numpy(zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        _, ccodes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, ccodes))
+        role = as_array(b.column("role")).take(
+            pa.array(order, type=pa.int64()))
+        text = as_array(b.column("text")).cast(pa.large_string()).take(
+            pa.array(order, type=pa.int64()))
+        tagged = pc.binary_join_element_wise(
+            pa.scalar("<|", type=pa.large_string()),
+            role.cast(pa.large_string()),
+            pa.scalar("|>", type=pa.large_string()),
+            text,
+            pa.scalar("", type=pa.large_string()))
+        c = ccodes[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        np.not_equal(c[1:], c[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        offsets = np.append(starts, len(c)).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets), tagged)
+        return pa.table({
+            "conv_id": pa.array(conv[order][starts]),
+            "n_turns": pa.array(np.diff(offsets), type=pa.int64()),
+            "chatml": pc.binary_join(
+                lists, pa.scalar("\n", type=pa.large_string())),
+        })
+
+    return (ds.repartition(16, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_sft_pairs(sf_dir: str):
+    """SFT pair extraction: every (user turn -> immediately following
+    assistant turn) within a conversation becomes one (prompt, response)
+    training example. One conv-key shuffle + in-block lexsort and an
+    adjacent-row mask — the distributed form of the lead() window the
+    oracle uses."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "role",
+                                        "text"])
+
+    _empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int32()),
+        "prompt": pa.array([], type=pa.large_string()),
+        "response": pa.array([], type=pa.large_string()),
+    })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        conv = as_array(b.column("conv_id")).to_numpy(zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        _, ccodes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, ccodes))
+        role = as_array(b.column("role")).take(
+            pa.array(order, type=pa.int64()))
+        is_user = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+        is_asst = pc.equal(role, "assistant") \
+            .to_numpy(zero_copy_only=False)
+        c = ccodes[order]
+        same_conv = np.concatenate([c[1:] == c[:-1], [False]])
+        nxt_asst = np.concatenate([is_asst[1:], [False]])
+        take = np.flatnonzero(is_user & same_conv & nxt_asst)
+        text = as_array(b.column("text")).cast(pa.large_string())
+        o = np.asarray(order)
+        return pa.table({
+            "conv_id": pa.array(conv[o[take]]),
+            "turn_idx": pa.array(tidx[o[take]], type=pa.int32()),
+            "prompt": text.take(pa.array(o[take], type=pa.int64())),
+            "response": text.take(pa.array(o[take + 1], type=pa.int64())),
+        })
+
+    import pyarrow.compute as pc
+
+    return (ds.repartition(16, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_context_truncate(sf_dir: str, budget: int = 512):
     """Context-window truncation stats: per conversation, how many
     trailing turns fit a fixed token budget (greedy suffix by
@@ -4862,6 +4972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility_by_lang": _q_tokenizer_fertility,
         "eval_ngram_coverage": _q_eval_ngram_coverage,
         "reply_length_by_depth": _q_reply_length_by_depth,
+        "chatml_format": _q_chatml_format,
+        "sft_pairs": _q_sft_pairs,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -6283,6 +6395,25 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS coverage
             FROM e LEFT JOIN tr USING (bigram)
             GROUP BY e.doc_id
+        """,
+        "chatml_format": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   string_agg('<|' || role || '|>' || text, chr(10)
+                              ORDER BY turn_idx) AS chatml
+            FROM {T} GROUP BY conv_id
+        """,
+        "sft_pairs": f"""
+            WITH o AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lead(role) OVER w AS next_role,
+                     lead(text) OVER w AS next_text
+              FROM {T}
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, turn_idx,
+                   text AS prompt, next_text AS response
+            FROM o WHERE role = 'user' AND next_role = 'assistant'
         """,
         "reply_length_by_depth": f"""
             SELECT role,
