@@ -4522,6 +4522,19 @@ def _q_sft_pairs(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_compression_ratios(sf_dir: str):
+    """Per-document zlib compression ratio (repetition / low-entropy
+    quality proxy, the Gopher-style filter input). No SQL analogue for
+    zlib, so rows-only; determinism + high/low-entropy behavior pinned
+    by pytest."""
+    from apache_datasketches_go_ray.stages.textops import (
+        compression_ratio_batch)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        compression_ratio_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def _q_context_truncate(sf_dir: str, budget: int = 512):
     """Context-window truncation stats: per conversation, how many
     trailing turns fit a fixed token budget (greedy suffix by
@@ -4978,6 +4991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
         # window
+        "compression_ratios": _q_compression_ratios,
         "incremental_dedup_clusters": _q_incremental_dedup,
         "fuzzy_boilerplate_turns": _q_fuzzy_boilerplate_turns,
         "cluster_size_histogram": _q_cluster_size_histogram,

@@ -472,3 +472,45 @@ def levenshtein_pairs(a_strs: list[str], b_strs: list[str],
         out_rows.append(prev[np.arange(n), lb])
     rows = np.stack(out_rows)  # (La+1, n): dp value after each a-row
     return rows[la, np.arange(n)].astype(np.int32)
+
+
+def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            level: int = 6) -> pa.Table:
+    """Per-document zlib compression ratio — the classic repetition /
+    low-entropy quality proxy (highly repetitive or templated text
+    compresses far below ~0.4; random text sits near 1.0).
+
+    The per-document ``zlib.compress`` call is C-level work on the raw
+    value buffer slice (no Python string materialization: the UTF-8
+    bytes are sliced straight out of the Arrow buffer), the one
+    legitimate "model-inference-shaped" per-row kernel in textops.
+    No SQL oracle exists for zlib, so the query is rows-only; the
+    pytest pins hand-built high/low-entropy cases and determinism.
+    """
+    import zlib
+
+    col = as_array(batch.column(text_col))
+    if col.type == pa.string():
+        col = col.cast(pa.large_string())
+    elif col.type != pa.large_string():
+        col = col.cast(pa.large_string())
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(col)
+    off = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                        count=n + 1 + col.offset)[col.offset:]
+    data = col.buffers()[2]
+    raw = bytes(data) if data is not None else b""
+    raw_len = np.diff(off).astype(np.int64)
+    comp_len = np.empty(n, dtype=np.int64)
+    compress = zlib.compress
+    for i in range(n):
+        comp_len[i] = len(compress(raw[off[i]:off[i + 1]], level))
+    ratio = np.floor(
+        comp_len / np.maximum(raw_len, 1) * 1e6 + 0.5) / 1e6
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_raw_bytes": pa.array(raw_len),
+        "n_compressed_bytes": pa.array(comp_len),
+        "compression_ratio": pa.array(ratio, type=pa.float64()),
+    })

@@ -81,3 +81,32 @@ def test_pii_email_then_phone_order():
     assert out["n_emails"][0] == 1
     assert out["n_phones"][0] == 0
     assert out["redacted_text"][0] == "x <EMAIL> y"
+
+
+def test_compression_ratio_batch():
+    import zlib
+
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.textops import (
+        compression_ratio_batch)
+
+    rep = "spam ham " * 200          # highly repetitive
+    import numpy as np
+    rng = np.random.default_rng(42)
+    rnd = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 1600))
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([rep, rnd, ""], type=pa.string()),
+    })
+    out = compression_ratio_batch(b)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["n_raw_bytes"] == len(rep.encode())
+    assert rows[1]["n_compressed_bytes"] == len(
+        zlib.compress(rep.encode(), 6))
+    assert rows[1]["compression_ratio"] < 0.05       # repetitive
+    assert rows[2]["compression_ratio"] > 0.5        # high entropy
+    assert rows[3]["n_raw_bytes"] == 0
+    # sliced-batch (non-zero Arrow offset) parity
+    out2 = compression_ratio_batch(b.slice(1))
+    assert out2.to_pylist() == out.slice(1).to_pylist()
