@@ -2163,6 +2163,7 @@ def _q_multimodal_features(sf_dir: str):
     media = ray.data.from_arrow(pa.concat_tables([
         make_real_media_batch(list(range(64)), kind="image/png"),
         make_real_media_batch(list(range(64, 96)), kind="image/jpeg"),
+        make_real_media_batch(list(range(96, 128)), kind="image/gif"),
     ]))
     out = decode_pipeline(media, fake=False, batch_size=16)
 

@@ -13,7 +13,9 @@ Decode support is tiered:
   (non-interlaced 8-bit gray/RGB/RGBA: stdlib zlib + a numpy scanline
   unfilter; ``encode_png`` writes the same subset) and ``image/jpeg``
   (baseline SOF0 sequential, gray / 4:4:4 YCbCr, restart markers —
-  functions/jpegcodec.py; progressive/subsampled streams raise).
+  functions/jpegcodec.py; progressive/subsampled streams raise) and
+  ``image/gif`` (GIF87a/89a LZW single frame, global/local color
+  tables — functions/gifcodec.py; interlaced streams raise).
 * **Stub** for the remaining compressed formats (mp4 video frames,
   progressive jpeg, ...): the codec libraries (PIL, torchaudio, av)
   are NOT present in this environment,
@@ -268,6 +270,14 @@ def make_real_media_batch(ids: list[int], kind: str = "audio/wav") -> pa.Table:
             payloads.append(encode_jpeg(px, quality=100))
             metas.append(json.dumps({"width": 17, "height": 12,
                                      "channels": 3}))
+        elif kind == "image/gif":
+            from ..functions.gifcodec import encode_gif
+            # palettized content: draw from a small color set
+            pal = rng.integers(0, 256, size=(11, 3), dtype=np.uint8)
+            px = pal[rng.integers(0, len(pal), size=(12, 17))]
+            payloads.append(encode_gif(px))
+            metas.append(json.dumps({"width": 17, "height": 12,
+                                     "channels": 3}))
         else:
             n = 800 + int(h1 % 400)
             samples = (rng.integers(-20000, 20000, size=n)
@@ -295,6 +305,9 @@ def _decode_payload(payload: bytes, media_type: str, meta: dict,
     if media_type == "image/jpeg":
         from ..functions.jpegcodec import decode_jpeg
         return decode_jpeg(payload)
+    if media_type == "image/gif":
+        from ..functions.gifcodec import decode_gif
+        return decode_gif(payload)
     if not fake:
         raise NotImplementedError(
             f"real decode for {media_type} requires codec libraries not "

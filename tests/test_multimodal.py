@@ -183,3 +183,97 @@ def test_decode_stage_real_png(ray_session):
         arr = np.frombuffer(r["decoded"], dtype=np.uint8) \
             .reshape(info["shape"])
         assert arr.shape == (12, 17, 3)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec
+# ---------------------------------------------------------------------------
+
+def _lzw_encode_greedy(indices, mcs):
+    """Real (dictionary-building) LZW encoder, test-local: exercises the
+    decoder's KwKwK and width-growth paths our fixed-width engine
+    encoder never produces."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out, bits, n_bits, width = bytearray(), 0, 0, mcs + 1
+
+    def put(code):
+        nonlocal bits, n_bits, width
+        bits |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            n_bits -= 8
+
+    table = {(c,): c for c in range(clear)}
+    next_code = end + 1
+    put(clear)
+    cur = ()
+    for v in indices:
+        cand = cur + (int(v),)
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code < 4096 and next_code == (1 << width):
+                width += 1
+        cur = (int(v),)
+    if cur:
+        put(table[cur])
+    put(end)
+    if n_bits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+def test_gif_roundtrip_and_real_lzw():
+    import numpy as np
+
+    from apache_datasketches_go_ray.functions.gifcodec import (
+        _lzw_decode, decode_gif, encode_gif)
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 7, size=(23, 31))]
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+    # 1-color and 256-color edges
+    one = np.full((4, 5, 3), 9, dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(one)), one)
+    big_pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    bigpx = big_pal[rng.integers(0, 256, size=(16, 16))]
+    assert np.array_equal(decode_gif(encode_gif(bigpx)), bigpx)
+    # real greedy-LZW streams (KwKwK + width growth) decode correctly,
+    # including the classic KwKwK opener and long repetitive runs
+    for seq in ([0, 1, 0, 1, 0, 1, 0],
+                [1, 1, 1, 1, 1, 1, 1, 1, 1],
+                list(rng.integers(0, 4, size=5000))):
+        enc = _lzw_encode_greedy(seq, 2)
+        got = _lzw_decode(enc, 2, len(seq))
+        assert got.tolist() == [int(x) for x in seq]
+
+
+def test_decode_stage_real_gif(ray_session):
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from apache_datasketches_go_ray.functions.gifcodec import decode_gif
+    from apache_datasketches_go_ray.stages.multimodal import (
+        DecodeStage, make_real_media_batch)
+
+    tbl = make_real_media_batch([1, 2, 3], kind="image/gif")
+    out = ray.data.from_arrow(tbl).map_batches(
+        DecodeStage, fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow", concurrency=(1, 2)).take_all()
+    assert len(out) == 3
+    for r in out:
+        meta = json.loads(r["decoded_shape"])
+        assert meta["shape"] == [12, 17, 3]
+        arr = np.frombuffer(r["decoded"], dtype=meta["dtype"]) \
+            .reshape(meta["shape"])
+        ref = decode_gif(r["media"])
+        assert np.array_equal(arr, ref)
