@@ -151,3 +151,41 @@ def oracle_dedup(table: pa.Table, cfg: DedupConfig) -> dict:
         "edges": edges,
         "clusters": clusters,
     }
+
+
+def verify_pairs_exact(table: pa.Table, pairs: list[tuple[str, str]],
+                       cfg: DedupConfig) -> dict[tuple[str, str], bool]:
+    """Exact spec-eligibility for given conv_id pairs: does the pair
+    meet the configured verify rule (shingle Jaccard >= threshold, or
+    containment + shared-substring) on its exact shingle sets?
+
+    Independent of LSH/banding — used to classify recall misses into
+    below-threshold planted pairs (out of the algorithm's spec at this
+    config) vs true algorithmic misses. ``table`` should be pre-filtered
+    to the conversations involved.
+    """
+    ids, texts = assemble_oracle(table)
+    idx = {c: i for i, c in enumerate(ids)}
+    tok, tok_off = tokenize_column(pa.array(texts, type=pa.string()))
+    flat, off = shingle_hashes(tok, tok_off, cfg.shingle_k)
+    out: dict[tuple[str, str], bool] = {}
+    for a, b in pairs:
+        ia, ib = idx.get(a), idx.get(b)
+        if ia is None or ib is None:
+            out[(a, b)] = False
+            continue
+        A = flat[off[ia]: off[ia + 1]]
+        B = flat[off[ib]: off[ib + 1]]
+        inter = intersect_size(A, B)
+        union = len(A) + len(B) - inter
+        m = min(len(A), len(B))
+        jac = inter / union if union else 1.0
+        con = inter / m if m else (1.0 if len(A) == len(B) else 0.0)
+        ok = jac >= cfg.jaccard_threshold
+        if not ok and con >= cfg.containment_threshold:
+            lcs = longest_common_substring(texts[ia], texts[ib])
+            shorter = min(len(texts[ia].encode()),
+                          len(texts[ib].encode()))
+            ok = bool(shorter) and lcs >= cfg.substring_frac * shorter
+        out[(a, b)] = ok
+    return out
