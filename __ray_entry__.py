@@ -3705,6 +3705,361 @@ def _q_dup_rate_by_source(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_dup_rate_weekly(sf_dir: str):
+    """Dedup-pressure trend: per ISO week of each conversation's first
+    turn, how many conversations' assembled texts are exact duplicates
+    of some other conversation (globally) — the trend an ongoing-ingest
+    dedup run watches (rising dup share = the crawl is re-fetching).
+    conv_id-keyed assembly carrying min(ts), then a text-hash shuffle
+    flags global copies, folding back per week."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.functions.murmur3 import hash_strings
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+    from apache_datasketches_go_ray.stages.assemble import TURN_SEP
+
+    _CONV_SCHEMA = pa.schema([("week", pa.string()),
+                              ("text", pa.string()),
+                              ("text_hash", pa.uint64())])
+
+    def conv_rows(b):
+        if len(b) == 0:
+            return _CONV_SCHEMA.empty_table()
+        conv = as_array(b.column("conv_id"))
+        dict_arr = as_array(pc.dictionary_encode(conv))
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        tidx = as_array(b.column("turn_idx")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, codes))
+        codes_s = codes[order]
+        texts = as_array(b.column("text")).take(pa.array(order))
+        n_convs = len(dict_arr.dictionary)
+        counts = np.bincount(codes_s, minlength=n_convs)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        turns = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            texts.cast(pa.string()) if texts.type != pa.string() else texts)
+        joined = pc.binary_join(turns, TURN_SEP)
+        ts = as_array(b.column("ts")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        first_ts = np.full(n_convs, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_ts, codes, ts)
+        wk = pc.strftime(
+            pc.floor_temporal(
+                pa.array(first_ts, type=pa.int64()).cast(pa.timestamp("us")),
+                unit="week", week_starts_monday=True),
+            format="%Y-%m-%d")
+        h1, _ = hash_strings(joined)
+        return pa.table({"week": wk, "text": joined,
+                         "text_hash": pa.array(h1, type=pa.uint64())})
+
+    def flag(b):
+        if len(b) == 0:
+            return pa.table({
+                "week": pa.array([], type=pa.string()),
+                "n_convs": pa.array([], type=pa.int64()),
+                "n_dup_convs": pa.array([], type=pa.int64()),
+            })
+        counts = b.group_by("text").aggregate([("text", "count")])
+        joined = b.select(["week", "text"]).join(
+            counts, keys=["text"], join_type="inner")
+        dup = pc.greater(joined.column("text_count"), 1).cast(pa.int64())
+        t = pa.table({"week": joined.column("week"), "dup": dup})
+        g = t.group_by("week").aggregate([("dup", "sum"), ("dup", "count")])
+        return pa.table({
+            "week": g.column("week"),
+            "n_convs": g.column("dup_count").cast(pa.int64()),
+            "n_dup_convs": g.column("dup_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        g = b.group_by("week").aggregate(
+            [("n_convs", "sum"), ("n_dup_convs", "sum")])
+        return pa.table({
+            "week": g.column("week"),
+            "n_convs": g.column("n_convs_sum").cast(pa.int64()),
+            "n_dup_convs": g.column("n_dup_convs_sum").cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text", "ts"])
+    return (ds.repartition(8, keys=["conv_id"])
+            .map_batches(conv_rows, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(8, keys=["text_hash"])
+            .map_batches(flag, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(2, keys=["week"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_conv_prefix_dups(sf_dir: str, k: int = 3):
+    """Shared-prefix conversation families: conversations whose first
+    ``k`` turns are textually identical — the shared system-prompt /
+    template openings an agent-transcript dedup run collapses before
+    near-dup LSH ever sees them. conv-keyed shuffle + in-block prefix
+    assembly, then a prefix-hash shuffle folds families; only families
+    with >= 2 members are emitted."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.functions.murmur3 import hash_strings
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+    from apache_datasketches_go_ray.stages.assemble import TURN_SEP
+
+    _PREFIX_SCHEMA = pa.schema([("conv_id", pa.string()),
+                                ("prefix", pa.string()),
+                                ("prefix_hash", pa.uint64())])
+
+    def prefix_rows(b):
+        b = b.filter(pc.less(b.column("turn_idx"), k))
+        if len(b) == 0:
+            return _PREFIX_SCHEMA.empty_table()
+        conv = as_array(b.column("conv_id"))
+        dict_arr = as_array(pc.dictionary_encode(conv))
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        tidx = as_array(b.column("turn_idx")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, codes))
+        texts = as_array(b.column("text")).take(
+            pa.array(order, type=pa.int64()))
+        n_convs = len(dict_arr.dictionary)
+        counts = np.bincount(codes[order], minlength=n_convs)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        turns = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            texts.cast(pa.string()) if texts.type != pa.string() else texts)
+        joined = pc.binary_join(turns, TURN_SEP)
+        h1, _ = hash_strings(joined)
+        return pa.table({"conv_id": dict_arr.dictionary,
+                         "prefix": joined,
+                         "prefix_hash": pa.array(h1, type=pa.uint64())})
+
+    _OUT_SCHEMA = pa.schema([("keeper_conv", pa.string()),
+                             ("n_convs", pa.int64()),
+                             ("prefix_chars", pa.int64())])
+
+    def fold(b):
+        if len(b) == 0:
+            return _OUT_SCHEMA.empty_table()
+        g = b.group_by("prefix").aggregate(
+            [("conv_id", "min"), ("conv_id", "count")])
+        g = g.filter(pc.greater_equal(g.column("conv_id_count"), 2))
+        return pa.table({
+            "keeper_conv": g.column("conv_id_min"),
+            "n_convs": g.column("conv_id_count").cast(pa.int64()),
+            "prefix_chars": pc.utf8_length(g.column("prefix"))
+            .cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    return (ds.repartition(8, keys=["conv_id"])
+            .map_batches(prefix_rows, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(8, keys=["prefix_hash"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_sft_pair_dups(sf_dir: str):
+    """Duplicate SFT training pairs: identical (user prompt ->
+    assistant response) adjacent-turn pairs occurring more than once
+    across the corpus — exactly the repeated examples an SFT-prep run
+    must drop to avoid training-set over-weighting. conv-keyed pair
+    extraction (same adjacency mask as sft_pairs), then a pair-hash
+    shuffle counts copies."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.functions.murmur3 import hash_strings
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    _PAIR_SCHEMA = pa.schema([("prompt", pa.large_string()),
+                              ("response", pa.large_string()),
+                              ("pair_hash", pa.uint64())])
+
+    def pairs(b):
+        if len(b) == 0:
+            return _PAIR_SCHEMA.empty_table()
+        conv = as_array(b.column("conv_id"))
+        dict_arr = as_array(pc.dictionary_encode(conv))
+        ccodes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        tidx = as_array(b.column("turn_idx")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, ccodes))
+        role = as_array(b.column("role")).take(
+            pa.array(order, type=pa.int64()))
+        is_user = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+        c = ccodes[order]
+        same_conv = np.concatenate([c[1:] == c[:-1], [False]])
+        nxt_asst = np.concatenate([is_asst[1:], [False]])
+        take = np.flatnonzero(is_user & same_conv & nxt_asst)
+        text = as_array(b.column("text")).cast(pa.large_string())
+        o = np.asarray(order)
+        prompt = text.take(pa.array(o[take], type=pa.int64()))
+        response = text.take(pa.array(o[take + 1], type=pa.int64()))
+        # hash the pair as one string with an unlikely separator
+        h1, _ = hash_strings(pc.binary_join_element_wise(
+            prompt.cast(pa.string()), response.cast(pa.string()),
+            "\x1f"))
+        return pa.table({"prompt": prompt, "response": response,
+                         "pair_hash": pa.array(h1, type=pa.uint64())})
+
+    _OUT_SCHEMA = pa.schema([("prompt", pa.large_string()),
+                             ("response", pa.large_string()),
+                             ("n_copies", pa.int64())])
+
+    def fold(b):
+        if len(b) == 0:
+            return _OUT_SCHEMA.empty_table()
+        g = b.group_by(["prompt", "response"]).aggregate(
+            [("pair_hash", "count")])
+        g = g.filter(pc.greater_equal(g.column("pair_hash_count"), 2))
+        return pa.table({
+            "prompt": g.column("prompt"),
+            "response": g.column("response"),
+            "n_copies": g.column("pair_hash_count").cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "role",
+                                        "text"])
+    return (ds.repartition(16, keys=["conv_id"])
+            .map_batches(pairs, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(8, keys=["pair_hash"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_conv_shared_turns(sf_dir: str, lo: int = 2, hi: int = 20):
+    """Exact-collision blocking for conversation dedup: pairs of
+    conversations sharing >= 2 identical turn texts — the cheap
+    candidate generator that catches template-heavy near-dups before
+    MinHash runs, with the standard hot-key cap (texts in more than
+    ``hi`` convs are boilerplate, not dup evidence, and would blow the
+    pair count quadratically). Per-block (conv, text) distinct, a
+    text-hash shuffle emits in-block pairs, a pair-key shuffle sums."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.functions.murmur3 import hash_strings
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def distinct_rows(b):
+        d = b.group_by(["conv_id", "text"]).aggregate([])
+        h1, _ = hash_strings(as_array(d.column("text")))
+        return pa.table({"conv_id": d.column("conv_id"),
+                         "text": d.column("text"),
+                         "text_hash": pa.array(h1, type=pa.uint64())})
+
+    _PAIR_SCHEMA = pa.schema([("conv_a", pa.string()),
+                              ("conv_b", pa.string()),
+                              ("n_shared", pa.int64())])
+
+    def pairs(b):
+        if len(b) == 0:
+            return _PAIR_SCHEMA.empty_table()
+        d = b.select(["conv_id", "text"]).group_by(
+            ["conv_id", "text"]).aggregate([])
+        counts = d.group_by("text").aggregate([("conv_id", "count")])
+        keep = counts.filter(
+            pc.and_(pc.greater_equal(counts.column("conv_id_count"), lo),
+                    pc.less_equal(counts.column("conv_id_count"), hi)))
+        d = d.join(keep.select(["text"]), keys=["text"],
+                   join_type="left semi")
+        other = pa.table({"conv_b": d.column("conv_id"),
+                          "text": d.column("text")})
+        j = d.join(other, keys=["text"], join_type="inner")
+        j = j.filter(pc.less(j.column("conv_id"), j.column("conv_b")))
+        g = pa.table({"conv_a": j.column("conv_id"),
+                      "conv_b": j.column("conv_b")}).group_by(
+            ["conv_a", "conv_b"]).aggregate([("conv_a", "count")])
+        return pa.table({
+            "conv_a": g.column("conv_a"),
+            "conv_b": g.column("conv_b"),
+            "n_shared": g.column("conv_a_count").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return _PAIR_SCHEMA.empty_table()
+        g = b.group_by(["conv_a", "conv_b"]).aggregate(
+            [("n_shared", "sum")])
+        g = g.filter(pc.greater_equal(g.column("n_shared_sum"), 2))
+        return pa.table({
+            "conv_a": g.column("conv_a"),
+            "conv_b": g.column("conv_b"),
+            "n_shared": g.column("n_shared_sum").cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "text"])
+    return (ds.map_batches(distinct_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(8, keys=["text_hash"])
+            .map_batches(pairs, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(4, keys=["conv_a"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_template_dups(sf_dir: str):
+    """Template dedup over transcript turns: turns identical after
+    lowercasing and masking digit runs ('order 12345' == 'ORDER 999')
+    — the boilerplate/template family exact equality misses and LSH
+    wastes candidates on. Masked-hash shuffle, per-family turn count +
+    conversation spread; only families with >= 2 members."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.functions.murmur3 import hash_strings
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def mask(b):
+        texts = as_array(b.column("text"))
+        m = pc.utf8_lower(pc.replace_substring_regex(
+            texts, pattern="[0-9]+", replacement="0"))
+        h1, _ = hash_strings(m)
+        return pa.table({"conv_id": b.column("conv_id"),
+                         "mtext": m,
+                         "mhash": pa.array(h1, type=pa.uint64())})
+
+    _OUT_SCHEMA = pa.schema([("keeper_conv", pa.string()),
+                             ("n_turns", pa.int64()),
+                             ("n_convs", pa.int64()),
+                             ("mtext_chars", pa.int64())])
+
+    def fold(b):
+        if len(b) == 0:
+            return _OUT_SCHEMA.empty_table()
+        g = b.group_by("mtext").aggregate(
+            [("conv_id", "min"), ("conv_id", "count"),
+             ("conv_id", "count_distinct")])
+        g = g.filter(pc.greater_equal(g.column("conv_id_count"), 2))
+        return pa.table({
+            "keeper_conv": g.column("conv_id_min"),
+            "n_turns": g.column("conv_id_count").cast(pa.int64()),
+            "n_convs": g.column("conv_id_count_distinct")
+            .cast(pa.int64()),
+            "mtext_chars": pc.utf8_length(g.column("mtext"))
+            .cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "text"])
+    return (ds.map_batches(mask, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(8, keys=["mhash"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_cluster_size_histogram(sf_dir: str):
     """Dedup report: histogram of near-dup cluster sizes from the
     flagship pipeline output (rows-only: clusters are murmur-seeded).
@@ -4988,6 +5343,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reply_length_by_depth": _q_reply_length_by_depth,
         "chatml_format": _q_chatml_format,
         "sft_pairs": _q_sft_pairs,
+        "dup_rate_weekly": _q_dup_rate_weekly,
+        "conv_prefix_dups": _q_conv_prefix_dups,
+        "sft_pair_dups": _q_sft_pair_dups,
+        "conv_shared_turns": _q_conv_shared_turns,
+        "template_dups": _q_template_dups,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -6503,6 +6863,73 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_docs
             FROM documents JOIN d USING (text)
             GROUP BY source
+        """,
+        "dup_rate_weekly": f"""
+            WITH c AS (
+              SELECT conv_id,
+                     string_agg(text, chr(10) ORDER BY turn_idx)
+                       AS text,
+                     strftime(date_trunc('week', min(ts)), '%Y-%m-%d')
+                       AS week
+              FROM {T} GROUP BY conv_id
+            ), d AS (
+              SELECT text, count(*) AS cnt FROM c GROUP BY text
+            )
+            SELECT week, count(*) AS n_convs,
+                   CAST(sum(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_convs
+            FROM c JOIN d USING (text)
+            GROUP BY week
+        """,
+        "conv_prefix_dups": f"""
+            WITH p AS (
+              SELECT conv_id,
+                     string_agg(text, chr(10) ORDER BY turn_idx)
+                       AS prefix
+              FROM {T} WHERE turn_idx < 3 GROUP BY conv_id
+            )
+            SELECT min(conv_id) AS keeper_conv, count(*) AS n_convs,
+                   CAST(length(prefix) AS BIGINT) AS prefix_chars
+            FROM p GROUP BY prefix HAVING count(*) >= 2
+        """,
+        "sft_pair_dups": f"""
+            WITH o AS (
+              SELECT conv_id, role, text,
+                     lag(role) OVER w AS prole,
+                     lag(text) OVER w AS ptext
+              FROM {T}
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT ptext AS prompt, text AS response,
+                   count(*) AS n_copies
+            FROM o WHERE role = 'assistant' AND prole = 'user'
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "conv_shared_turns": f"""
+            WITH d AS (SELECT DISTINCT conv_id, text FROM {T}),
+            c AS (
+              SELECT text FROM d GROUP BY text
+              HAVING count(*) BETWEEN 2 AND 20
+            )
+            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                   count(*) AS n_shared
+            FROM d a JOIN d b ON a.text = b.text
+                             AND a.conv_id < b.conv_id
+            JOIN c ON a.text = c.text
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "template_dups": f"""
+            WITH m AS (
+              SELECT conv_id,
+                     lower(regexp_replace(text, '[0-9]+', '0', 'g'))
+                       AS mtext
+              FROM {T}
+            )
+            SELECT min(conv_id) AS keeper_conv,
+                   count(*) AS n_turns,
+                   count(DISTINCT conv_id) AS n_convs,
+                   CAST(length(mtext) AS BIGINT) AS mtext_chars
+            FROM m GROUP BY mtext HAVING count(*) >= 2
         """,
         "events_hopping_window": """
             WITH w AS (

@@ -208,6 +208,8 @@ def run_scaling(sf_dir: str) -> dict:
         "runs": [
             {"num_cpus": r["num_cpus"], "sec": r["queries"]["transcript_dedup"],
              "turns_per_sec": r["turns_per_sec"],
+             "dup_pair_recall": r.get("dup_pair_recall"),
+             "dup_pair_recall_eligible": r.get("dup_pair_recall_eligible"),
              "stages": r.get("dedup_stages")} for r in results
         ],
         "cpu_ratio": ratio,
