@@ -47,6 +47,15 @@ class DedupConfig:
     # function of the data, so the oracle reproduces it exactly.
     hot_sample_rate: int = 64
     hot_sampled_count: int = 4
+    # exact turn-collision blocking (stages/turnblock.py): recovers
+    # containment dups whose full-text shingle-J sits below LSH reach
+    # (measured ~90% of in-spec recall misses). Turns shorter than
+    # turn_block_min_chars codepoints carry no dup evidence; a turn
+    # text shared by more than turn_block_max_convs conversations is
+    # boilerplate and is dropped (hot cap, bounds the pair yield).
+    turn_block: bool = True
+    turn_block_min_chars: int = 16
+    turn_block_max_convs: int = 20
     # shuffle sizing
     num_partitions: int = 64
     # input layout: "shuffled" (always correct) or "conv_grouped" — the

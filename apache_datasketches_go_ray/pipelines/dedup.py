@@ -30,6 +30,7 @@ from ..stages.context import ensure_hash_shuffle
 from ..stages.assemble import assemble
 from ..stages.signature import sign
 from ..stages.lsh import candidate_pairs
+from ..stages.turnblock import pairs_from_hashes, turn_hash_dataset
 from ..stages.verify import verify_pairs
 from ..stages.cluster import cluster_edges
 from .base import CheckpointedPipeline
@@ -67,6 +68,20 @@ class DedupPipeline(CheckpointedPipeline):
         pairs, fp = self._stage(
             "pairs", fp, lambda: candidate_pairs(signatures, cfg, dedup=False),
         )
+        if cfg.turn_block:
+            # exact turn-collision blocking: recovers containment dups
+            # below LSH reach (stages/turnblock.py). turn_hashes is its
+            # own checkpoint surface so incremental runs can block a new
+            # batch against the old corpus without re-reading it.
+            turn_hashes, fp = self._stage(
+                "turn_hashes", fp,
+                lambda: turn_hash_dataset(transcripts_ds, cfg),
+            )
+            turn_pairs, fp = self._stage(
+                "turn_pairs", fp,
+                lambda: pairs_from_hashes(turn_hashes, cfg),
+            )
+            pairs = pairs.union(turn_pairs)
         # verified IS materialized: fusing its two co-partition joins into
         # the clustering chain makes the streaming executor schedule both
         # repartitions + union branches concurrently, ~6x slower than
@@ -208,6 +223,28 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
             .map_batches(_touches_new, batch_format="pyarrow",
                          zero_copy_batch=True),
         )
+        if cfg.turn_block:
+            # turn-collision blocking over old + new corpus, keeping
+            # only pairs that touch the increment (old–old connectivity
+            # is already in the checkpointed cluster labels)
+            from ..stages.turnblock import hashes_from_assembled
+
+            th_dir = os.path.join(self.against, "turn_hashes")
+            old_hashes = (ray.data.read_parquet(th_dir)
+                          if os.path.isdir(th_dir)
+                          else hashes_from_assembled(old_assembled, cfg))
+            new_hashes, fp = self._stage(
+                "turn_hashes", fp,
+                lambda: turn_hash_dataset(new_transcripts_ds, cfg),
+            )
+            turn_pairs_new, fp = self._stage(
+                "turn_pairs", fp,
+                lambda: pairs_from_hashes(
+                    old_hashes.union(new_hashes), cfg)
+                .map_batches(_touches_new, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            )
+            pairs_new = pairs_new.union(turn_pairs_new)
         verified_new, fp = self._stage(
             "verified", fp,
             lambda: verify_pairs(pairs_new, sigs_all, cfg,

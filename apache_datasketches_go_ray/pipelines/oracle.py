@@ -113,6 +113,25 @@ def oracle_dedup(table: pa.Table, cfg: DedupConfig) -> dict:
         else:
             cap_rule_pairs(members)
 
+    if cfg.turn_block:
+        # exact turn-collision blocking — identical rule to
+        # stages/turnblock.py (min-chars gate, hot cap, full pair set
+        # per bucket, no digest prefilter: these pairs carry exact
+        # evidence already)
+        tconv = table.column("conv_id").to_pylist()
+        ttext = table.column("text").to_pylist()
+        th, _ = hash_strings(ttext)
+        tbuckets: dict[int, set] = defaultdict(set)
+        for c, t, h in zip(tconv, ttext, th):
+            if len(t) >= cfg.turn_block_min_chars:
+                tbuckets[int(h)].add(c)
+        for mem in tbuckets.values():
+            if 2 <= len(mem) <= cfg.turn_block_max_convs:
+                ms = sorted(mem)
+                for x in range(len(ms)):
+                    for y in range(x + 1, len(ms)):
+                        pair_set.add((ms[x], ms[y]))
+
     idx_of = {c: i for i, c in enumerate(ids)}
     edges = []
     verify_rows = []
