@@ -91,6 +91,33 @@ def _q_transcript_dedup(sf_dir: str):
     return res["clusters"].sort(["conv_id"])
 
 
+def _q_turn_collision_pairs(sf_dir: str):
+    """Exact turn-collision candidate pairs (stages/turnblock.py):
+    conversation pairs sharing at least one verbatim qualifying turn
+    text. Semantics are pure text equality — the u64 turn hash only
+    buckets the shuffle (two distinct texts colliding would need a
+    64-bit murmur collision, absent at any test scale) — so the
+    operator is SQL-oracled value-exact."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.turnblock import turn_block_pairs
+
+    cfg = _dedup_config()
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "text"])
+
+    def dedupe(b: pa.Table) -> pa.Table:
+        return b.group_by(["a", "b"]).aggregate([])
+
+    # pair-keyed shuffle + in-block fold = global distinct (candidate
+    # stream is emitted per colliding turn, so pairs repeat)
+    return (turn_block_pairs(ds, cfg)
+            .repartition(cfg.num_partitions, keys=["a", "b"])
+            .map_batches(dedupe, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort(["a", "b"]))
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental dedup vs a prior checkpoint: dedup the even-conv half,
     checkpoint it, then dedup the odd-conv half AGAINST that checkpoint
@@ -5347,6 +5374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_prefix_dups": _q_conv_prefix_dups,
         "sft_pair_dups": _q_sft_pair_dups,
         "conv_shared_turns": _q_conv_shared_turns,
+        "turn_collision_pairs": _q_turn_collision_pairs,
         "template_dups": _q_template_dups,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
@@ -6917,6 +6945,20 @@ def oracle_sql() -> dict[str, str]:
                              AND a.conv_id < b.conv_id
             JOIN c ON a.text = c.text
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "turn_collision_pairs": f"""
+            WITH t AS (
+              SELECT DISTINCT conv_id, text FROM {T}
+              WHERE length(text) >= 16
+            ),
+            hot AS (
+              SELECT text FROM t GROUP BY text
+              HAVING count(*) BETWEEN 2 AND 20
+            )
+            SELECT DISTINCT t1.conv_id AS a, t2.conv_id AS b
+            FROM t t1 JOIN t t2 ON t1.text = t2.text
+                              AND t1.conv_id < t2.conv_id
+            JOIN hot ON t1.text = hot.text
         """,
         "template_dups": f"""
             WITH m AS (
