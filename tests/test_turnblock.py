@@ -137,14 +137,7 @@ def test_empty_input(ray_session):
     assert turn_block_pairs(ds, cfg).count() == 0
 
 
-@pytest.mark.parametrize("flag", [True, False])
-def test_flagship_recall_toggle(ray_session, flag):
-    """With blocking on, the planted containment dup (tiny kept-turn
-    fraction, shingle-J far below LSH reach) is clustered; with it off,
-    it is not — pinning exactly the recall gap the stage closes."""
-    import ray.data
-    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
-
+def _toggle_fixture() -> pa.Table:
     base_turns = [f"base conversation turn {i} with plenty of padding "
                   f"tokens {i * 17}" for i in range(20)]
     rows = [("orig", t) for t in base_turns]
@@ -154,14 +147,36 @@ def test_flagship_recall_toggle(ray_session, flag):
     for i in range(10):
         rows += [(f"f{i}", f"filler {i} turn {j} lorem ipsum dolor sit "
                   f"amet {j * i}") for j in range(4)]
-    turns = _turns(rows).append_column(
+    return _turns(rows).append_column(
         "turn_idx", pa.array(list(range(len(rows))), type=pa.int64()))
 
-    cfg = DedupConfig(num_partitions=4, turn_block=flag)
-    res = run_dedup(ray.data.from_arrow(turns), cfg)
-    cl = res["clusters"].materialize().to_pandas()
-    by_conv = (dict(zip(cl["conv_id"], cl["cluster_id"]))
-               if len(cl) else {})
-    together = ("orig" in by_conv and "copy" in by_conv
+
+def _clustered_together(cl) -> bool:
+    by_conv = dict(zip(cl["conv_id"], cl["cluster_id"])) if len(cl) else {}
+    return ("orig" in by_conv and "copy" in by_conv
+            and by_conv["orig"] == by_conv["copy"])
+
+
+def test_flagship_recall_toggle(ray_session):
+    """With blocking on, the planted containment dup (tiny kept-turn
+    fraction, shingle-J far below LSH reach) is clustered by the Ray
+    pipeline; with it off, the single-process oracle (pipeline-exact by
+    the parity tests) misses it — pinning the recall gap the stage
+    closes. The off-leg uses the oracle to avoid paying full pipeline
+    overhead twice."""
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+    from apache_datasketches_go_ray.pipelines.oracle import oracle_dedup
+
+    turns = _toggle_fixture()
+
+    cfg_on = DedupConfig(num_partitions=4, turn_block=True)
+    res = run_dedup(ray.data.from_arrow(turns), cfg_on)
+    assert _clustered_together(res["clusters"].materialize().to_pandas())
+
+    # oracle consumes per-turn rows exactly like the pipeline input;
+    # its clusters surface is a {conv_id: label} dict
+    cfg_off = DedupConfig(num_partitions=4, turn_block=False)
+    by_conv = oracle_dedup(turns, cfg_off)["clusters"]
+    assert not ("orig" in by_conv and "copy" in by_conv
                 and by_conv["orig"] == by_conv["copy"])
-    assert together == flag

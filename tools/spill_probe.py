@@ -6,7 +6,11 @@ force spill. Records stage times, spill counters and planted-dup recall.
 The monolithic fixture generator would hold all ~36M turn texts as
 Python strings at once (OOM territory), so the fixture is generated in
 chunks with a per-chunk conv_id/group_id namespace prefix — the planted
-ground truth stays consistent and conv ids never collide.
+ground truth stays consistent and conv ids never collide. Chunks are
+independent (disjoint seeds/namespaces), so they build as parallel Ray
+tasks, each writing its own shards + per-chunk ground-truth parquet
+with a completion marker — a killed run resumes without regenerating
+finished chunks.
 
 Usage: python tools/spill_probe.py [n_convs] [chunk_size]
 Prints ONE JSON line; record the result in BASELINE.md §6.
@@ -25,52 +29,77 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_fixture(cache: str, n_convs: int, chunk: int,
-                  shards_per_chunk: int = 4) -> str:
+def _build_chunk(cache: str, i: int, n_i: int, n_chunks: int,
+                 shards_per_chunk: int) -> int:
+    """Generate one independent fixture chunk (disjoint seed + conv_id
+    namespace), write its transcript shards and per-chunk ground truth,
+    then mark it complete. Runs as a Ray task; also importable directly."""
     from apache_datasketches_go_ray.sources.transcripts import (
         conversations_to_table,
         generate_conversations,
         inject_duplicates,
     )
 
+    tdir = os.path.join(cache, "transcripts")
+    chunk_marker = os.path.join(cache, f"_chunk_{i:02d}_done")
+    if os.path.exists(chunk_marker):
+        return 0
+    convs = generate_conversations(n_i, seed=42 + 7 * i)
+    convs, groups = inject_duplicates(convs, seed=43 + 7 * i)
+    tbl = conversations_to_table(convs, seed=44 + 7 * i)
+    del convs
+    pref = f"c{i:02d}-"
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("conv_id"), "conv_id",
+        pc.binary_replace_slice(tbl.column("conv_id"), start=0,
+                                stop=0, replacement=pref))
+    bounds = np.linspace(0, tbl.num_rows, shards_per_chunk + 1).astype(int)
+    for s in range(shards_per_chunk):
+        pq.write_table(
+            tbl.slice(bounds[s], bounds[s + 1] - bounds[s]),
+            os.path.join(
+                tdir, f"part-{i * shards_per_chunk + s:05d}.parquet"))
+    pq.write_table(pa.table({
+        "conv_id": pa.array([pref + g["conv_id"] for g in groups],
+                            type=pa.string()),
+        "group_id": pa.array([pref + g["group_id"] for g in groups],
+                             type=pa.string()),
+        "kind": pa.array([g["kind"] for g in groups], type=pa.string()),
+    }), os.path.join(cache, f"dup_groups_{i:02d}.parquet"))
+    n_rows = tbl.num_rows
+    del tbl
+    with open(chunk_marker, "w") as f:
+        f.write("ok")
+    print(f"chunk {i + 1}/{n_chunks}: {n_rows} turns", file=sys.stderr)
+    return n_rows
+
+
+def build_fixture(cache: str, n_convs: int, chunk: int,
+                  shards_per_chunk: int = 4) -> str:
     marker = os.path.join(cache, "_complete")
     tdir = os.path.join(cache, "transcripts")
     if os.path.exists(marker):
         return tdir
     os.makedirs(tdir, exist_ok=True)
-    group_tabs = []
     n_chunks = (n_convs + chunk - 1) // chunk
-    for i in range(n_chunks):
-        n_i = min(chunk, n_convs - i * chunk)
-        convs = generate_conversations(n_i, seed=42 + 7 * i)
-        convs, groups = inject_duplicates(convs, seed=43 + 7 * i)
-        tbl = conversations_to_table(convs, seed=44 + 7 * i)
-        del convs
-        pref = f"c{i:02d}-"
-        tbl = tbl.set_column(
-            tbl.schema.get_field_index("conv_id"), "conv_id",
-            pc.binary_replace_slice(tbl.column("conv_id"), start=0,
-                                    stop=0, replacement=pref))
-        bounds = np.linspace(0, tbl.num_rows,
-                             shards_per_chunk + 1).astype(int)
-        for s in range(shards_per_chunk):
-            pq.write_table(
-                tbl.slice(bounds[s], bounds[s + 1] - bounds[s]),
-                os.path.join(
-                    tdir, f"part-{i * shards_per_chunk + s:05d}.parquet"))
-        group_tabs.append(pa.table({
-            "conv_id": pa.array([pref + g["conv_id"] for g in groups],
-                                type=pa.string()),
-            "group_id": pa.array([pref + g["group_id"] for g in groups],
-                                 type=pa.string()),
-            "kind": pa.array([g["kind"] for g in groups],
-                             type=pa.string()),
-        }))
-        print(f"chunk {i + 1}/{n_chunks}: {tbl.num_rows} turns",
-              file=sys.stderr)
-        del tbl
-    pq.write_table(pa.concat_tables(group_tabs),
-                   os.path.join(cache, "dup_groups.parquet"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False)
+    # each chunk holds ~4.5M turn texts (~1.5 GB peak); cap concurrency
+    # via num_cpus so parallel generation stays inside the host's heap
+    build = ray.remote(num_cpus=4)(_build_chunk)
+    ray.get([build.remote(cache, i, min(chunk, n_convs - i * chunk),
+                          n_chunks, shards_per_chunk)
+             for i in range(n_chunks)])
+    pq.write_table(
+        pa.concat_tables([
+            pq.read_table(os.path.join(cache, f"dup_groups_{i:02d}.parquet"))
+            for i in range(n_chunks)]),
+        os.path.join(cache, "dup_groups.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return tdir
