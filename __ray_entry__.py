@@ -4905,6 +4905,95 @@ def _q_sft_pairs(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_prompt_collisions(sf_dir: str):
+    """Prompt-collision response mining: user prompts (>= 16 chars)
+    asked in 2..20 distinct conversations, with how many distinct
+    assistant responses they drew and the response-length spread —
+    the raw material for preference pairs and consistency QA. Stage 1
+    is the sft_pairs adjacency fold emitting (prompt, conv_id,
+    response-hash, response-length) — the response text itself never
+    ships through the prompt shuffle, so the wide step carries ~24
+    bytes + prompt per row; distinct-by-hash equals distinct-by-text
+    absent a 64-bit murmur collision (same argument as turnblock)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.functions.murmur3 import hash_strings
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "role",
+                                        "text"])
+
+    _MID = pa.schema([("prompt", pa.large_string()),
+                      ("conv_id", pa.string()),
+                      ("rhash", pa.uint64()),
+                      ("rlen", pa.int64())])
+    _OUT = pa.schema([("prompt", pa.large_string()),
+                      ("n_convs", pa.int64()),
+                      ("n_responses", pa.int64()),
+                      ("len_spread", pa.int64())])
+
+    def extract(b):
+        if len(b) == 0:
+            return _MID.empty_table()
+        conv = as_array(b.column("conv_id")).to_numpy(zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        _, ccodes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, ccodes))
+        role = as_array(b.column("role")).take(
+            pa.array(order, type=pa.int64()))
+        is_user = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+        c = ccodes[order]
+        same_conv = np.concatenate([c[1:] == c[:-1], [False]])
+        nxt_asst = np.concatenate([is_asst[1:], [False]])
+        take = np.flatnonzero(is_user & same_conv & nxt_asst)
+        text = as_array(b.column("text"))
+        o = np.asarray(order)
+        prompts = text.take(pa.array(o[take], type=pa.int64()))
+        keep = pc.greater_equal(pc.utf8_length(prompts), 16) \
+            .to_numpy(zero_copy_only=False)
+        take = take[keep]
+        prompts = text.take(pa.array(o[take], type=pa.int64()))
+        responses = text.take(pa.array(o[take + 1], type=pa.int64()))
+        rh, _ = hash_strings(responses)
+        return pa.table({
+            "prompt": prompts.cast(pa.large_string()),
+            "conv_id": pa.array(conv[o[take]], type=pa.string()),
+            "rhash": pa.array(rh, type=pa.uint64()),
+            "rlen": pc.utf8_length(responses).cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return _OUT.empty_table()
+        d = b.group_by(["prompt", "conv_id", "rhash", "rlen"]).aggregate([])
+        g = d.group_by("prompt").aggregate([
+            ("conv_id", "count_distinct"),
+            ("rhash", "count_distinct"),
+            ("rlen", "max"), ("rlen", "min")])
+        t = pa.table({
+            "prompt": g.column("prompt"),
+            "n_convs": g.column("conv_id_count_distinct").cast(pa.int64()),
+            "n_responses": g.column("rhash_count_distinct")
+            .cast(pa.int64()),
+            "len_spread": pc.subtract(g.column("rlen_max"),
+                                      g.column("rlen_min"))
+            .cast(pa.int64()),
+        })
+        keep = pc.and_(pc.greater_equal(t.column("n_convs"), 2),
+                       pc.less_equal(t.column("n_convs"), 20))
+        return t.filter(keep)
+
+    return (ds.repartition(16, keys=["conv_id"])
+            .map_batches(extract, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(16, keys=["prompt"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_compression_ratios(sf_dir: str):
     """Per-document zlib compression ratio (repetition / low-entropy
     quality proxy, the Gopher-style filter input). No SQL analogue for
@@ -5375,6 +5464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_pair_dups": _q_sft_pair_dups,
         "conv_shared_turns": _q_conv_shared_turns,
         "turn_collision_pairs": _q_turn_collision_pairs,
+        "prompt_collisions": _q_prompt_collisions,
         "template_dups": _q_template_dups,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
@@ -6959,6 +7049,30 @@ def oracle_sql() -> dict[str, str]:
             FROM t t1 JOIN t t2 ON t1.text = t2.text
                               AND t1.conv_id < t2.conv_id
             JOIN hot ON t1.text = hot.text
+        """,
+        "prompt_collisions": f"""
+            WITH o AS (
+              SELECT conv_id, role, text,
+                     lead(role) OVER w AS next_role,
+                     lead(text) OVER w AS next_text
+              FROM {T}
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            p AS (
+              SELECT DISTINCT conv_id, text AS prompt,
+                              next_text AS response
+              FROM o
+              WHERE role = 'user' AND next_role = 'assistant'
+                AND length(text) >= 16
+            )
+            SELECT prompt,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(count(DISTINCT response) AS BIGINT)
+                     AS n_responses,
+                   CAST(max(length(response)) - min(length(response))
+                        AS BIGINT) AS len_spread
+            FROM p GROUP BY prompt
+            HAVING count(DISTINCT conv_id) BETWEEN 2 AND 20
         """,
         "template_dups": f"""
             WITH m AS (
