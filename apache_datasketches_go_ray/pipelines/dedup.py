@@ -73,9 +73,13 @@ class DedupPipeline(CheckpointedPipeline):
             # below LSH reach (stages/turnblock.py). turn_hashes is its
             # own checkpoint surface so incremental runs can block a new
             # batch against the old corpus without re-reading it.
+            # single consumer -> lazy in no-checkpoint mode (fuses into
+            # the hash shuffle); checkpoint mode still writes the
+            # surface for incremental reuse
             turn_hashes, fp = self._stage(
                 "turn_hashes", fp,
                 lambda: turn_hash_dataset(transcripts_ds, cfg),
+                materialize=False,
             )
             turn_pairs, fp = self._stage(
                 "turn_pairs", fp,
@@ -236,6 +240,7 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
             new_hashes, fp = self._stage(
                 "turn_hashes", fp,
                 lambda: turn_hash_dataset(new_transcripts_ds, cfg),
+                materialize=False,
             )
             turn_pairs_new, fp = self._stage(
                 "turn_pairs", fp,
