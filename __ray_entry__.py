@@ -4357,6 +4357,18 @@ def _q_dup_span_stats(sf_dir: str):
                           k=13, num_partitions=16)
 
 
+def _q_dup_span_rewrite(sf_dir: str):
+    """Exact substring dedup with document rewrite (Lee et al. 2022):
+    every 5-token gram occurrence after the corpus-wide first is
+    removed from its doc; docs reassembled from surviving tokens.
+    Three keyed shuffles, zero-loop folds; value-exact vs the
+    window-function + anti-range-join SQL oracle."""
+    from apache_datasketches_go_ray.stages.corpusops import dup_span_rewrite
+
+    return dup_span_rewrite(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            k=5, num_partitions=16)
+
+
 def _q_dsir_importance(sf_dir: str):
     """DSIR-style unigram log-likelihood-ratio importance weights
     toward the lang='en' slice (vocabulary-exact feature space)."""
@@ -5501,6 +5513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dups": _q_containment_dups,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dup_span_stats": _q_dup_span_stats,
+        "dup_span_rewrite": _q_dup_span_rewrite,
         "dsir_importance": _q_dsir_importance,
     }
 
@@ -7251,6 +7264,53 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN per_doc p USING (doc_id)
             LEFT JOIN dup_per_doc x USING (doc_id)
+        """,
+        "dup_span_rewrite": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS pos
+              FROM t WHERE len(toks) >= 5
+            ), g AS (
+              SELECT doc_id, pos,
+                     array_to_string(list_slice(toks, pos, pos + 4), ' ')
+                       AS gram
+              FROM occ
+            ), rm AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, pos) AS rn
+                FROM g
+              ) WHERE rn > 1
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks))) AS i,
+                     unnest(toks) AS tokval
+              FROM t WHERE len(toks) >= 1
+            ), kept AS (
+              SELECT tk.doc_id, tk.i, tk.tokval
+              FROM tok tk
+              WHERE NOT EXISTS (
+                SELECT 1 FROM rm
+                WHERE rm.doc_id = tk.doc_id
+                  AND tk.i >= rm.pos AND tk.i < rm.pos + 5)
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(tokval, ' ' ORDER BY i) AS new_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(a.new_text, '') AS new_text,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM t LEFT JOIN agg a USING (doc_id)
         """,
         "dsir_importance": r"""
             WITH toks AS (

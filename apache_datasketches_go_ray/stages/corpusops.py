@@ -233,12 +233,12 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 # duplicated k-gram spans
 # ---------------------------------------------------------------------------
 
-def _gram_keys(flat: pa.Array, offsets: np.ndarray, k: int):
-    """Strict k-token windows per doc → 128-bit (h1, h2) gram keys.
-
-    Docs with fewer than k tokens contribute no grams (unlike the
-    MinHash shingler's zero-padded short-doc window — span dedup wants
-    exact spans only). Returns (h1, h2, doc_of_gram), per-doc distinct.
+def _gram_occurrences(flat: pa.Array, offsets: np.ndarray, k: int):
+    """Every strict k-token window per doc → 128-bit (h1, h2) gram key
+    plus its position. Docs with fewer than k tokens contribute no
+    grams. Returns (h1, h2, doc_of_gram, pos) where pos is the 1-based
+    token index of the gram start within its doc (the SQL-side
+    `generate_series(1, len(toks)-k+1)` convention).
     """
     lens = np.diff(offsets)
     n_docs = len(offsets) - 1
@@ -246,7 +246,8 @@ def _gram_keys(flat: pa.Array, offsets: np.ndarray, k: int):
     total = int(n_g.sum())
     if total == 0:
         z = np.empty(0, dtype=np.uint64)
-        return z, z, np.empty(0, dtype=np.int64)
+        zi = np.empty(0, dtype=np.int64)
+        return z, z, zi, zi
     d = pc.dictionary_encode(flat)
     if isinstance(d, pa.ChunkedArray):
         d = d.combine_chunks()
@@ -265,6 +266,21 @@ def _gram_keys(flat: pa.Array, offsets: np.ndarray, k: int):
     for j in range(k):
         h1 = fmix64(h1 ^ sel[:, j])
         h2 = fmix64(h2 ^ sel[:, j])
+    return h1, h2, doc_of, within + 1
+
+
+def _gram_keys(flat: pa.Array, offsets: np.ndarray, k: int):
+    """Strict k-token windows per doc → 128-bit (h1, h2) gram keys.
+
+    Docs with fewer than k tokens contribute no grams (unlike the
+    MinHash shingler's zero-padded short-doc window — span dedup wants
+    exact spans only). Returns (h1, h2, doc_of_gram), per-doc distinct.
+    """
+    h1, h2, doc_of, _pos = _gram_occurrences(flat, offsets, k)
+    total = len(h1)
+    if total == 0:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z, np.empty(0, dtype=np.int64)
     # per-doc distinct on the 128-bit key
     order = np.lexsort((h2, h1, doc_of))
     d_s, h1_s, h2_s = doc_of[order], h1[order], h2[order]
@@ -381,6 +397,136 @@ def dup_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
     return (base.union(dups)
             .repartition(num_partitions, keys=[id_col])
             .map_batches(merge_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+def dup_span_rewrite(ds, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 5, num_partitions: int = 32):
+    """Exact substring dedup with document rewrite (Lee et al. 2022):
+    every k-token gram occurrence except the corpus-wide FIRST one
+    (lexicographic min (doc_id, pos)) marks its k tokens for removal;
+    each document is rewritten keeping only unmarked tokens.
+
+    Output: (doc_id, new_text, n_tokens, n_removed) for every doc with
+    at least one token. A gram repeated within one doc keeps only its
+    first occurrence too, so intra-doc repetition is also removed.
+
+    Plan (three keyed shuffles, nothing all-to-all, no broadcast):
+    gram pass emits every occurrence (h1, h2, doc, pos) → shuffle on
+    the gram hash → per-group fold keeps the (doc, pos)-min occurrence
+    and emits the rest as removable (doc, pos) rows → removable rows
+    are tagged-unioned with the raw docs and shuffled on doc_id → the
+    rewrite fold builds a per-doc coverage mask with a diff-array
+    (+1 at span start, −1 past span end, covered = running sum > 0)
+    and reassembles kept tokens with zero-loop ListArray binary_join.
+    128-bit gram identity as in dup_span_stats (collision odds
+    ~2^-64·n² — negligible at 10^12 grams).
+    """
+    z64 = pa.array([], type=pa.int64())
+    _REMOVABLE = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+    _OUT = pa.schema([("doc_id", pa.int64()), ("new_text", pa.string()),
+                      ("n_tokens", pa.int64()), ("n_removed", pa.int64())])
+
+    def gram_pass(batch: pa.Table) -> pa.Table:
+        flat, offsets = _tokens_of(batch.column(text_col))
+        h1, h2, doc_of, pos = _gram_occurrences(flat, offsets, k)
+        if len(h1) == 0:
+            return pa.table({"h1": pa.array([], type=pa.uint64()),
+                             "h2": pa.array([], type=pa.uint64()),
+                             "doc_id": z64, "pos": z64})
+        ids = as_array(batch.column(id_col)).take(pa.array(doc_of))
+        return pa.table({"h1": pa.array(h1, type=pa.uint64()),
+                         "h2": pa.array(h2, type=pa.uint64()),
+                         "doc_id": ids.cast(pa.int64()),
+                         "pos": pa.array(pos, type=pa.int64())})
+
+    def removable_fold(batch: pa.Table) -> pa.Table:
+        """Block holds complete gram groups (keyed by h1). Keep the
+        lexicographic-min (doc_id, pos) occurrence per 128-bit gram;
+        every other occurrence is removable."""
+        if len(batch) == 0:
+            return _REMOVABLE.empty_table()
+        h1 = batch.column("h1").to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc, h2, h1))
+        h1_s, h2_s = h1[order], h2[order]
+        first = np.ones(len(h1_s), dtype=bool)
+        first[1:] = (h1_s[1:] != h1_s[:-1]) | (h2_s[1:] != h2_s[:-1])
+        drop = order[~first]
+        if len(drop) == 0:
+            return _REMOVABLE.empty_table()
+        return pa.table({"doc_id": pa.array(doc[drop], type=pa.int64()),
+                         "pos": pa.array(pos[drop], type=pa.int64())})
+
+    removable = (ds.select_columns([id_col, text_col])
+                 .map_batches(gram_pass, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .repartition(num_partitions, keys=["h1"])
+                 .map_batches(removable_fold, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+                 .map_batches(lambda b: pa.table({
+                     "doc_id": b.column("doc_id"),
+                     "txt": pa.nulls(len(b), pa.string()),
+                     "pos": b.column("pos")}),
+                     batch_format="pyarrow", zero_copy_batch=True))
+
+    docs = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: pa.table({
+            "doc_id": as_array(b.column(id_col)).cast(pa.int64()),
+            "txt": as_array(b.column(text_col)).cast(pa.string()),
+            "pos": pa.array(np.full(len(b), -1, dtype=np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def rewrite_fold(batch: pa.Table) -> pa.Table:
+        """Block holds every row (doc + removable) of its doc_ids."""
+        if len(batch) == 0:
+            return _OUT.empty_table()
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        is_doc = pos == -1
+        doc_rows = batch.filter(pa.array(is_doc))
+        if len(doc_rows) == 0:
+            return _OUT.empty_table()
+        flat, offsets = _tokens_of(doc_rows.column("txt"))
+        n_docs = len(doc_rows)
+        n_tok = np.diff(offsets)
+        # map removable rows to doc-row index
+        doc_ids = doc_rows.column("doc_id").to_numpy(zero_copy_only=False)
+        rm = batch.filter(pa.array(~is_doc))
+        delta = np.zeros(int(offsets[-1]) + 1, dtype=np.int64)
+        if len(rm):
+            rm_doc = rm.column("doc_id").to_numpy(zero_copy_only=False)
+            rm_pos = rm.column("pos").to_numpy(zero_copy_only=False)
+            sorter = np.argsort(doc_ids, kind="stable")
+            idx = sorter[np.searchsorted(doc_ids, rm_doc, sorter=sorter)]
+            starts = offsets[idx] + (rm_pos - 1)
+            stops = offsets[idx] + np.minimum(rm_pos - 1 + k, n_tok[idx])
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, stops, -1)
+        covered = np.cumsum(delta)[:-1] > 0
+        kept = ~covered
+        n_removed = np.zeros(n_docs, dtype=np.int64)
+        n_kept = np.zeros(n_docs, dtype=np.int64)
+        if int(offsets[-1]):
+            doc_of_tok = np.repeat(np.arange(n_docs), n_tok)
+            n_removed = np.bincount(doc_of_tok[covered], minlength=n_docs)
+            n_kept = np.bincount(doc_of_tok[kept], minlength=n_docs)
+        kept_flat = flat.filter(pa.array(kept))
+        kept_off = np.concatenate(
+            [[0], np.cumsum(n_kept)]).astype(np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(kept_off, type=pa.int32()), kept_flat)
+        new_text = pc.binary_join(lists, " ")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "new_text": new_text,
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "n_removed": pa.array(n_removed.astype(np.int64))})
+
+    return (docs.union(removable)
+            .repartition(num_partitions, keys=["doc_id"])
+            .map_batches(rewrite_fold, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True))
 
 

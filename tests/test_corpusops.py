@@ -12,7 +12,7 @@ import pyarrow as pa
 import pytest
 
 from apache_datasketches_go_ray.stages.corpusops import (
-    dsir_importance, dup_span_stats, tfidf_top_terms)
+    dsir_importance, dup_span_rewrite, dup_span_stats, tfidf_top_terms)
 
 
 def _docs_table():
@@ -106,6 +106,58 @@ def test_dup_span_stats_matches_brute_force(ray_session):
     assert per[0] >= 3 and per[1] >= 3
     # every doc row present, including the empty doc (0/0/0.0)
     assert len(got) == 60 and per[2] == 0
+
+
+def _brute_rewrite(tbl, k):
+    """Keep-first exact substring dedup: every k-gram occurrence after
+    the corpus-wide (doc_id, pos)-min marks its k tokens covered."""
+    docs = {i: t.split() for i, t in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())}
+    first = {}
+    for d in sorted(docs):
+        toks = docs[d]
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p:p + k])
+            if g not in first:
+                first[g] = (d, p)
+    rows = []
+    for d, toks in docs.items():
+        covered = [False] * len(toks)
+        for p in range(len(toks) - k + 1):
+            if first[tuple(toks[p:p + k])] != (d, p):
+                for j in range(p, p + k):
+                    covered[j] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        rows.append((d, " ".join(kept), len(toks), sum(covered)))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("parts", [3, 11])
+def test_dup_span_rewrite_matches_brute_force(ray_session, parts):
+    tbl = _docs_table()
+    out = dup_span_rewrite(_ds(tbl), k=3, num_partitions=parts).to_pandas()
+    got = sorted(zip(out["doc_id"], out["new_text"], out["n_tokens"],
+                     out["n_removed"]))
+    exp = _brute_rewrite(tbl, 3)
+    assert got == exp
+    # the planted shared span was actually removed from the later doc
+    per = {d: nr for d, _, _, nr in got}
+    assert per[1] >= 3 and per[0] == 0 or per[0] >= 3  # one side rewritten
+    # every doc present, empty doc passes through as ''
+    assert len(got) == 60
+    assert dict((d, t) for d, t, _, _ in got)[2] == ""
+
+
+def test_dup_span_rewrite_intra_doc(ray_session):
+    # a gram repeated within ONE doc keeps only its first occurrence
+    tbl = pa.table({
+        "doc_id": pa.array([7], type=pa.int64()),
+        "text": pa.array(["a b c x a b c"], type=pa.string()),
+    })
+    out = dup_span_rewrite(_ds(tbl, blocks=1), k=3,
+                           num_partitions=2).to_pandas()
+    assert list(out["new_text"]) == ["a b c x"]
+    assert list(out["n_removed"]) == [3]
 
 
 def _brute_dsir(tbl, target="en"):
