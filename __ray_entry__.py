@@ -4357,6 +4357,37 @@ def _q_dup_span_stats(sf_dir: str):
                           k=13, num_partitions=16)
 
 
+def _q_embedding_label_centroids(sf_dir: str):
+    """Exact per-label centroid vectors, long format: block-local
+    per-label sum partials → label-keyed fold; floats DOUBLE-cast on
+    both engines and rounded half-up at 1e-4."""
+    from apache_datasketches_go_ray.stages.embops import label_centroids
+
+    return label_centroids(
+        _read(sf_dir, "embeddings", ["embedding", "label"]),
+        num_partitions=8)
+
+
+def _q_embedding_centroid_confusion(sf_dir: str):
+    """Nearest-centroid assignment by cosine (ties → smallest label):
+    tiny centroid matrix driver-folded once and ray.put-broadcast to
+    the scan; only integer counts cross engines."""
+    from apache_datasketches_go_ray.stages.embops import centroid_confusion
+
+    return centroid_confusion(
+        _read(sf_dir, "embeddings", ["embedding", "label"]),
+        num_partitions=8)
+
+
+def _q_embedding_norm_stats(sf_dir: str):
+    """Per-label L2-norm n/mean/min/max (un-normalized batch detector)."""
+    from apache_datasketches_go_ray.stages.embops import norm_stats_by_label
+
+    return norm_stats_by_label(
+        _read(sf_dir, "embeddings", ["embedding", "label"]),
+        num_partitions=8)
+
+
 def _q_dup_span_rewrite(sf_dir: str):
     """Exact substring dedup with document rewrite (Lee et al. 2022):
     every 5-token gram occurrence after the corpus-wide first is
@@ -5514,6 +5545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_rewrite": _q_dup_span_rewrite,
+        "embedding_label_centroids": _q_embedding_label_centroids,
+        "embedding_centroid_confusion": _q_embedding_centroid_confusion,
+        "embedding_norm_stats": _q_embedding_norm_stats,
         "dsir_importance": _q_dsir_importance,
     }
 
@@ -7264,6 +7298,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN per_doc p USING (doc_id)
             LEFT JOIN dup_per_doc x USING (doc_id)
+        """,
+        "embedding_label_centroids": """
+            WITH u AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings
+            )
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   floor(sum(x) / count(*) * 10000 + 0.5) / 10000
+                     AS centroid
+            FROM u GROUP BY label, dim
+        """,
+        "embedding_centroid_confusion": """
+            WITH e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings
+            ), cent AS (
+              SELECT label, dim, sum(x) / count(*) AS c
+              FROM (SELECT label, unnest(emb) AS x,
+                           unnest(range(1, len(emb) + 1)) AS dim
+                    FROM e)
+              GROUP BY label, dim
+            ), cvec AS (
+              SELECT label, list(c ORDER BY dim) AS cv
+              FROM cent GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, e.label, cv.label AS cand,
+                     list_cosine_similarity(e.emb, cv.cv) AS score
+              FROM e CROSS JOIN cvec cv
+            ), pick AS (
+              SELECT vec_id, label, cand,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY score DESC, cand ASC)
+                       AS rn
+              FROM scored
+            )
+            SELECT label, cand AS assigned, CAST(count(*) AS BIGINT) AS n
+            FROM pick WHERE rn = 1 GROUP BY label, cand
+        """,
+        "embedding_norm_stats": """
+            WITH e AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     sqrt(list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[]))) AS nr
+              FROM embeddings
+            )
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   floor(avg(nr) * 10000 + 0.5) / 10000 AS mean_norm,
+                   floor(min(nr) * 10000 + 0.5) / 10000 AS min_norm,
+                   floor(max(nr) * 10000 + 0.5) / 10000 AS max_norm
+            FROM e GROUP BY label
         """,
         "dup_span_rewrite": r"""
             WITH t AS (
