@@ -4357,6 +4357,26 @@ def _q_dup_span_stats(sf_dir: str):
                           k=13, num_partitions=16)
 
 
+def _q_oov_rate(sf_dir: str):
+    """Per-doc OOV rate vs the corpus's own top-10 vocabulary (count
+    desc, token asc at the cut): token-keyed count fold → per-block
+    partial top-N → driver merge → ray.put broadcast → one vectorized
+    pc.is_in membership pass."""
+    from apache_datasketches_go_ray.stages.corpusops import oov_rate
+
+    return oov_rate(_read(sf_dir, "documents", ["doc_id", "text"]),
+                    vocab_size=10, num_partitions=16)
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Per-source Zipf rank-frequency slope over the top-20 tokens
+    (OLS of ln(count) on ln(rank); regr_slope parity)."""
+    from apache_datasketches_go_ray.stages.corpusops import zipf_slope
+
+    return zipf_slope(_read(sf_dir, "documents", ["source", "text"]),
+                      group_col="source", top_r=20, num_partitions=16)
+
+
 def _q_embedding_label_centroids(sf_dir: str):
     """Exact per-label centroid vectors, long format: block-local
     per-label sum partials → label-keyed fold; floats DOUBLE-cast on
@@ -5545,6 +5565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_rewrite": _q_dup_span_rewrite,
+        "oov_rate_docs": _q_oov_rate,
+        "zipf_slope_by_source": _q_zipf_slope,
         "embedding_label_centroids": _q_embedding_label_centroids,
         "embedding_centroid_confusion": _q_embedding_centroid_confusion,
         "embedding_norm_stats": _q_embedding_norm_stats,
@@ -7298,6 +7320,52 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN per_doc p USING (doc_id)
             LEFT JOIN dup_per_doc x USING (doc_id)
+        """,
+        "oov_rate_docs": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, count(*) AS c FROM tok GROUP BY token
+            ), vocab AS (
+              SELECT token FROM cnt ORDER BY c DESC, token ASC LIMIT 10
+            ), per AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(*) FILTER (WHERE token NOT IN
+                       (SELECT token FROM vocab)) AS n_oov
+              FROM tok GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+                   floor(COALESCE(p.n_oov, 0) * 1.0 /
+                         greatest(COALESCE(p.n_tokens, 0), 1)
+                         * 10000 + 0.5) / 10000 AS oov_rate
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "zipf_slope_by_source": r"""
+            WITH tok AS (
+              SELECT source, unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS token
+              FROM documents
+            ), cnt AS (
+              SELECT source, token, count(*) AS c
+              FROM tok GROUP BY source, token
+            ), rk AS (
+              SELECT source, c,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY c DESC, token ASC) AS r
+              FROM cnt
+            ), top AS (
+              SELECT * FROM rk WHERE r <= 20
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                   floor(regr_slope(ln(c), ln(r)) * 10000 + 0.5) / 10000
+                     AS zipf_slope
+            FROM top GROUP BY source HAVING count(*) >= 2
         """,
         "embedding_label_centroids": """
             WITH u AS (

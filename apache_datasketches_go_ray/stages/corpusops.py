@@ -531,6 +531,193 @@ def dup_span_rewrite(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# OOV rate vs corpus top-N vocabulary
+# ---------------------------------------------------------------------------
+
+def oov_rate(ds, id_col: str = "doc_id", text_col: str = "text",
+             vocab_size: int = 1000, num_partitions: int = 32):
+    """Per-doc out-of-vocabulary rate against the corpus's own top-N
+    vocabulary (count desc, token asc at the cut — deterministic).
+
+    The tokenizer-fit signal: docs whose tokens mostly fall outside the
+    corpus head vocabulary are boilerplate, foreign-language, or junk.
+
+    Plan: block-local token-count partials → token-keyed fold →
+    per-block partial top-N → driver merge of ≤N×blocks rows → vocab
+    broadcast via ``ray.put`` → one vectorized membership pass
+    (``pc.is_in`` + bincount) over the docs. Output (doc_id, n_tokens,
+    n_oov, oov_rate) for every doc, zero-token docs as (0, 0, 0.0).
+    """
+    import ray
+
+    from .context import gather_table
+
+    _CNT = pa.schema([("token", pa.string()), ("c", pa.int64())])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _tokens_of(batch.column(text_col))
+        if len(flat) == 0:
+            return _CNT.empty_table()
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        c = np.bincount(codes, minlength=len(d.dictionary))
+        return pa.table({"token": d.dictionary.cast(pa.string()),
+                         "c": pa.array(c, type=pa.int64())})
+
+    def count_fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _CNT.empty_table()
+        g = batch.group_by("token").aggregate([("c", "sum")])
+        return pa.table({"token": g.column("token"),
+                         "c": g.column("c_sum").cast(pa.int64())})
+
+    def top_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) <= vocab_size:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("c", "descending"), ("token", "ascending")])
+        return batch.take(idx.slice(0, vocab_size))
+
+    tops = gather_table(
+        ds.select_columns([text_col])
+        .map_batches(count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .repartition(num_partitions, keys=["token"])
+        .map_batches(count_fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+        .map_batches(top_partial, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True),
+        schema=_CNT)
+    idx = pc.sort_indices(tops, sort_keys=[
+        ("c", "descending"), ("token", "ascending")])
+    vocab = tops.take(idx.slice(0, vocab_size)).column(
+        "token").combine_chunks()
+    vocab_ref = ray.put(vocab)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "n_oov": pa.array([], type=pa.int64()),
+                             "oov_rate": pa.array([], type=pa.float64())})
+        flat, offsets = _tokens_of(batch.column(text_col))
+        n_tok = np.diff(offsets)
+        n_oov = np.zeros(len(batch), dtype=np.int64)
+        if len(flat):
+            v = ray.get(vocab_ref)
+            oov = pc.invert(pc.is_in(flat, value_set=v)).to_numpy(
+                zero_copy_only=False)
+            doc_of = np.repeat(np.arange(len(batch)), n_tok)
+            n_oov = np.bincount(doc_of[oov], minlength=len(batch))
+        rate = _round4(n_oov / np.maximum(n_tok, 1))
+        return pa.table({
+            "doc_id": as_array(batch.column(id_col)).cast(pa.int64()),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "n_oov": pa.array(n_oov.astype(np.int64)),
+            "oov_rate": pa.array(rate, type=pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        annotate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# per-source Zipf (rank-frequency) slope
+# ---------------------------------------------------------------------------
+
+def zipf_slope(ds, text_col: str = "text", group_col: str = "source",
+               top_r: int = 200, num_partitions: int = 32):
+    """OLS slope of ln(count) on ln(rank) over each group's top-``top_r``
+    tokens (count desc, token asc rank order) — the rank-frequency
+    exponent; natural text sits near −1, templated/generated text drifts.
+
+    Plan: block-local (group, token) count partials → token-keyed fold
+    (same token+group always co-located) → group-keyed shuffle →
+    in-block sort/top/regression. Output (group, n_terms, zipf_slope)
+    for groups with ≥2 ranked terms; slope rounded half-up to 4
+    decimals (population-covariance formula — regr_slope parity).
+    """
+    _CNT = pa.schema([(group_col, pa.string()), ("token", pa.string()),
+                      ("c", pa.int64())])
+    _OUT = pa.schema([(group_col, pa.string()), ("n_terms", pa.int64()),
+                      ("zipf_slope", pa.float64())])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _tokens_of(batch.column(text_col))
+        if len(flat) == 0:
+            return _CNT.empty_table()
+        grp = as_array(batch.column(group_col)).cast(pa.string())
+        doc_of = np.repeat(np.arange(len(batch)), np.diff(offsets))
+        t = pa.table({group_col: grp.take(pa.array(doc_of)),
+                      "token": flat})
+        g = t.group_by([group_col, "token"]).aggregate([([], "count_all")])
+        return pa.table({group_col: g.column(group_col),
+                         "token": g.column("token"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    def count_fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _CNT.empty_table()
+        g = batch.group_by([group_col, "token"]).aggregate([("c", "sum")])
+        return pa.table({group_col: g.column(group_col),
+                         "token": g.column("token"),
+                         "c": g.column("c_sum").cast(pa.int64())})
+
+    def slope_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _OUT.empty_table()
+        idx = pc.sort_indices(batch, sort_keys=[
+            (group_col, "ascending"), ("c", "descending"),
+            ("token", "ascending")])
+        t = batch.take(idx)
+        grp = as_array(t.column(group_col))
+        codes = as_array(pc.dictionary_encode(grp)).indices.to_numpy(
+            zero_copy_only=False)
+        pos = np.arange(len(codes), dtype=np.int64)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]])
+        start = np.maximum.accumulate(np.where(new, pos, 0))
+        rank = pos - start + 1
+        keep = rank <= top_r
+        codes_k, rank_k = codes[keep], rank[keep]
+        c_k = t.column("c").to_numpy(zero_copy_only=False)[keep]
+        n_grp = int(codes_k[-1]) + 1 if len(codes_k) else 0
+        n_terms = np.bincount(codes_k, minlength=n_grp)
+        x, y = np.log(rank_k.astype(np.float64)), np.log(
+            c_k.astype(np.float64))
+        sx = np.bincount(codes_k, weights=x, minlength=n_grp)
+        sy = np.bincount(codes_k, weights=y, minlength=n_grp)
+        sxx = np.bincount(codes_k, weights=x * x, minlength=n_grp)
+        sxy = np.bincount(codes_k, weights=x * y, minlength=n_grp)
+        nn = n_terms.astype(np.float64)
+        ok = n_terms >= 2
+        varx = sxx - sx * sx / np.maximum(nn, 1)
+        cov = sxy - sx * sy / np.maximum(nn, 1)
+        slope = _round4(cov[ok] / varx[ok])
+        first_of = start[keep][np.concatenate(
+            [[True], codes_k[1:] != codes_k[:-1]])] if len(codes_k) else []
+        grp_names = grp.take(pa.array(np.asarray(first_of,
+                                                 dtype=np.int64)))
+        okm = ok[np.unique(codes_k)] if len(codes_k) else np.array(
+            [], dtype=bool)
+        return pa.table({
+            group_col: grp_names.filter(pa.array(okm)),
+            "n_terms": pa.array(n_terms[np.unique(codes_k)][okm]
+                                .astype(np.int64)),
+            "zipf_slope": pa.array(slope, type=pa.float64())})
+
+    return (ds.select_columns([group_col, text_col])
+            .map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(num_partitions, keys=["token"])
+            .map_batches(count_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(max(num_partitions // 4, 1), keys=[group_col])
+            .map_batches(slope_block, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights
 # ---------------------------------------------------------------------------
 

@@ -12,7 +12,8 @@ import pyarrow as pa
 import pytest
 
 from apache_datasketches_go_ray.stages.corpusops import (
-    dsir_importance, dup_span_rewrite, dup_span_stats, tfidf_top_terms)
+    dsir_importance, dup_span_rewrite, dup_span_stats, oov_rate,
+    tfidf_top_terms, zipf_slope)
 
 
 def _docs_table():
@@ -158,6 +159,65 @@ def test_dup_span_rewrite_intra_doc(ray_session):
                            num_partitions=2).to_pandas()
     assert list(out["new_text"]) == ["a b c x"]
     assert list(out["n_removed"]) == [3]
+
+
+def _brute_oov(tbl, vocab_size):
+    docs = {i: t.split() for i, t in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())}
+    cnt = {}
+    for toks in docs.values():
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+    vocab = set(t for _, t in sorted(
+        ((-c, t) for t, c in cnt.items()))[:vocab_size])
+    rows = []
+    for d, toks in docs.items():
+        noov = sum(1 for t in toks if t not in vocab)
+        rows.append((d, len(toks), noov, _r4(noov / max(len(toks), 1))))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("vocab_size", [10, 1000])
+def test_oov_rate_matches_brute(ray_session, vocab_size):
+    tbl = _docs_table()
+    out = oov_rate(_ds(tbl), vocab_size=vocab_size,
+                   num_partitions=5).to_pandas()
+    got = sorted(zip(out["doc_id"], out["n_tokens"], out["n_oov"],
+                     out["oov_rate"]))
+    assert got == _brute_oov(tbl, vocab_size)
+    assert len(got) == 60  # zero-token doc included
+
+
+def _brute_zipf(tbl, top_r):
+    by_src = {}
+    for s, t in zip(tbl.column("lang").to_pylist(),
+                    tbl.column("text").to_pylist()):
+        c = by_src.setdefault(s, {})
+        for tok in t.split():
+            c[tok] = c.get(tok, 0) + 1
+    rows = []
+    for s, cnt in by_src.items():
+        ranked = sorted(((-c, t) for t, c in cnt.items()))[:top_r]
+        if len(ranked) < 2:
+            continue
+        x = np.log(np.arange(1, len(ranked) + 1, dtype=np.float64))
+        y = np.log(np.array([-c for c, _ in ranked], dtype=np.float64))
+        slope = (((x - x.mean()) * (y - y.mean())).sum()
+                 / ((x - x.mean()) ** 2).sum())
+        rows.append((s, len(ranked), _r4(slope)))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("top_r", [5, 200])
+def test_zipf_slope_matches_brute(ray_session, top_r):
+    tbl = _docs_table()
+    out = zipf_slope(_ds(tbl), group_col="lang", top_r=top_r,
+                     num_partitions=6).to_pandas()
+    got = sorted(zip(out["lang"], out["n_terms"], out["zipf_slope"]))
+    exp = _brute_zipf(tbl, top_r)
+    assert [(s, n) for s, n, _ in got] == [(s, n) for s, n, _ in exp]
+    for (_, _, a), (_, _, b) in zip(got, exp):
+        assert abs(a - b) < 2e-4
 
 
 def _brute_dsir(tbl, target="en"):
