@@ -286,9 +286,31 @@ def hash_strings(strings, seed: int = DEFAULT_UPDATE_SEED) -> tuple[np.ndarray, 
     mat = np.zeros((n, padded), dtype=np.uint8)
     total = int(lengths.sum())
     if total:
-        row = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        cum = np.concatenate(([0], np.cumsum(lengths)))[:-1]
-        pos = np.arange(total, dtype=np.int64) - np.repeat(cum, lengths)
-        src = np.repeat(offs[:-1], lengths) + pos
-        mat.ravel()[row * padded + pos] = vals[src]
+        # Chunk the scatter over row ranges so the index temporaries stay
+        # ~8M elements regardless of total bytes — the single-shot form
+        # allocates several total-sized int64 arrays (gigabytes for a
+        # block of long texts) and stalls superlinearly on allocation.
+        flat = mat.ravel()
+        cum = np.concatenate(([0], np.cumsum(lengths)))
+        chunk_rows = max(1, int(8_000_000 // max(total // n, 1)))
+        ar_full = np.arange(min(total, chunk_rows * maxlen + maxlen),
+                            dtype=np.int64)
+        rows_full = np.arange(n, dtype=np.int64) * padded
+        for r0 in range(0, n, chunk_rows):
+            r1 = min(r0 + chunk_rows, n)
+            lens_c = lengths[r0:r1]
+            tot_c = int(cum[r1] - cum[r0])
+            if tot_c == 0:
+                continue
+            ar = ar_full[:tot_c]
+            rel = cum[r0:r1] - cum[r0]
+            dst = ar + np.repeat(rows_full[r0:r1] - rel, lens_c)
+            if int(offs[r1] - offs[r0]) == tot_c:
+                # dense offsets (no gaps): the chunk's source bytes are
+                # one contiguous slice — no gather needed
+                chunk_vals = vals[int(offs[r0]): int(offs[r0]) + tot_c]
+            else:
+                chunk_vals = vals[ar + np.repeat(offs[r0:r1] - rel,
+                                                 lens_c)]
+            flat[dst] = chunk_vals
     return murmur3_128_mat(mat, lengths, seed)
