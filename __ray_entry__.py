@@ -4357,6 +4357,22 @@ def _q_dup_span_stats(sf_dir: str):
                           k=13, num_partitions=16)
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy (nats, r4) — map-only block op."""
+    from apache_datasketches_go_ray.stages.textops import token_entropy_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_entropy_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_max_token_run(sf_dir: str):
+    """Per-doc longest identical-consecutive-token run — map-only."""
+    from apache_datasketches_go_ray.stages.textops import max_token_run_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        max_token_run_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_oov_rate(sf_dir: str):
     """Per-doc OOV rate vs the corpus's own top-10 vocabulary (count
     desc, token asc at the cut): token-keyed count fold → per-block
@@ -5565,6 +5581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_rewrite": _q_dup_span_rewrite,
+        "token_entropy_docs": _q_token_entropy,
+        "max_token_run_docs": _q_max_token_run,
         "oov_rate_docs": _q_oov_rate,
         "zipf_slope_by_source": _q_zipf_slope,
         "embedding_label_centroids": _q_embedding_label_centroids,
@@ -7320,6 +7338,61 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN per_doc p USING (doc_id)
             LEFT JOIN dup_per_doc x USING (doc_id)
+        """,
+        "token_entropy_docs": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS token
+              FROM documents
+            ), c AS (
+              SELECT doc_id, token, count(*) AS c
+              FROM tok GROUP BY doc_id, token
+            ), n AS (
+              SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id
+            ), e AS (
+              SELECT c.doc_id,
+                     -sum((c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n))
+                       AS ent,
+                     any_value(n.n) AS n
+              FROM c JOIN n USING (doc_id) GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(e.n, 0) AS BIGINT) AS n_tokens,
+                   floor(COALESCE(e.ent, 0.0) * 10000 + 0.5) / 10000
+                     AS entropy
+            FROM documents d LEFT JOIN e USING (doc_id)
+        """,
+        "max_token_run_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks))) AS i,
+                     unnest(toks) AS tokval
+              FROM t WHERE len(toks) >= 1
+            ), fl AS (
+              SELECT doc_id, i, tokval,
+                     CASE WHEN lag(tokval) OVER (PARTITION BY doc_id
+                                                 ORDER BY i) = tokval
+                          THEN 0 ELSE 1 END AS brk
+              FROM tok
+            ), grp AS (
+              SELECT doc_id, i, tokval,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+              FROM fl
+            ), runs AS (
+              SELECT doc_id, count(*) AS rl
+              FROM grp GROUP BY doc_id, g
+            ), mx AS (
+              SELECT doc_id, max(rl) AS max_run FROM runs GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(m.max_run, 0) AS BIGINT) AS max_run
+            FROM documents d LEFT JOIN mx m USING (doc_id)
         """,
         "oov_rate_docs": r"""
             WITH tok AS (

@@ -387,6 +387,64 @@ def bpe_token_count_batch(batch: pa.Table,
     return batch.append_column("n_bpe_tokens", counts.cast(pa.int64()))
 
 
+def token_entropy_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Per-doc unigram Shannon entropy (nats), rounded half-up at 1e-4
+    — the degenerate-repetition / vocabulary-richness signal. Map-only,
+    vectorized: one dictionary-encode + np.unique over (doc, code)
+    pairs per block; zero-token docs emit 0.0."""
+    from .corpusops import _tokens_of
+
+    flat, offsets = _tokens_of(batch.column(text_col))
+    n_tok = np.diff(offsets)
+    n = len(batch)
+    ent = np.zeros(n, dtype=np.float64)
+    if len(flat):
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+        key = doc_of * (int(codes.max()) + 1) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        dk = uk // (int(codes.max()) + 1)
+        p = cnt / n_tok[dk]
+        np.add.at(ent, dk, -p * np.log(p))
+        ent = np.floor(ent * 10000.0 + 0.5) / 10000.0
+    return pa.table({
+        id_col: as_array(batch.column(id_col)).cast(pa.int64()),
+        "n_tokens": pa.array(n_tok.astype(np.int64)),
+        "entropy": pa.array(ent, type=pa.float64())})
+
+
+def max_token_run_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Per-doc longest run of identical consecutive tokens (the
+    'aaaa aaaa …' degeneracy detector). Vectorized run-length encoding
+    over the flat token stream; zero-token docs emit 0."""
+    from .corpusops import _tokens_of
+
+    flat, offsets = _tokens_of(batch.column(text_col))
+    n_tok = np.diff(offsets)
+    n = len(batch)
+    out = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+        m = len(codes)
+        brk = np.ones(m, dtype=bool)
+        brk[1:] = (codes[1:] != codes[:-1]) | (doc_of[1:] != doc_of[:-1])
+        starts = np.flatnonzero(brk)
+        run_len = np.diff(np.concatenate([starts, [m]]))
+        np.maximum.at(out, doc_of[starts], run_len)
+    return pa.table({
+        id_col: as_array(batch.column(id_col)).cast(pa.int64()),
+        "max_run": pa.array(out)})
+
+
 def normalize_text_batch(batch: pa.Table, text_col: str = "text",
                          id_col: str = "doc_id") -> pa.Table:
     """Canonical text cleaning for dedup/shingling: lowercase, strip

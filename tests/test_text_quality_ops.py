@@ -110,3 +110,60 @@ def test_compression_ratio_batch():
     # sliced-batch (non-zero Arrow offset) parity
     out2 = compression_ratio_batch(b.slice(1))
     assert out2.to_pylist() == out.slice(1).to_pylist()
+
+
+def test_token_entropy_batch_matches_brute():
+    import math
+
+    from apache_datasketches_go_ray.stages.textops import token_entropy_batch
+
+    texts = ["a a a a", "a b c d", "a a b b c", "", "  ", "x"]
+    b = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = token_entropy_batch(b)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        cnt = {}
+        for tok in toks:
+            cnt[tok] = cnt.get(tok, 0) + 1
+        ent = -sum((c / len(toks)) * math.log(c / len(toks))
+                   for c in cnt.values()) if toks else 0.0
+        ent = math.floor(ent * 10000 + 0.5) / 10000
+        assert rows[i]["n_tokens"] == len(toks)
+        assert rows[i]["entropy"] == ent
+    # sliced-batch parity
+    out2 = token_entropy_batch(b.slice(2))
+    assert out2.to_pylist() == out.slice(2).to_pylist()
+
+
+def test_max_token_run_batch_matches_brute():
+    from apache_datasketches_go_ray.stages.textops import max_token_run_batch
+
+    texts = ["a a a b b", "a b a b", "", "z", "q q q q q q", "a a b b b"]
+    b = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = max_token_run_batch(b)
+    rows = {r["doc_id"]: r["max_run"] for r in out.to_pylist()}
+    def brute(t):
+        toks = t.split()
+        best = run = 0
+        prev = None
+        for x in toks:
+            run = run + 1 if x == prev else 1
+            best = max(best, run)
+            prev = x
+        return best
+    for i, t in enumerate(texts):
+        assert rows[i] == brute(t), (i, t)
+    # runs never merge across doc boundaries
+    b2 = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["c c", "c c"], type=pa.string()),
+    })
+    assert [r["max_run"] for r in max_token_run_batch(b2).to_pylist()] \
+        == [2, 2]
