@@ -4087,6 +4087,75 @@ def _q_template_dups(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_trailing_active_users(sf_dir: str):
+    """Trailing 7-day active users per day — the sliding *distinct*
+    window (an id counts once per window it falls in, not once per
+    day) that no single groupby expresses. Pre-distinct (day, user)
+    pairs expand to the <= 7 target days each covers, then a keyed
+    shuffle makes the expansion globally distinct; raw events never
+    re-ship. Exact counts, value-exact vs the SQL window."""
+    from apache_datasketches_go_ray.stages.windows import (
+        trailing_distinct_by_day,
+    )
+
+    return trailing_distinct_by_day(
+        _read(sf_dir, "events", ["ts", "user_id"]),
+        ts_col="ts", id_col="user_id", days=7, num_partitions=16)
+
+
+def _q_bigram_diversity_by_source(sf_dir: str):
+    """Per-source bigram type-token ratio (distinct adjacent token
+    pairs / total pairs) — the n-gram diversity score that flags
+    templated or machine-generated feeds (low diversity at high
+    volume). Distinct side rides the 2-level pre-distinct shuffle of
+    relational.distinct_count_by; totals are one tiny grouped
+    partial; a single x*1.0/y division keeps the DuckDB oracle
+    value-exact."""
+    from apache_datasketches_go_ray.stages.corpusops import (
+        ngram_diversity_by,
+    )
+
+    return ngram_diversity_by(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        group_col="source")
+
+
+def _q_nb_lang_token_probs(sf_dir: str):
+    """Distributed Naive-Bayes classifier training over (lang → token)
+    counts: the per-class Laplace-smoothed token likelihoods
+    p(token|lang) = (c+1)/(total_lang+V) for the top-10 tokens per
+    language — classifier *training as count aggregation*, the
+    mergeable-partials discipline of the reference's sketches
+    (hll/union.go:151-158) applied to supervised model fitting. All
+    intermediates are exact int64 counts; the single final division
+    makes the oracle value-exact."""
+    from apache_datasketches_go_ray.stages.corpusops import (
+        nb_token_likelihoods,
+    )
+
+    return nb_token_likelihoods(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        class_col="lang", top_k=10)
+
+
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training: learn the first 40 byte-pair merges of
+    the corpus (classic word-frequency BPE — Sennrich et al. 2016).
+    The distributed part is the exact word-frequency fold (the same
+    shuffle discipline as top_tokens); the merge loop then runs on the
+    bounded top-V word-frequency table, exactly how sentencepiece-style
+    trainers operate. Deterministic tie-break (count desc, pair
+    lexicographic asc); parity vs a single-process reference trainer is
+    pinned by pytest (iterative — no SQL equivalent, rows-only here)."""
+    from apache_datasketches_go_ray.stages.corpusops import (
+        bpe_learn_merges,
+    )
+
+    return bpe_learn_merges(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        n_merges=40, vocab_size=20000)
+
+
 def _q_cluster_size_histogram(sf_dir: str):
     """Dedup report: histogram of near-dup cluster sizes from the
     flagship pipeline output (rows-only: clusters are murmur-seeded).
@@ -5545,6 +5614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_collision_pairs": _q_turn_collision_pairs,
         "prompt_collisions": _q_prompt_collisions,
         "template_dups": _q_template_dups,
+        "trailing_active_users": _q_trailing_active_users,
+        "bigram_diversity_by_source": _q_bigram_diversity_by_source,
+        "nb_lang_token_probs": _q_nb_lang_token_probs,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -5589,6 +5661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_confusion": _q_embedding_centroid_confusion,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "dsir_importance": _q_dsir_importance,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -7173,6 +7246,59 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT conv_id) AS n_convs,
                    CAST(length(mtext) AS BIGINT) AS mtext_chars
             FROM m GROUP BY mtext HAVING count(*) >= 2
+        """,
+        "trailing_active_users": """
+            WITH du AS (
+              SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+              FROM events
+            ), days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+            FROM days d JOIN du u
+              ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+            GROUP BY d.day
+        """,
+        "bigram_diversity_by_source": r"""
+            WITH t AS (
+              SELECT source, list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT source, toks[i] || ' ' || toks[i+1] AS bigram
+              FROM t, LATERAL (
+                SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+              WHERE len(toks) >= 2
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct,
+                   count(DISTINCT bigram) * 1.0 / count(*) AS diversity
+            FROM bg GROUP BY source
+        """,
+        "nb_lang_token_probs": r"""
+            WITH tok AS (
+              SELECT lang, unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS token
+              FROM documents
+            ), cnt AS (
+              SELECT lang, token, count(*) AS c
+              FROM tok GROUP BY 1, 2
+            ), tot AS (
+              SELECT lang, sum(c) AS t FROM cnt GROUP BY 1
+            ), v AS (
+              SELECT count(DISTINCT token) AS v FROM tok
+            ), rk AS (
+              SELECT lang, token, c,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY c DESC, token) AS rn
+              FROM cnt
+            )
+            SELECT r.lang, r.token, CAST(r.c AS BIGINT) AS c,
+                   (r.c + 1) * 1.0 / (t.t + v.v) AS p
+            FROM rk r JOIN tot t ON r.lang = t.lang CROSS JOIN v
+            WHERE r.rn <= 10
         """,
         "events_hopping_window": """
             WITH w AS (

@@ -1113,3 +1113,413 @@ def source_vocab_overlap(ds, group_col: str = "source",
         "n_common": pa.array(nc),
         "jaccard": pa.array(jac, type=pa.float64()),
     })
+
+
+def _bigrams_of(col) -> pa.Array:
+    """Adjacent-token bigram strings ('left right') of a text column,
+    flattened across docs (cross-doc pairs masked out). Fully
+    vectorized: one whitespace split, two aligned slices of the flat
+    token array, one binary_join_element_wise."""
+    flat, offsets = _tokens_of(col)
+    n = len(flat)
+    if n < 2:
+        return pa.array([], type=pa.string())
+    left = flat.slice(0, n - 1)
+    right = flat.slice(1, n - 1)
+    joined = pc.binary_join_element_wise(left, right, " ")
+    mark = np.ones(n - 1, dtype=bool)
+    # position offsets[k]-1 would pair doc k-1's last token with doc
+    # k's first — mask it (guarding empty docs / 0 offsets)
+    bad = offsets[1:-1] - 1
+    bad = bad[(bad >= 0) & (bad < n - 1)]
+    mark[bad] = False
+    return as_array(joined).filter(pa.array(mark))
+
+
+def ngram_diversity_by(ds, group_col: str = "source",
+                       text_col: str = "text",
+                       num_partitions: int = 32):
+    """Per-group bigram type-token ratio: distinct adjacent token pairs
+    / total pairs — the n-gram diversity score that flags templated or
+    machine-generated feeds (low diversity at high volume).
+
+    Plan: one block pass pre-aggregates (group, bigram) counts →
+    (group, bigram)-keyed shuffle + sum fold makes counts exact →
+    per-block per-group partials (Σc, #rows) → tiny group-keyed fold.
+    Raw text never re-ships; the wide shuffle carries pre-shrunk
+    (group, bigram, c) rows only. diversity = n_distinct * 1.0 /
+    n_bigrams is a single division on exact int64s — value-exact vs
+    the SQL ``count(DISTINCT)/count(*)``.
+    """
+    from .context import auto_partitions
+
+    _CNT = pa.schema([(group_col, pa.string()),
+                      ("bigram", pa.string()), ("c", pa.int64())])
+    _PART = pa.schema([(group_col, pa.string()),
+                       ("n_bigrams", pa.int64()),
+                       ("n_distinct", pa.int64())])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _CNT.empty_table()
+        # bigrams per doc, then group rows repeated per doc's pairs
+        flat, offsets = _tokens_of(b.column(text_col))
+        n = len(flat)
+        if n < 2:
+            return _CNT.empty_table()
+        npairs = np.maximum(np.diff(offsets) - 1, 0)
+        grp = as_array(b.column(group_col)).take(
+            pa.array(np.repeat(np.arange(len(npairs)), npairs)))
+        bg = _bigrams_of(b.column(text_col))
+        t = pa.table({group_col: grp, "bigram": bg})
+        g = t.group_by([group_col, "bigram"]).aggregate(
+            [("bigram", "count")])
+        return pa.table({group_col: g.column(group_col),
+                         "bigram": g.column("bigram"),
+                         "c": g.column("bigram_count").cast(pa.int64())})
+
+    def count_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _CNT.empty_table()
+        g = b.group_by([group_col, "bigram"]).aggregate([("c", "sum")])
+        return pa.table({group_col: g.column(group_col),
+                         "bigram": g.column("bigram"),
+                         "c": g.column("c_sum").cast(pa.int64())})
+
+    def group_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _PART.empty_table()
+        g = b.group_by(group_col).aggregate(
+            [("c", "sum"), ("bigram", "count")])
+        return pa.table({group_col: g.column(group_col),
+                         "n_bigrams": g.column("c_sum").cast(pa.int64()),
+                         "n_distinct": g.column("bigram_count")
+                         .cast(pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "n_bigrams": pa.array([], type=pa.int64()),
+                             "n_distinct": pa.array([], type=pa.int64()),
+                             "diversity": pa.array([],
+                                                   type=pa.float64())})
+        g = b.group_by(group_col).aggregate(
+            [("n_bigrams", "sum"), ("n_distinct", "sum")])
+        nb = g.column("n_bigrams_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nd = g.column("n_distinct_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            group_col: g.column(group_col),
+            "n_bigrams": pa.array(nb, type=pa.int64()),
+            "n_distinct": pa.array(nd, type=pa.int64()),
+            "diversity": pa.array(nd * 1.0 / nb, type=pa.float64()),
+        })
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (
+        ds.select_columns([group_col, text_col])
+        .map_batches(count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .repartition(P, keys=[group_col, "bigram"])
+        .map_batches(count_fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+        .map_batches(group_partial, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+        .repartition(min(4, P), keys=[group_col])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def nb_token_likelihoods(ds, class_col: str = "lang",
+                         text_col: str = "text", top_k: int = 10,
+                         num_partitions: int = 32):
+    """Distributed Naive-Bayes classifier training: exact (class,
+    token) counts plus Laplace-smoothed likelihoods p(token|class) =
+    (c+1)/(total_class+V) for the ``top_k`` tokens per class.
+
+    Classifier *training as count aggregation* — the mergeable-partials
+    discipline of the reference's sketches (hll/union.go:151-158)
+    applied to supervised model fitting: every distributed intermediate
+    is an exact int64 count; the single final division happens once on
+    the driver, so the DuckDB oracle compares value-exact.
+
+    Plan: block-local (class, token) count partials → token-keyed
+    shuffle + sum fold (token-partitioned, so per-block distinct-token
+    counts and per-class partial totals are exact) → three tiny
+    driver folds (V, class totals, global top-k from per-block top-k
+    partials — ≤ top_k × classes × blocks rows ever gathered).
+    Output: (class, token, c, p), top_k rows per class, ties broken
+    (c desc, token asc).
+    """
+    from .context import auto_partitions, gather_table
+
+    _CNT = pa.schema([(class_col, pa.string()),
+                      ("token", pa.string()), ("c", pa.int64())])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _CNT.empty_table()
+        flat, offsets = _tokens_of(b.column(text_col))
+        if len(flat) == 0:
+            return _CNT.empty_table()
+        ntok = np.diff(offsets)
+        cls = as_array(b.column(class_col)).take(
+            pa.array(np.repeat(np.arange(len(ntok)), ntok)))
+        t = pa.table({class_col: cls, "token": flat})
+        g = t.group_by([class_col, "token"]).aggregate(
+            [("token", "count")])
+        return pa.table({class_col: g.column(class_col),
+                         "token": g.column("token"),
+                         "c": g.column("token_count").cast(pa.int64())})
+
+    def count_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _CNT.empty_table()
+        g = b.group_by([class_col, "token"]).aggregate([("c", "sum")])
+        return pa.table({class_col: g.column(class_col),
+                         "token": g.column("token"),
+                         "c": g.column("c_sum").cast(pa.int64())})
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    folded = (
+        ds.select_columns([class_col, text_col])
+        .map_batches(count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .repartition(P, keys=["token"])
+        .map_batches(count_fold, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+        .materialize())
+
+    # blocks are token-partitioned: a token lives in exactly one block,
+    # so per-block distinct-token counts sum to the global V exactly
+    def stats_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"kind": pa.array([], type=pa.string()),
+                             "key": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        nv = len(pc.unique(b.column("token")))
+        g = b.group_by(class_col).aggregate([("c", "sum")])
+        return pa.table({
+            "kind": pa.array(["V"] + ["T"] * len(g), type=pa.string()),
+            "key": pa.array(
+                [""] + g.column(class_col).to_pylist(),
+                type=pa.string()),
+            "n": pa.array(
+                [nv] + [int(x) for x in
+                        g.column("c_sum").to_pylist()],
+                type=pa.int64()),
+        })
+
+    stats = gather_table(
+        folded.map_batches(stats_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True),
+        schema=pa.schema([("kind", pa.string()), ("key", pa.string()),
+                          ("n", pa.int64())]))
+    kinds = stats.column("kind").to_numpy(zero_copy_only=False)
+    keys = stats.column("key").to_numpy(zero_copy_only=False)
+    ns = stats.column("n").to_numpy(zero_copy_only=False)
+    V = int(ns[kinds == "V"].sum())
+    totals: dict[str, int] = {}
+    for k, n in zip(keys[kinds == "T"], ns[kinds == "T"]):
+        totals[k] = totals.get(k, 0) + int(n)
+
+    def top_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _CNT.empty_table()
+        idx = pc.sort_indices(b, sort_keys=[
+            (class_col, "ascending"), ("c", "descending"),
+            ("token", "ascending")])
+        s = b.take(idx)
+        cls = s.column(class_col).to_numpy(zero_copy_only=False)
+        first = np.empty(len(cls), dtype=bool)
+        first[0] = True
+        np.not_equal(cls[1:], cls[:-1], out=first[1:])
+        pos = np.arange(len(cls)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(cls)), 0))
+        return s.filter(pa.array(pos < top_k))
+
+    tops = gather_table(
+        folded.map_batches(top_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True),
+        schema=_CNT)
+    idx = pc.sort_indices(tops, sort_keys=[
+        (class_col, "ascending"), ("c", "descending"),
+        ("token", "ascending")])
+    s = tops.take(idx)
+    cls = s.column(class_col).to_numpy(zero_copy_only=False)
+    if len(cls) == 0:
+        return pa.table({class_col: pa.array([], type=pa.string()),
+                         "token": pa.array([], type=pa.string()),
+                         "c": pa.array([], type=pa.int64()),
+                         "p": pa.array([], type=pa.float64())})
+    first = np.empty(len(cls), dtype=bool)
+    first[0] = True
+    np.not_equal(cls[1:], cls[:-1], out=first[1:])
+    pos = np.arange(len(cls)) - np.maximum.accumulate(
+        np.where(first, np.arange(len(cls)), 0))
+    s = s.filter(pa.array(pos < top_k))
+    c = s.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    cls = s.column(class_col).to_numpy(zero_copy_only=False)
+    denom = np.array([totals[k] + V for k in cls], dtype=np.int64)
+    p = (c + 1) * 1.0 / denom
+    return pa.table({class_col: s.column(class_col),
+                     "token": s.column("token"),
+                     "c": pa.array(c, type=pa.int64()),
+                     "p": pa.array(p, type=pa.float64())})
+
+
+def _bpe_merge_loop(words: list[str], freqs: np.ndarray, n_merges: int):
+    """Deterministic BPE merge loop over a word-frequency table
+    (Sennrich et al. 2016). Characters are the initial symbols; each
+    round merges the pair with the highest corpus-weighted count
+    (ties: lexicographically smallest (left, right) string pair),
+    applying merges left-to-right non-overlapping within words.
+    Vectorized over the flattened symbol stream; the only Python loops
+    are over merge rounds and the (tiny) tie/overlap sets.
+
+    Returns a list of (left, right, merged, count) tuples.
+    """
+    if not words:
+        return []
+    # deterministic initial symbol table: sorted unique characters
+    chars = sorted({ch for w in words for ch in w})
+    sym_of = {ch: i for i, ch in enumerate(chars)}
+    symtab: list[str] = list(chars)
+    lens = np.array([len(w) for w in words], dtype=np.int64)
+    syms = np.fromiter((sym_of[ch] for w in words for ch in w),
+                       dtype=np.int64, count=int(lens.sum()))
+    freqs = np.asarray(freqs, dtype=np.int64)
+
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        n = len(syms)
+        if n < 2:
+            break
+        # valid adjacent positions: pair (i, i+1) within one word
+        ends = np.cumsum(lens)
+        valid = np.ones(n - 1, dtype=bool)
+        bad = ends[:-1] - 1
+        bad = bad[(bad >= 0) & (bad < n - 1)]
+        valid[bad] = False
+        # skip words of length < 2 implicitly (their boundary masks out)
+        if not valid.any():
+            break
+        wrep = np.repeat(np.arange(len(lens)), lens)
+        w = freqs[wrep[:-1]][valid]
+        packed = (syms[:-1][valid] << 21) | syms[1:][valid]
+        uniq, inv = np.unique(packed, return_inverse=True)
+        counts = np.bincount(inv, weights=w.astype(np.float64)) \
+            .astype(np.int64)
+        best_c = int(counts.max())
+        if best_c < 2:
+            break
+        cand = uniq[counts == best_c]
+        bl, br = min(((symtab[int(p >> 21)], symtab[int(p & 0x1FFFFF)])
+                      for p in cand))
+        bl_id, br_id = sym_of[bl], sym_of[br]
+        merged = bl + br
+        # symbols ARE strings in classic BPE: if an earlier merge
+        # already produced this string (('a','bc') and ('ab','c') both
+        # yield 'abc'), reuse its id so id-identity == string-identity
+        # and pair counts keep matching a string-keyed trainer
+        if merged in sym_of:
+            new_id = sym_of[merged]
+        else:
+            new_id = len(symtab)
+            symtab.append(merged)
+            sym_of[merged] = new_id
+        merges.append((bl, br, merged, best_c))
+        # apply: greedy left-to-right non-overlapping replacement
+        m = np.flatnonzero(valid
+                           & (syms[:-1] == bl_id) & (syms[1:] == br_id))
+        keep_m = []
+        last = -2
+        for i in m:
+            if i > last + 1:
+                keep_m.append(i)
+                last = i
+        m = np.asarray(keep_m, dtype=np.int64)
+        syms[m] = new_id
+        drop = np.zeros(n, dtype=bool)
+        drop[m + 1] = True
+        merged_per_word = np.bincount(wrep[m + 1], minlength=len(lens))
+        lens = lens - merged_per_word
+        syms = syms[~drop]
+    return merges
+
+
+def bpe_learn_merges(ds, text_col: str = "text", n_merges: int = 40,
+                     vocab_size: int = 20000, num_partitions: int = 32):
+    """Distributed BPE tokenizer training: learn the first ``n_merges``
+    byte-pair merges of the corpus.
+
+    The distributed step is the exact word-frequency fold (block-local
+    token-count partials → token-keyed shuffle + sum → per-block top-V
+    partials → driver merge of ≤ V×blocks rows) — the corpus is read
+    once and only (token, count) rows ever ship. The merge loop then
+    runs on the bounded top-``vocab_size`` word-frequency table, which
+    is exactly how sentencepiece-style trainers operate (pair counts
+    are weighted by word frequency, not re-scanned from text).
+
+    Deterministic end-to-end: exact integer counts, ties broken
+    (count desc, token asc) at the vocab cut and (count desc, pair
+    lexicographic asc) at each merge. Output: one row per learned
+    merge (rank, left, right, merged, count).
+    """
+    from .context import auto_partitions, gather_table
+
+    _CNT = pa.schema([("token", pa.string()), ("c", pa.int64())])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        flat, _ = _tokens_of(b.column(text_col))
+        if len(flat) == 0:
+            return _CNT.empty_table()
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        c = np.bincount(codes, minlength=len(d.dictionary))
+        return pa.table({"token": d.dictionary.cast(pa.string()),
+                         "c": pa.array(c, type=pa.int64())})
+
+    def count_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _CNT.empty_table()
+        g = b.group_by("token").aggregate([("c", "sum")])
+        return pa.table({"token": g.column("token"),
+                         "c": g.column("c_sum").cast(pa.int64())})
+
+    def top_partial(b: pa.Table) -> pa.Table:
+        if len(b) <= vocab_size:
+            return b
+        idx = pc.sort_indices(b, sort_keys=[
+            ("c", "descending"), ("token", "ascending")])
+        return b.take(idx.slice(0, vocab_size))
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    tops = gather_table(
+        ds.select_columns([text_col])
+        .map_batches(count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .repartition(P, keys=["token"])
+        .map_batches(count_fold, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+        .map_batches(top_partial, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True),
+        schema=_CNT)
+    idx = pc.sort_indices(tops, sort_keys=[
+        ("c", "descending"), ("token", "ascending")])
+    tops = tops.take(idx.slice(0, vocab_size))
+    words = tops.column("token").to_pylist()
+    freqs = tops.column("c").to_numpy(zero_copy_only=False)
+
+    merges = _bpe_merge_loop(words, freqs, n_merges)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(merges) + 1), type=pa.int64()),
+        "left": pa.array([m[0] for m in merges], type=pa.string()),
+        "right": pa.array([m[1] for m in merges], type=pa.string()),
+        "merged": pa.array([m[2] for m in merges], type=pa.string()),
+        "count": pa.array([m[3] for m in merges], type=pa.int64()),
+    })

@@ -628,3 +628,104 @@ def lead_delta(ds, key_col: str = "user_id", ts_col: str = "ts",
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def trailing_distinct_by_day(ds, ts_col: str = "ts",
+                             id_col: str = "user_id", days: int = 7,
+                             num_partitions: int = 16):
+    """Trailing-``days`` sliding distinct count per day (e.g. "7-day
+    active users"): for every calendar day present in the stream, the
+    exact number of distinct ids seen in the window ``(day - days, day]``.
+
+    The sliding-distinct shape no single groupby expresses: a distinct
+    id must be counted once per *window* it falls in, not once per day.
+    Plan: in-block pre-distinct ``(day, id)`` → each surviving pair is
+    expanded to the ≤ ``days`` target days it covers (vectorized
+    ``np.repeat`` on int64 epoch math, filtered against the tiny
+    closure-carried set of days actually present) → hash shuffle on
+    ``(day, id)`` makes the expansion globally distinct → per-block
+    count partials → tiny day-keyed fold. Data shipped is bounded by
+    ``days × distinct(day,id)`` — never raw events — and the only
+    driver state is the day set (one int64 per calendar day).
+
+    Output: ``(day: timestamp[us], n_users: int64)``, one row per
+    day present in the input. Mirrors the reference's mergeability
+    discipline (partial distinct → merge; hll/union.go:151-158) with
+    exact counts.
+    """
+    from .context import gather_table
+
+    US_PER_DAY = 86_400_000_000
+
+    _PRE = pa.schema([("day_us", pa.int64()), ("id", pa.int64())])
+
+    def pre(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _PRE.empty_table()
+        day = pc.floor_temporal(b.column(ts_col), unit="day") \
+            .cast(pa.timestamp("us")).cast(pa.int64())
+        t = pa.table({"day_us": day, "id": b.column(id_col)
+                      .cast(pa.int64())})
+        return t.group_by(["day_us", "id"]).aggregate([])
+
+    pre_ds = (ds.select_columns([ts_col, id_col])
+              .map_batches(pre, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .materialize())
+
+    # day domain: tiny (one row per calendar day) — block partials,
+    # driver unique, broadcast back for the expansion filter
+    def day_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"day_us": pc.unique(b.column("day_us"))})
+
+    days_tbl = gather_table(
+        pre_ds.map_batches(day_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        schema=pa.schema([("day_us", pa.int64())]))
+    day_set = np.unique(
+        days_tbl.column("day_us").to_numpy(zero_copy_only=False))
+
+    # the day set is O(#calendar days) int64s — small enough to ride in
+    # the task closure (no broadcast machinery needed)
+    def expand(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _PRE.empty_table()
+        d = as_array(b.column("day_us")).to_numpy(zero_copy_only=False)
+        ids = as_array(b.column("id")).to_numpy(zero_copy_only=False)
+        tgt = (np.repeat(d, days)
+               + np.tile(np.arange(days, dtype=np.int64)
+                         * US_PER_DAY, len(d)))
+        rid = np.repeat(ids, days)
+        keep = np.isin(tgt, day_set)
+        return pa.table({"day_us": pa.array(tgt[keep], type=pa.int64()),
+                         "id": pa.array(rid[keep], type=pa.int64())})
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"day_us": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        d = b.group_by(["day_us", "id"]).aggregate([])
+        g = d.group_by("day_us").aggregate([("id", "count")])
+        return pa.table({"day_us": g.column("day_us"),
+                         "n": g.column("id_count").cast(pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        out_day = pa.array([], type=pa.timestamp("us"))
+        out_n = pa.array([], type=pa.int64())
+        if len(b):
+            g = b.group_by("day_us").aggregate([("n", "sum")])
+            out_day = g.column("day_us").cast(pa.timestamp("us"))
+            out_n = g.column("n_sum").cast(pa.int64())
+        return pa.table({"day": out_day, "n_users": out_n})
+
+    P = auto_partitions(pre_ds.count(), 500_000, num_partitions)
+    return (
+        pre_ds.map_batches(expand, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(P, keys=["day_us", "id"])
+        .map_batches(count_partial, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+        .repartition(min(4, P), keys=["day_us"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
