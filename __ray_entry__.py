@@ -4156,6 +4156,47 @@ def _q_bpe_merges(sf_dir: str):
         n_merges=40, vocab_size=20000)
 
 
+def _q_logreg_quality(sf_dir: str):
+    """Distributed quality-classifier training: fit a binary logistic
+    regression (keep/drop head of every learned quality filter) by
+    full-batch gradient descent — each iteration is one streaming pass
+    emitting (d+1)-float gradient partials per block, the model vector
+    broadcast back. Iterative optimization, no SQL equivalent
+    (rows-only); parity vs a single-process trainer and same-partition
+    bit-determinism are pinned by pytest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.textops import (
+        token_count_batch,
+    )
+    from apache_datasketches_go_ray.stages.train import logreg_train
+
+    def feats(b):
+        out = token_count_batch(b)
+        n_tok = out.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        nchars = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        n_digit = pc.binary_length(pc.replace_substring_regex(
+            b.column("text"), pattern="[^0-9]", replacement="")) \
+            .to_numpy(zero_copy_only=False).astype("float64")
+        return pa.table({
+            "f_ntok": pa.array(n_tok / 100.0),
+            "f_mean_toklen": pa.array(
+                nchars / np.maximum(n_tok, 1.0) / 10.0),
+            "f_digit_frac": pa.array(
+                n_digit / np.maximum(nchars, 1.0)),
+            "label": pa.array(
+                (nchars >= 300.0).astype("int64"), type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]) \
+        .map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+    return logreg_train(
+        ds, ["f_ntok", "f_mean_toklen", "f_digit_frac"], "label",
+        n_iters=30, lr=0.5)
+
+
 def _q_cluster_size_histogram(sf_dir: str):
     """Dedup report: histogram of near-dup cluster sizes from the
     flagship pipeline output (rows-only: clusters are murmur-seeded).
@@ -5662,6 +5703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_stats": _q_embedding_norm_stats,
         "dsir_importance": _q_dsir_importance,
         "bpe_merges": _q_bpe_merges,
+        "logreg_quality_train": _q_logreg_quality,
     }
 
 
