@@ -5519,6 +5519,159 @@ def _q_tool_chains(sf_dir: str):
                      "n": g.column("n_sum").cast(pa.int64())})
 
 
+def _q_gopher_flags(sf_dir: str):
+    """Gopher-style rule filter (Rae et al. 2021, public paper): per-doc
+    word count, mean word length and alphabetic-word fraction as
+    integer 1e4-scaled floor ratios, stopword hits, one 0/1 flag per
+    rule and the composite keep — all-integer outputs so the DuckDB
+    oracle matches bit-for-bit. Map-only (no shuffle)."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.textops import (
+        gopher_flags_batch,
+    )
+
+    def fn(b):
+        t = gopher_flags_batch(b, min_words=30)
+        cols = {}
+        for c in t.column_names:
+            col = t.column(c)
+            cols[c] = col.cast(pa.int64()) if col.type == pa.bool_() \
+                else col
+        return pa.table(cols)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Fixed-window chunking (RAG / context prep): explode each doc
+    into 120-char windows every 90 chars (overlapping), last window
+    short. Vectorized ragged gather off the Arrow string buffer —
+    map-only flat emit, no shuffle."""
+    from apache_datasketches_go_ray.stages.textops import chunk_text_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: chunk_text_batch(b, size=120, stride=90),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_markup_strip(sf_dir: str):
+    """HTML boilerplate removal (trafilatura-lite): plant deterministic
+    markup around each doc (both engines run the identical plant), then
+    strip tags + collapse whitespace with RE2 kernels — the oracle
+    reproduces the cleanup value-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.textops import (
+        strip_markup_batch,
+    )
+
+    def plant_and_strip(b):
+        ids = b.column("doc_id").cast(pa.string())
+        planted = pc.binary_join_element_wise(
+            pa.scalar('<div id="'), ids,
+            pa.scalar('"><span>hdr</span> '),
+            b.column("text").cast(pa.string()),
+            pa.scalar(' <em>ftr</em></div>'), "")
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "text": planted})
+        return strip_markup_batch(t).select(["doc_id", "clean_text"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant_and_strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_winsorize_events(sf_dir: str):
+    """Grouped winsorized mean: per event_type, clamp cents to the
+    exact [p05, p95] discrete quantiles and average — robust-stats
+    aggregation with integer-exact outputs. One keyed shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import (
+        winsorize_mean_by,
+    )
+
+    def prep(b):
+        cents = pc.round(pc.multiply(b.column("value"), 100)) \
+            .cast(pa.int64())
+        return pa.table({"event_type": b.column("event_type"),
+                         "cents": cents})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    return winsorize_mean_by(ds, "event_type", "cents",
+                             lo_q=0.05, hi_q=0.95)
+
+
+def _q_shard_manifest(sf_dir: str):
+    """Training-shard manifest: assign docs (global doc_id order) to
+    fixed 50k-char shards via a distributed exact cumulative sum
+    (per-bucket sums -> tiny driver prefix fold -> broadcast offsets ->
+    one keyed shuffle). The manifest a resumable shard writer consumes."""
+    from apache_datasketches_go_ray.stages.mixing import shard_manifest
+
+    return shard_manifest(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "doc_id", "n_chars", budget=50_000, bucket_size=64)
+
+
+def _q_merge_upsert(sf_dir: str):
+    """CDC MERGE INTO: apply a deterministic change batch (deletes,
+    updates, inserts derived from key residues) to the customer table —
+    the Delta/Iceberg merge shape as one tagged-union co-partitioning
+    shuffle + vectorized per-block resolve."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.relational import merge_upsert
+
+    def base_prep(b):
+        return pa.table({
+            "c_custkey": b.column("c_custkey").cast(pa.int64()),
+            "c_name": b.column("c_name").cast(pa.string()),
+            "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            "acctbal_cents": pc.round(
+                pc.multiply(b.column("c_acctbal"), 100)).cast(pa.int64()),
+            "c_mktsegment": b.column("c_mktsegment").cast(pa.string()),
+        })
+
+    def changes(b):
+        t = base_prep(b)
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        del_m = (k % 11) == 3
+        upd_m = ((k % 7) == 2) & ~del_m
+        ins_m = (k % 13) == 5
+        S = pa.string()
+        dels = t.filter(pa.array(del_m)).append_column(
+            "op", pa.array(["delete"] * int(del_m.sum()), type=S))
+        u = t.filter(pa.array(upd_m))
+        upds = pa.table({
+            "c_custkey": u.column("c_custkey"),
+            "c_name": u.column("c_name"),
+            "c_nationkey": u.column("c_nationkey"),
+            "acctbal_cents": pc.add(u.column("acctbal_cents"),
+                                    pa.scalar(12345, type=pa.int64())),
+            "c_mktsegment": pa.array(["UPDATED"] * len(u), type=S),
+            "op": pa.array(["upsert"] * len(u), type=S),
+        })
+        i = t.filter(pa.array(ins_m))
+        ins = pa.table({
+            "c_custkey": pc.add(i.column("c_custkey"),
+                                pa.scalar(1_000_000, type=pa.int64())),
+            "c_name": pa.array(["NEW"] * len(i), type=S),
+            "c_nationkey": pa.array(np.zeros(len(i), dtype=np.int64)),
+            "acctbal_cents": pa.array(np.zeros(len(i), dtype=np.int64)),
+            "c_mktsegment": pa.array(["NEW"] * len(i), type=S),
+            "op": pa.array(["upsert"] * len(i), type=S),
+        })
+        return pa.concat_tables([dels, upds, ins])
+
+    base = _read(sf_dir, "customer", None).map_batches(
+        base_prep, batch_format="pyarrow", zero_copy_batch=True)
+    chg = _read(sf_dir, "customer", None).map_batches(
+        changes, batch_format="pyarrow", zero_copy_batch=True)
+    return merge_upsert(base, chg, "c_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -5658,6 +5811,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_active_users": _q_trailing_active_users,
         "bigram_diversity_by_source": _q_bigram_diversity_by_source,
         "nb_lang_token_probs": _q_nb_lang_token_probs,
+        "gopher_quality_flags": _q_gopher_flags,
+        "doc_chunks": _q_doc_chunks,
+        "markup_strip": _q_markup_strip,
+        "winsorized_event_values": _q_winsorize_events,
+        "shard_manifest": _q_shard_manifest,
+        "merge_upsert_customers": _q_merge_upsert,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -7732,4 +7891,160 @@ def oracle_sql() -> dict[str, str]:
             FROM toks2 t2 JOIN cnt USING (token) CROSS JOIN tot
             GROUP BY t2.doc_id
         """,
+        "gopher_quality_flags": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS token
+              FROM documents
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_words,
+                     sum(length(token)) AS total_len,
+                     sum(CASE WHEN regexp_matches(token, '[A-Za-z]')
+                         THEN 1 ELSE 0 END) AS alpha_words,
+                     sum(CASE WHEN lower(token) IN
+                         ('the','a','an','and','or','of','to','in','is',
+                          'it','that','for','on','with','as','was','at',
+                          'by','be') THEN 1 ELSE 0 END) AS stop_hits
+              FROM tok GROUP BY doc_id
+            ), f AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+                     CAST(COALESCE(a.total_len, 0) * 10000
+                          // GREATEST(COALESCE(a.n_words, 0), 1)
+                          AS BIGINT) AS mean_wlen_e4,
+                     CAST(COALESCE(a.alpha_words, 0) * 10000
+                          // GREATEST(COALESCE(a.n_words, 0), 1)
+                          AS BIGINT) AS alpha_frac_e4,
+                     CAST(COALESCE(a.stop_hits, 0) AS BIGINT) AS stop_hits
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT doc_id, n_words, mean_wlen_e4, alpha_frac_e4,
+                   stop_hits,
+                   CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                        THEN 1 ELSE 0 END AS BIGINT) AS pass_wordcount,
+                   CAST(CASE WHEN mean_wlen_e4 BETWEEN 30000 AND 100000
+                        THEN 1 ELSE 0 END AS BIGINT) AS pass_meanlen,
+                   CAST(CASE WHEN alpha_frac_e4 >= 8000
+                        THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
+                   CAST(CASE WHEN stop_hits >= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS pass_stopwords,
+                   CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                         AND mean_wlen_e4 BETWEEN 30000 AND 100000
+                         AND alpha_frac_e4 >= 8000 AND stop_hits >= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM f
+        """,
+        "doc_chunks": r"""
+            WITH k AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE 1 + (GREATEST(length(text) - 120, 0) + 89)
+                               // 90 END AS n_chunks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(
+                       0, CAST(n_chunks AS BIGINT) - 1)) AS chunk_idx
+              FROM k
+            )
+            SELECT doc_id, chunk_idx,
+                   substring(text, CAST(chunk_idx * 90 + 1 AS INT), 120)
+                     AS chunk_text,
+                   CAST(length(substring(
+                     text, CAST(chunk_idx * 90 + 1 AS INT), 120))
+                     AS BIGINT) AS chunk_len
+            FROM g
+        """,
+        "markup_strip": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     '<div id="' || CAST(doc_id AS VARCHAR)
+                     || '"><span>hdr</span> ' || text
+                     || ' <em>ftr</em></div>' AS t
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+              FROM planted
+            ), e AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(t,
+                       '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+                       '&quot;', '"'), '&#39;', chr(39)) AS t
+              FROM s
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+            FROM e
+        """,
+        "winsorized_event_values": r"""
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), q AS (
+              SELECT event_type,
+                     quantile_disc(cents, 0.05) AS lo,
+                     quantile_disc(cents, 0.95) AS hi,
+                     count(*) AS n
+              FROM c GROUP BY event_type
+            ), w AS (
+              SELECT c.event_type,
+                     sum(LEAST(GREATEST(c.cents, q.lo), q.hi)) AS ws,
+                     any_value(q.n) AS n, any_value(q.lo) AS lo,
+                     any_value(q.hi) AS hi
+              FROM c JOIN q USING (event_type)
+              GROUP BY c.event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+                   CAST(ws AS BIGINT) AS winsorized_sum,
+                   CAST(ws * 10000 // n AS BIGINT)
+                     AS winsorized_mean_e4
+            FROM w
+        """,
+        "shard_manifest": r"""
+            SELECT doc_id, n_chars,
+                   CAST(sum(n_chars) OVER (ORDER BY doc_id)
+                     AS BIGINT) AS cum_size,
+                   CAST((sum(n_chars) OVER (ORDER BY doc_id) - n_chars)
+                     // 50000 AS BIGINT) AS shard_id
+            FROM documents
+        """,
+        "merge_upsert_customers": r"""
+            WITH base AS (
+              SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+                     CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT)
+                       AS acctbal_cents,
+                     c_mktsegment
+              FROM customer
+            ), changes AS (
+              SELECT c_custkey, 'delete' AS op, c_name, c_nationkey,
+                     acctbal_cents, c_mktsegment
+              FROM base WHERE c_custkey % 11 = 3
+              UNION ALL
+              SELECT c_custkey, 'upsert', c_name, c_nationkey,
+                     acctbal_cents + 12345, 'UPDATED'
+              FROM base WHERE c_custkey % 7 = 2 AND c_custkey % 11 <> 3
+              UNION ALL
+              SELECT c_custkey + 1000000, 'upsert', 'NEW',
+                     CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'NEW'
+              FROM base WHERE c_custkey % 13 = 5
+            )
+            SELECT COALESCE(c.c_custkey, b.c_custkey) AS c_custkey,
+                   CASE WHEN c.op IS NOT NULL THEN c.c_name
+                        ELSE b.c_name END AS c_name,
+                   CASE WHEN c.op IS NOT NULL THEN c.c_nationkey
+                        ELSE b.c_nationkey END AS c_nationkey,
+                   CASE WHEN c.op IS NOT NULL THEN c.acctbal_cents
+                        ELSE b.acctbal_cents END AS acctbal_cents,
+                   CASE WHEN c.op IS NOT NULL THEN c.c_mktsegment
+                        ELSE b.c_mktsegment END AS c_mktsegment
+            FROM base b FULL OUTER JOIN changes c
+              ON b.c_custkey = c.c_custkey
+            WHERE COALESCE(c.op, '') <> 'delete'
+        """,
     }
+

@@ -73,3 +73,97 @@ def reweight_sample(ds, group_col: str, weights: dict[str, float],
 
     return ds.map_batches(filt, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def shard_manifest(ds, id_col: str, size_col: str, *, budget: int,
+                   bucket_size: int = 1024, num_partitions: int = 16):
+    """Assign rows (in global ``id_col`` order) to fixed-budget training
+    shards: shard_id = floor(preceding cumulative size / budget) — the
+    manifest a shard writer uses to emit ~budget-sized output files.
+
+    Distributed exact global cumsum without a global sort: bucket rows
+    by id range (``id // bucket_size`` — value buckets preserve global
+    order across buckets), (1) one tiny aggregate pass for per-bucket
+    size sums, folded into exclusive prefix offsets on the driver
+    (n_buckets rows — thousands at petabyte scale) and broadcast via
+    ray.put, (2) one keyed shuffle on the bucket, in-block lexsort and
+    per-bucket local cumsum + offset. Emits id, size, inclusive
+    cum_size and shard_id; integer math end-to-end (SQL-exact)."""
+    import ray
+
+    from .context import auto_partitions, gather_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = as_array(b.column(id_col)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sz = as_array(b.column(size_col)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bk = ids // bucket_size
+        ub, inv = np.unique(bk, return_inverse=True)
+        sums = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(sums, inv, sz)
+        return pa.table({"bucket": pa.array(ub),
+                         "bsum": pa.array(sums)})
+
+    slim = ds.select_columns([id_col, size_col])
+    parts = slim.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    t = gather_table(parts, schema=pa.schema(
+        [("bucket", pa.int64()), ("bsum", pa.int64())]))
+    bk = t.column("bucket").to_numpy(zero_copy_only=False)
+    bs = t.column("bsum").to_numpy(zero_copy_only=False)
+    ub, inv = np.unique(bk, return_inverse=True)
+    tot = np.zeros(len(ub), dtype=np.int64)
+    np.add.at(tot, inv, bs)
+    offsets = np.concatenate([[0], np.cumsum(tot)[:-1]]) \
+        if len(ub) else np.empty(0, dtype=np.int64)
+    off_ref = ray.put({int(b): int(o) for b, o in zip(ub, offsets)})
+
+    def assign(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                size_col: pa.array([], type=pa.int64()),
+                "cum_size": pa.array([], type=pa.int64()),
+                "shard_id": pa.array([], type=pa.int64()),
+            })
+        offs = ray.get(off_ref)
+        ids = as_array(b.column(id_col)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sz = as_array(b.column(size_col)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_s, sz_s = ids[order], sz[order]
+        bks = ids_s // bucket_size
+        first = np.empty(len(bks), dtype=bool)
+        first[0] = True
+        np.not_equal(bks[1:], bks[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(bks)))
+        cum = np.cumsum(sz_s)
+        # restart the running sum at each bucket, then add its offset
+        seg_base = np.repeat(cum[starts] - sz_s[starts], lens)
+        base = np.repeat(
+            np.array([offs[int(x)] for x in bks[starts]],
+                     dtype=np.int64), lens)
+        cum_local = cum - seg_base + base
+        shard = (cum_local - sz_s) // budget
+        return pa.table({
+            id_col: pa.array(ids_s),
+            size_col: pa.array(sz_s),
+            "cum_size": pa.array(cum_local),
+            "shard_id": pa.array(shard),
+        })
+
+    def key_bucket(b: pa.Table) -> pa.Table:
+        ids = as_array(b.column(id_col)).cast(pa.int64())
+        return b.append_column(
+            "__bucket", pc.divide(ids, pa.scalar(bucket_size,
+                                                 type=pa.int64())))
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (slim.map_batches(key_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .repartition(P, keys=["__bucket"])
+            .map_batches(assign, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

@@ -653,3 +653,136 @@ def estimate_join_size(left_ds, right_ds, on: tuple[str, str], *,
         "rows_right": rows_r,
         "rel_err_2sd": skl.get_upper_bound(2) / max(nl, 1.0) - 1.0,
     }
+
+
+def winsorize_mean_by(ds, key: str, value_col: str, *,
+                      lo_q: float = 0.05, hi_q: float = 0.95,
+                      num_partitions: int = 8):
+    """Grouped winsorized mean: clamp each group's values to its exact
+    [lo_q, hi_q] discrete quantiles (ANSI percentile_disc order
+    statistics — integer-exact, no interpolation) and average the
+    clamped values. One hash shuffle on the key, one in-block lexsort
+    per group, bounds + clamped sum in the same pass (extends the
+    grouped_quantile_disc fold). Emits the mean as an integer
+    1e4-scaled floor ratio so a SQL oracle matches bit-for-bit on
+    integer value columns."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            kt = b.schema.field(key).type if key in b.schema.names \
+                else pa.string()
+            return pa.table({
+                key: pa.array([], type=kt),
+                "n": pa.array([], type=pa.int64()),
+                "lo": pa.array([], type=pa.int64()),
+                "hi": pa.array([], type=pa.int64()),
+                "winsorized_sum": pa.array([], type=pa.int64()),
+                "winsorized_mean_e4": pa.array([], type=pa.int64()),
+            })
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((v, k))
+        sk, sv = k[order], v[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(sk)))
+        lo_pos = starts + np.maximum(
+            np.ceil(lo_q * lens).astype(np.int64), 1) - 1
+        hi_pos = starts + np.maximum(
+            np.ceil(hi_q * lens).astype(np.int64), 1) - 1
+        lo, hi = sv[lo_pos], sv[hi_pos]
+        clamped = np.clip(sv, np.repeat(lo, lens), np.repeat(hi, lens))
+        csum = np.add.reduceat(clamped, starts)
+        return pa.table({
+            key: pa.array(sk[starts]),
+            "n": pa.array(lens.astype(np.int64)),
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "winsorized_sum": pa.array(csum.astype(np.int64)),
+            "winsorized_mean_e4": pa.array(
+                csum.astype(np.int64) * 10_000 // lens),
+        })
+
+    from .context import auto_partitions
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (
+        ds.select_columns([key, value_col])
+        .repartition(P, keys=[key])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def merge_upsert(base_ds, changes_ds, key: str, *, op_col: str = "op",
+                 num_partitions: int = 8):
+    """CDC MERGE: apply a change batch (op in {'upsert','delete'}) to a
+    base table — the Delta/Iceberg MERGE INTO shape as a Ray Data
+    operator. Tagged union + one co-partitioning hash shuffle on the
+    key, then a vectorized per-block resolve: a key's change row wins
+    over its base row ('upsert' replaces or inserts, 'delete' removes).
+    At most one change per key is assumed (CDC-compacted input — run
+    latest-wins compaction first otherwise); violations raise.
+
+    Both inputs must share the payload schema (all non-key, non-op
+    columns); the output carries exactly the base schema."""
+    import pyarrow as pa
+
+    base_cols = [c for c in base_ds.schema().names]
+    payload = [c for c in base_cols if c != key]
+
+    def tag(is_change: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ops = b.column(op_col) if is_change else pa.nulls(
+                len(b), type=pa.string())
+            cols = {key: b.column(key),
+                    "__op": ops,
+                    "__chg": pa.array(
+                        np.full(len(b), is_change, dtype=np.int8))}
+            for c in payload:
+                cols[c] = b.column(c)
+            return pa.table(cols)
+        return fn
+
+    def resolve(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.select([key] + payload)
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        chg = b.column("__chg").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-chg.astype(np.int64), k))
+        sk = k[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        # change rows sort first within a key, so the first row per key
+        # is the change when one exists, else the base row
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(sk)))
+        schg = chg[order]
+        if int(np.add.reduceat(schg.astype(np.int64), starts).max()
+               if len(starts) else 0) > 1:
+            raise ValueError("merge_upsert: multiple change rows for a "
+                             "key — compact changes first")
+        winners = starts
+        ops = b.column("__op").to_numpy(zero_copy_only=False)[order]
+        is_delete = np.zeros(len(winners), dtype=bool)
+        wchg = schg[winners] == 1
+        is_delete[wchg] = ops[winners[wchg]] == "delete"
+        keep = winners[~is_delete]
+        idx = pa.array(order[keep].astype(np.int64))
+        out = b.take(idx)
+        return out.select([key] + payload)
+
+    from .context import auto_partitions
+    n = base_ds.count() + changes_ds.count()
+    P = auto_partitions(n, 500_000, num_partitions)
+    tagged = base_ds.select_columns(base_cols) \
+        .map_batches(tag(0), batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(changes_ds.map_batches(tag(1), batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    return tagged.repartition(P, keys=[key]) \
+        .map_batches(resolve, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)

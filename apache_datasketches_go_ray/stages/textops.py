@@ -572,3 +572,190 @@ def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
         "n_compressed_bytes": pa.array(comp_len),
         "compression_ratio": pa.array(ratio, type=pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021, appendix A — public paper)
+# ---------------------------------------------------------------------------
+
+def gopher_flags_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id", *,
+                       min_words: int = 50, max_words: int = 100_000,
+                       min_mean_wlen_e4: int = 30_000,
+                       max_mean_wlen_e4: int = 100_000,
+                       min_alpha_frac_e4: int = 8_000,
+                       min_stop_hits: int = 2) -> pa.Table:
+    """Per-doc Gopher rule flags, all-integer outputs (SQL-exact).
+
+    Emits n_words, mean word length and alphabetic-word fraction as
+    integer 1e4-scaled floor-divided ratios (no float rounding drift
+    vs a SQL oracle), the English stopword hit count, one boolean per
+    rule and the composite ``keep``. Fully vectorized: flatten tokens
+    once, per-token Arrow kernels, fold back with bincount on
+    list_parent_indices — same shape as quality_stats_batch.
+    """
+    texts = as_array(batch.column(text_col))
+    n = len(texts)
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    empty = pc.equal(pc.utf8_trim_whitespace(texts), "") \
+        .to_numpy(zero_copy_only=False)
+    n_words = np.zeros(n, dtype=np.int64)
+    total_len = np.zeros(n, dtype=np.int64)
+    alpha_words = np.zeros(n, dtype=np.int64)
+    stop_hits = np.zeros(n, dtype=np.int64)
+    flat = pc.list_flatten(toks)
+    if len(flat):
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        alpha = pc.match_substring_regex(flat, r"[A-Za-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        stop = pc.is_in(
+            pc.utf8_lower(flat),
+            value_set=pa.array(sorted(STOPWORDS["en"]))) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = np.bincount(parent, minlength=n).astype(np.int64)
+        total_len = np.bincount(parent, weights=tok_len,
+                                minlength=n).astype(np.int64)
+        alpha_words = np.bincount(parent, weights=alpha,
+                                  minlength=n).astype(np.int64)
+        stop_hits = np.bincount(parent, weights=stop,
+                                minlength=n).astype(np.int64)
+    n_words[empty] = 0
+    total_len[empty] = 0
+    alpha_words[empty] = 0
+    stop_hits[empty] = 0
+    denom = np.maximum(n_words, 1)
+    mean_wlen_e4 = total_len * 10_000 // denom
+    alpha_frac_e4 = alpha_words * 10_000 // denom
+    p_wc = (n_words >= min_words) & (n_words <= max_words)
+    p_ml = (mean_wlen_e4 >= min_mean_wlen_e4) & \
+        (mean_wlen_e4 <= max_mean_wlen_e4)
+    p_al = alpha_frac_e4 >= min_alpha_frac_e4
+    p_st = stop_hits >= min_stop_hits
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(n_words),
+        "mean_wlen_e4": pa.array(mean_wlen_e4),
+        "alpha_frac_e4": pa.array(alpha_frac_e4),
+        "stop_hits": pa.array(stop_hits),
+        "pass_wordcount": pa.array(p_wc),
+        "pass_meanlen": pa.array(p_ml),
+        "pass_alpha": pa.array(p_al),
+        "pass_stopwords": pa.array(p_st),
+        "keep": pa.array(p_wc & p_ml & p_al & p_st),
+    })
+
+
+# ---------------------------------------------------------------------------
+# fixed-window chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+def chunk_text_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id", *,
+                     size: int = 120, stride: int = 90) -> pa.Table:
+    """Explode each doc into fixed-width character windows
+    (``size`` chars every ``stride`` — overlapping when stride<size).
+
+    Chunk count = 1 + ceil(max(len-size, 0)/stride) (0 for empty
+    docs), so the last window is the only short one — the standard
+    RAG/pretraining chunking layout. Vectorized ragged gather: one
+    flat byte-index array built with repeat/cumsum off the Arrow
+    string buffer, a single fancy-index, and offsets — no per-chunk
+    Python. ASCII fast path (byte==char, matching SQL substring
+    semantics on this corpus); non-ASCII rows fall back to a per-row
+    codepoint slice to stay correct.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    texts = as_array(batch.column(text_col))
+    if texts.type != pa.large_string():
+        texts = texts.cast(pa.large_string())
+    texts = texts.combine_chunks() if isinstance(
+        texts, pa.ChunkedArray) else texts
+    ids = as_array(batch.column(id_col)).to_numpy(zero_copy_only=False)
+    n = len(texts)
+    off = np.frombuffer(texts.buffers()[1], dtype=np.int64,
+                        count=n + 1 + texts.offset)[texts.offset:]
+    buf = texts.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None \
+        else np.empty(0, dtype=np.uint8)
+    byte_len = np.diff(off)
+    ascii_ok = True
+    if data.size and len(texts):
+        lo, hi = off[0], off[-1]
+        ascii_ok = not bool((data[lo:hi] >= 0x80).any())
+    if not ascii_ok:
+        # correct-but-slow unicode path: per-row codepoint windows
+        out_id, out_ix, out_tx = [], [], []
+        for i in range(n):
+            s = texts[i].as_py()
+            if not s:
+                continue
+            k = 1 + max(0, -(-max(len(s) - size, 0) // stride))
+            for c in range(k):
+                out_id.append(ids[i])
+                out_ix.append(c)
+                out_tx.append(s[c * stride: c * stride + size])
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "chunk_idx": pa.array(out_ix, type=pa.int64()),
+            "chunk_text": pa.array(out_tx, type=pa.string()),
+            "chunk_len": pc.utf8_length(
+                pa.array(out_tx, type=pa.string())).cast(pa.int64()),
+        })
+    n_chunks = np.where(
+        byte_len == 0, 0,
+        1 + (np.maximum(byte_len - size, 0) + stride - 1) // stride)
+    total_chunks = int(n_chunks.sum())
+    if total_chunks == 0:
+        return pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "chunk_idx": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string()),
+            "chunk_len": pa.array([], type=pa.int64()),
+        })
+    row_of = np.repeat(np.arange(n), n_chunks)
+    cix0 = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    chunk_ix = np.arange(total_chunks) - np.repeat(cix0, n_chunks)
+    starts = off[:-1][row_of] + chunk_ix * stride
+    ends = np.minimum(starts + size, off[1:][row_of])
+    lens = ends - starts
+    cum0 = np.concatenate([[0], np.cumsum(lens)])
+    total_bytes = int(cum0[-1])
+    idx = np.repeat(starts, lens) + (
+        np.arange(total_bytes) - np.repeat(cum0[:-1], lens))
+    out_buf = data[idx]
+    chunk_arr = pa.Array.from_buffers(
+        pa.large_string(), total_chunks,
+        [None, pa.py_buffer(cum0.astype(np.int64).tobytes()),
+         pa.py_buffer(out_buf.tobytes())])
+    return pa.table({
+        id_col: pa.array(ids[row_of], type=pa.int64()),
+        "chunk_idx": pa.array(chunk_ix, type=pa.int64()),
+        "chunk_text": chunk_arr.cast(pa.string()),
+        "chunk_len": pa.array(lens, type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# markup strip (HTML boilerplate removal, trafilatura-lite)
+# ---------------------------------------------------------------------------
+
+def strip_markup_batch(batch: pa.Table, text_col: str = "text",
+                       out_col: str = "clean_text") -> pa.Table:
+    """Remove ``<...>`` tags, decode the 5 core HTML entities, collapse
+    whitespace runs, trim. Pure RE2 kernels (pc.replace_substring_regex)
+    — same regex class DuckDB's regexp_replace uses, so a SQL oracle
+    reproduces it exactly.
+    """
+    texts = as_array(batch.column(text_col))
+    t = pc.replace_substring_regex(texts, pattern=r"<[^>]*>",
+                                   replacement=" ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"),
+                    ("&quot;", "\""), ("&#39;", "'")):
+        t = pc.replace_substring(t, pattern=ent, replacement=ch)
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_col, t)
