@@ -5615,11 +5615,11 @@ def _q_shard_manifest(sf_dir: str):
         "doc_id", "n_chars", budget=50_000, bucket_size=64)
 
 
-def _q_merge_upsert(sf_dir: str):
-    """CDC MERGE INTO: apply a deterministic change batch (deletes,
-    updates, inserts derived from key residues) to the customer table —
-    the Delta/Iceberg merge shape as one tagged-union co-partitioning
-    shuffle + vectorized per-block resolve."""
+def _merge_upsert_pipeline(sf_dir: str):
+    """(base, merged) datasets for the CDC merge + diff queries: the
+    customer table with an integer-cents payload, and the result of
+    applying a deterministic change batch (deletes %11=3, updates %7=2,
+    inserts %13=5 at key+1e6)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from apache_datasketches_go_ray.stages.relational import merge_upsert
@@ -5669,7 +5669,50 @@ def _q_merge_upsert(sf_dir: str):
         base_prep, batch_format="pyarrow", zero_copy_batch=True)
     chg = _read(sf_dir, "customer", None).map_batches(
         changes, batch_format="pyarrow", zero_copy_batch=True)
-    return merge_upsert(base, chg, "c_custkey")
+    return base, merge_upsert(base, chg, "c_custkey")
+
+
+def _q_merge_upsert(sf_dir: str):
+    """CDC MERGE INTO: apply a deterministic change batch (deletes,
+    updates, inserts derived from key residues) to the customer table —
+    the Delta/Iceberg merge shape as one tagged-union co-partitioning
+    shuffle + vectorized per-block resolve."""
+    return _merge_upsert_pipeline(sf_dir)[1]
+
+
+def _q_dataset_diff(sf_dir: str):
+    """Snapshot diff (dataset versioning): classify keys as added /
+    removed / changed between the customer base and the merge-upsert
+    result — composes diff_snapshots over the merge operator, so the
+    diff must recover exactly the planted change recipe."""
+    from apache_datasketches_go_ray.stages.relational import (
+        diff_snapshots,
+    )
+
+    base, merged = _merge_upsert_pipeline(sf_dir)
+    return diff_snapshots(base, merged, "c_custkey")
+
+
+def _q_edit_distance_join(sf_dir: str):
+    """Similarity self-join on byte edit distance <= 1 over customer
+    names — FastSS deletion-neighborhood blocking (complete for ED<=1),
+    keyed shuffle, exact vectorized Levenshtein verify."""
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        edit_distance_join,
+    )
+
+    return edit_distance_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_custkey", "c_name")
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 retrieval: top-20 documents for a fixed 3-token query,
+    exact global df / N / avgdl, floor-1e-4 rounded scores."""
+    from apache_datasketches_go_ray.stages.corpusops import bm25_topk
+
+    return bm25_topk(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     ["merge", "join", "window"], k=20)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -5817,6 +5860,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_event_values": _q_winsorize_events,
         "shard_manifest": _q_shard_manifest,
         "merge_upsert_customers": _q_merge_upsert,
+        "dataset_diff": _q_dataset_diff,
+        "edit_distance_join": _q_edit_distance_join,
+        "bm25_topk": _q_bm25_topk,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -8046,5 +8092,62 @@ def oracle_sql() -> dict[str, str]:
               ON b.c_custkey = c.c_custkey
             WHERE COALESCE(c.op, '') <> 'delete'
         """,
+        "dataset_diff": r"""
+            WITH base AS (
+              SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+            )
+            SELECT c_custkey + 1000000 AS c_custkey, 'added' AS status
+            FROM base WHERE c_custkey % 13 = 5
+            UNION ALL
+            SELECT c_custkey, 'removed' FROM base
+            WHERE c_custkey % 11 = 3
+            UNION ALL
+            SELECT c_custkey, 'changed' FROM base
+            WHERE c_custkey % 7 = 2 AND c_custkey % 11 <> 3
+        """,
+        "edit_distance_join": r"""
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "bm25_topk": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS token
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+            ), stats AS (
+              SELECT (SELECT count(*) FROM documents) AS nn,
+                     (SELECT sum(dl) FROM dl) AS s
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM tok
+              WHERE token IN ('merge', 'join', 'window')
+              GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), sc AS (
+              SELECT tf.doc_id,
+                     sum(ln(1.0 + (stats.nn - df.df + 0.5)
+                                  / (df.df + 0.5))
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75
+                            * ((dl.dl * stats.nn) / stats.s)))) AS sc
+              FROM tf
+              JOIN df USING (token)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id,
+                   floor(sc * 10000 + 0.5) / 10000 AS bm25
+            FROM sc
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
+        """,
     }
+
 

@@ -1523,3 +1523,108 @@ def bpe_learn_merges(ds, text_col: str = "text", n_merges: int = 40,
         "merged": pa.array([m[2] for m in merges], type=pa.string()),
         "count": pa.array([m[3] for m in merges], type=pa.int64()),
     })
+
+
+def bm25_topk(ds, query_tokens: list[str], *, k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text",
+              num_partitions: int = 16):
+    """BM25 retrieval (Robertson/Sparck-Jones, public formula; k1=1.2,
+    b=0.75): score every document against a token query, return the
+    top-``k`` by (score desc, id asc).
+
+    Plan: one vectorized pass shrinks each doc to a slim row
+    (id, doc len, per-query-token tf) — materialized once, the corpus
+    text is never read twice; global N / Σdl / per-token df fold from
+    per-block partials on the driver (q+2 numbers); a second pass over
+    the slim rows scores and per-block top-k's, then the standard
+    top_k gather. Scores are emitted floor-rounded to 1e-4 with the
+    exact operation order a SQL oracle can reproduce."""
+    import ray
+
+    from .arrow_util import as_array
+    from .relational import top_k
+
+    q = list(query_tokens)
+    n_q = len(q)
+
+    def slim(b: pa.Table) -> pa.Table:
+        texts = as_array(b.column(text_col))
+        n = len(texts)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(texts), r"\s+")
+        dl = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).copy()
+        emptym = pc.equal(pc.utf8_trim_whitespace(texts), "") \
+            .to_numpy(zero_copy_only=False)
+        dl[emptym] = 0
+        flat = pc.list_flatten(toks)
+        tf = np.zeros((n, n_q), dtype=np.int64)
+        if len(flat):
+            parent = pc.list_parent_indices(toks) \
+                .to_numpy(zero_copy_only=False)
+            for ti, t in enumerate(q):
+                m = pc.equal(flat, pa.scalar(t)) \
+                    .to_numpy(zero_copy_only=False)
+                if m.any():
+                    tf[:, ti] = np.bincount(parent[m], minlength=n)
+        out = {id_col: b.column(id_col), "dl": pa.array(dl)}
+        for ti in range(n_q):
+            out[f"tf{ti}"] = pa.array(tf[:, ti])
+        return pa.table(out)
+
+    slim_ds = ds.select_columns([id_col, text_col]).map_batches(
+        slim, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        row = {"n": pa.array([len(b)], type=pa.int64()),
+               "sdl": pa.array([int(b.column("dl").to_numpy(
+                   zero_copy_only=False).sum())] if len(b) else [0],
+                   type=pa.int64())}
+        for ti in range(n_q):
+            tfv = b.column(f"tf{ti}").to_numpy(zero_copy_only=False) \
+                if len(b) else np.zeros(0, dtype=np.int64)
+            row[f"df{ti}"] = pa.array([int((tfv > 0).sum())],
+                                      type=pa.int64())
+        return pa.table(row)
+
+    from .context import gather_table
+    st = gather_table(
+        slim_ds.map_batches(stats_partial, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        schema=pa.schema([("n", pa.int64()), ("sdl", pa.int64())]
+                         + [(f"df{t}", pa.int64()) for t in range(n_q)]))
+    N = int(pc.sum(st.column("n")).as_py() or 0)
+    S = int(pc.sum(st.column("sdl")).as_py() or 0)
+    df = [int(pc.sum(st.column(f"df{t}")).as_py() or 0)
+          for t in range(n_q)]
+    consts = ray.put((N, S, df))
+
+    def score(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "bm25": pa.array([], type=pa.float64())})
+        N_, S_, df_ = ray.get(consts)
+        dl = b.column("dl").to_numpy(zero_copy_only=False)
+        s = np.zeros(len(b), dtype=np.float64)
+        any_hit = np.zeros(len(b), dtype=bool)
+        # fixed token order + identical op sequence to the SQL oracle:
+        # idf * tf * 2.2 / (tf + 1.2*(0.25 + 0.75*((dl*N)/S)))
+        for ti in range(n_q):
+            tf = b.column(f"tf{ti}").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            hit = tf > 0
+            if not hit.any() or df_[ti] == 0:
+                continue
+            idf = np.log(1.0 + (N_ - df_[ti] + 0.5) / (df_[ti] + 0.5))
+            denom = tf + 1.2 * (0.25 + 0.75 * ((dl * N_) / S_))
+            s = np.where(hit, s + idf * tf * 2.2 / denom, s)
+            any_hit |= hit
+        r = np.floor(s * 10_000 + 0.5) / 10_000
+        t = pa.table({id_col: b.column(id_col),
+                      "bm25": pa.array(r, type=pa.float64())})
+        return t.filter(pa.array(any_hit))
+
+    scored = slim_ds.map_batches(score, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return top_k(scored, [("bm25", "descending"),
+                          (id_col, "ascending")], k=k)

@@ -1026,3 +1026,192 @@ def exact_dedup_keep_best(ds, id_col: str = "doc_id",
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (FastSS deletion neighborhoods)
+# ---------------------------------------------------------------------------
+
+_ED_R = np.uint64(0x100000001B3)          # odd -> invertible mod 2^64
+_ED_RINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+_ED_LENMIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _ed_byte_matrix(col):
+    """(n, Lmax) zero-padded uint8 matrix + byte lengths of a string
+    column, scattered straight off the Arrow value buffer."""
+    arr = as_array(col)
+    if arr.type != pa.large_string():
+        arr = arr.cast(pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                        count=n + 1 + arr.offset)[arr.offset:]
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None \
+        else np.empty(0, dtype=np.uint8)
+    lens = np.diff(off).astype(np.int64)
+    L = int(lens.max(initial=0))
+    M = np.zeros((n, max(L, 1)), dtype=np.uint8)
+    if lens.sum():
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(int(lens.sum())) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        M[rows, cols] = data[np.repeat(off[:-1], lens) + cols]
+    return M, lens
+
+
+def _ed_variant_keys(M: np.ndarray, lens: np.ndarray):
+    """FastSS ED<=1 blocking keys per row: polynomial hash of the string
+    itself plus of every single-byte-deletion variant, each mixed with
+    the variant length (Bocek et al. 2007, public algorithm).
+
+    Polynomial hashes over uint64 wraparound arithmetic: deleting
+    position i shifts the suffix one power down, so
+    H(variant_i) = P[i] + (total - P[i+1]) * r^-1 — every variant in
+    O(1) off two cumsums, no string materialization. Equal strings hash
+    equal (no false negatives); hash collisions only add candidates,
+    which the exact verify removes."""
+    n, L = M.shape
+    rp = np.empty(L, dtype=np.uint64)
+    rp[0] = np.uint64(1)
+    np.multiply.accumulate(np.full(L, _ED_R, dtype=np.uint64), out=rp[:],
+                           dtype=np.uint64)
+    rp = np.concatenate([[np.uint64(1)], rp[:-1]])
+    terms = M.astype(np.uint64) * rp[None, :]
+    csum = np.cumsum(terms, axis=1, dtype=np.uint64)
+    total = csum[:, -1]
+    # P_excl[i] = hash of prefix [0, i) ; P_incl[i] = [0, i]
+    p_incl = csum
+    p_excl = np.concatenate(
+        [np.zeros((n, 1), dtype=np.uint64), csum[:, :-1]], axis=1)
+    suffix = (total[:, None] - p_incl) * _ED_RINV
+    var_hash = p_excl + suffix  # (n, L): delete position i
+    valid = np.arange(L)[None, :] < lens[:, None]
+    self_keys = total ^ (lens.astype(np.uint64) * _ED_LENMIX)
+    var_keys = var_hash ^ ((lens - 1).astype(np.uint64)[:, None]
+                           * _ED_LENMIX)
+    rows = np.repeat(np.arange(n), lens)
+    flat_var = var_keys[valid]
+    all_keys = np.concatenate([self_keys, flat_var])
+    all_rows = np.concatenate([np.arange(n), rows])
+    return all_keys.view(np.int64), all_rows
+
+
+def edit_distance_join(ds, id_col: str, str_col: str, *, max_ed: int = 1,
+                       num_partitions: int = 16):
+    """Self-join on byte edit distance <= ``max_ed`` (currently 1): all
+    pairs (id_a < id_b, ed). FastSS blocking — each string emits its
+    own key plus len(s) single-deletion keys, so two strings within one
+    edit ALWAYS share a key (complete) — then one keyed shuffle, all
+    intra-bucket pairs, a pair-keyed dedup shuffle and an exact
+    vectorized Levenshtein verify (textops.levenshtein_pairs — DuckDB
+    byte semantics). Designed for short join keys (names, codes,
+    normalized titles): the blocking emits O(len) keys per row, so
+    shuffle volume is O(corpus bytes), and bucket sizes stay small
+    because only near-identical strings collide."""
+    from .context import auto_partitions
+    from .textops import levenshtein_pairs
+
+    if max_ed != 1:
+        raise NotImplementedError("edit_distance_join currently "
+                                  "implements the ED<=1 neighborhood")
+
+    def emit_keys(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "key": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.string()),
+            })
+        M, lens = _ed_byte_matrix(b.column(str_col))
+        keys, rows = _ed_variant_keys(M, lens)
+        ids = as_array(b.column(id_col)).cast(pa.int64())
+        strs = as_array(b.column(str_col)).cast(pa.string())
+        take = pa.array(rows.astype(np.int64))
+        return pa.table({"key": pa.array(keys),
+                         "id": ids.take(take),
+                         "s": strs.take(take)})
+
+    def pairs_in_bucket(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "sa": pa.array([], type=pa.string()),
+            "sb": pa.array([], type=pa.string()),
+        })
+        if len(b) == 0:
+            return empty
+        key = b.column("key").to_numpy(zero_copy_only=False)
+        ids = b.column("id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))
+        k_s, id_s = key[order], ids[order]
+        first = np.empty(len(k_s), dtype=bool)
+        first[0] = True
+        np.not_equal(k_s[1:], k_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(k_s)))
+        # within-bucket pair expansion, fully vectorized: the element at
+        # in-bucket position p pairs with its p predecessors
+        pos = np.arange(len(k_s)) - np.repeat(starts, lens)
+        n_pairs = int(pos.sum())
+        if n_pairs == 0:
+            return empty
+        j_idx = np.repeat(np.arange(len(k_s)), pos)
+        cum0 = np.cumsum(pos) - pos
+        i_idx = (np.arange(n_pairs) - np.repeat(cum0, pos)
+                 + np.repeat(np.repeat(starts, lens), pos))
+        a = np.minimum(id_s[i_idx], id_s[j_idx])
+        bb = np.maximum(id_s[i_idx], id_s[j_idx])
+        keep = a != bb  # same id via two shared keys
+        a, bb, i_idx, j_idx = a[keep], bb[keep], i_idx[keep], j_idx[keep]
+        swap = id_s[i_idx] > id_s[j_idx]
+        ii = np.where(swap, j_idx, i_idx)
+        jj = np.where(swap, i_idx, j_idx)
+        strs = as_array(b.column("s")).take(pa.array(order.astype(np.int64)))
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(bb),
+            "sa": strs.take(pa.array(ii.astype(np.int64))),
+            "sb": strs.take(pa.array(jj.astype(np.int64))),
+        })
+
+    def verify(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "ed": pa.array([], type=pa.int64()),
+        })
+        if len(b) == 0:
+            return empty
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, a))
+        a_s, b_s = a[order], bb[order]
+        first = np.empty(len(a_s), dtype=bool)
+        first[0] = True
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        keep = order[first]
+        sa = as_array(b.column("sa")).take(
+            pa.array(keep.astype(np.int64))).to_pylist()
+        sb = as_array(b.column("sb")).take(
+            pa.array(keep.astype(np.int64))).to_pylist()
+        maxlen = max((len(x) for x in sa + sb), default=1)
+        ed = levenshtein_pairs(sa, sb, prefix_chars=max(32, maxlen))
+        ok = ed <= max_ed
+        return pa.table({
+            "id_a": pa.array(a_s[first][ok]),
+            "id_b": pa.array(b_s[first][ok]),
+            "ed": pa.array(ed[ok].astype(np.int64)),
+        })
+
+    P = auto_partitions(ds.count(), 250_000, num_partitions)
+    return (ds.select_columns([id_col, str_col])
+            .map_batches(emit_keys, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(P, keys=["key"])
+            .map_batches(pairs_in_bucket, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(max(2, P // 2), keys=["a", "b"])
+            .map_batches(verify, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

@@ -786,3 +786,77 @@ def merge_upsert(base_ds, changes_ds, key: str, *, op_col: str = "op",
     return tagged.repartition(P, keys=[key]) \
         .map_batches(resolve, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
+
+
+def diff_snapshots(a_ds, b_ds, key: str, *, num_partitions: int = 8):
+    """Dataset diff (snapshot versioning): classify every key as
+    'added' (only in B), 'removed' (only in A) or 'changed' (in both
+    with any payload column differing); unchanged keys emit nothing.
+    One tagged union + keyed co-partitioning shuffle, vectorized
+    per-block compare — the audit step before promoting a new corpus
+    snapshot. Keys must be unique within each snapshot."""
+    cols = list(a_ds.schema().names)
+    if list(b_ds.schema().names) != cols:
+        raise ValueError("diff_snapshots: snapshots must share a schema")
+    payload = [c for c in cols if c != key]
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__side", pa.array(np.full(len(b), side, dtype=np.int8)))
+        return fn
+
+    def resolve(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            kt = b.schema.field(key).type if key in b.schema.names \
+                else pa.int64()
+            return pa.table({key: pa.array([], type=kt),
+                             "status": pa.array([], type=pa.string())})
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        side = b.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, k))
+        sk, ss = k[order], side[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(sk)))
+        if lens.max() > 2 or (lens == 2).any() and \
+                (ss[starts[lens == 2]] + ss[starts[lens == 2] + 1] != 1).any():
+            raise ValueError("diff_snapshots: duplicate key within a "
+                             "snapshot")
+        only = lens == 1
+        added = starts[only & (ss[starts] == 1)]
+        removed = starts[only & (ss[starts] == 0)]
+        both = starts[~only]  # A row at i (side 0), B row at i+1
+        if len(both):
+            ia = pa.array(order[both].astype(np.int64))
+            ib = pa.array(order[both + 1].astype(np.int64))
+            diff = np.zeros(len(both), dtype=bool)
+            for c in payload:
+                col = b.column(c)
+                eq = pc.equal(col.take(ia), col.take(ib))
+                neq = pc.fill_null(pc.invert(eq), True) \
+                    .to_numpy(zero_copy_only=False)
+                diff |= neq
+            changed = both[diff]
+        else:
+            changed = both
+        pos = np.concatenate([added, removed, changed])
+        status = np.concatenate([
+            np.full(len(added), "added", dtype=object),
+            np.full(len(removed), "removed", dtype=object),
+            np.full(len(changed), "changed", dtype=object)])
+        return pa.table({key: pa.array(sk[pos]),
+                         "status": pa.array(status, type=pa.string())})
+
+    from .context import auto_partitions
+    P = auto_partitions(a_ds.count() + b_ds.count(), 500_000,
+                        num_partitions)
+    tagged = a_ds.map_batches(tag(0), batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .union(b_ds.map_batches(tag(1), batch_format="pyarrow",
+                                zero_copy_batch=True))
+    return tagged.repartition(P, keys=[key]) \
+        .map_batches(resolve, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
