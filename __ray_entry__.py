@@ -5715,6 +5715,144 @@ def _q_bm25_topk(sf_dir: str):
                      ["merge", "join", "window"], k=20)
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-style multiway star join: lineitem ⋈ orders (1996) ⋈
+    customer ⋈ supplier, keep rows where customer and supplier share an
+    ASIA nation, sum revenue cents per nation name. Dims (region,
+    nation) fold on the driver (tiny) and broadcast; the fact chain is
+    three engine hash_joins (broadcast or co-partition by size)."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    nat = gather_table(_read(sf_dir, "nation", None))
+    reg = gather_table(_read(sf_dir, "region", None))
+    asia_rk = {int(k) for k, n in zip(
+        reg.column("r_regionkey").to_pylist(),
+        reg.column("r_name").to_pylist()) if n == "ASIA"}
+    names = {int(k): n for k, n, rk in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist(),
+        nat.column("n_regionkey").to_pylist()) if int(rk) in asia_rk}
+    asia_nations = pa.array(sorted(names), type=pa.int64())
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def prep_orders(b):
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        t = b.filter(m)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+        })
+
+    def prep_line(b):
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+            "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(prep_orders, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"]) \
+        .map_batches(prep_line, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "c_custkey": b.column("c_custkey").cast(pa.int64()),
+            "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "s_suppkey": b.column("s_suppkey").cast(pa.int64()),
+            "s_nationkey": b.column("s_nationkey").cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(line, orders, on=("l_orderkey", "o_orderkey"))
+    j = hash_join(j, cust, on=("o_custkey", "c_custkey"))
+    j = hash_join(j, supp, on=("l_suppkey", "s_suppkey"))
+
+    def local_asia(b):
+        m = pc.and_(
+            pc.equal(b.column("c_nationkey"), b.column("s_nationkey")),
+            pc.is_in(b.column("s_nationkey"), value_set=asia_nations))
+        t = b.filter(m)
+        g = t.group_by("s_nationkey").aggregate([("cents", "sum")])
+        return pa.table({
+            "s_nationkey": g.column("s_nationkey"),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "n_name": pa.array([], type=pa.string()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by("s_nationkey").aggregate([("cents", "sum")])
+        nk = g.column("s_nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[int(x)] for x in nk],
+                               type=pa.string()),
+            "revenue_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    return (j.map_batches(local_asia, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Week-over-week retention triangle over events: cohort = user's
+    first-activity week, one row per (cohort_week, active_week) with
+    distinct-user counts."""
+    from apache_datasketches_go_ray.stages.windows import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]),
+                             "user_id", "ts", epoch_day="2024-01-01")
+
+
+def _q_events_resample_ffill(sf_dir: str):
+    """Per-user hourly resample with forward-fill (time-series gap
+    filling): the value at each grid hour is the cents of the latest
+    event at-or-before it (event_id tie-break); grid hours before the
+    first event emit nothing — SQL ASOF JOIN semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.windows import resample_ffill
+
+    def prep(b):
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "ts": b.column("ts"),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    return resample_ffill(ds, "user_id", "ts", "cents",
+                          tie_col="event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -5863,6 +6001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_diff": _q_dataset_diff,
         "edit_distance_join": _q_edit_distance_join,
         "bm25_topk": _q_bm25_topk,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "user_retention_cohorts": _q_retention_cohorts,
+        "events_resample_ffill": _q_events_resample_ffill,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -8148,6 +8289,65 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bm25 DESC, doc_id ASC
             LIMIT 20
         """,
+        "local_supplier_volume": r"""
+            SELECT n.n_name AS n_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                        * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "user_retention_cohorts": r"""
+            WITH w AS (
+              SELECT user_id,
+                     CAST(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) // 7 AS BIGINT)
+                       AS week
+              FROM events
+            ), c AS (
+              SELECT user_id, min(week) AS cohort_week FROM w
+              GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT user_id, week FROM w
+            )
+            SELECT c.cohort_week, a.week,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN c USING (user_id)
+            GROUP BY c.cohort_week, a.week
+        """,
+        "events_resample_ffill": r"""
+            WITH e AS (
+              SELECT user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events
+            ), e1 AS (
+              SELECT user_id, ts, cents FROM e WHERE rn = 1
+            ), b AS (
+              SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                     date_trunc('hour', max(ts)) AS h1
+              FROM events GROUP BY user_id
+            ), g AS (
+              SELECT user_id,
+                     unnest(generate_series(h0, h1,
+                                            INTERVAL 1 HOUR)) AS hour
+              FROM b
+            )
+            SELECT g.user_id, g.hour, e1.cents AS last_cents
+            FROM g ASOF JOIN e1
+              ON g.user_id = e1.user_id AND g.hour >= e1.ts
+        """,
     }
+
 
 

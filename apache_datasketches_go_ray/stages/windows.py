@@ -729,3 +729,164 @@ def trailing_distinct_by_day(ds, ts_col: str = "ts",
         .map_batches(fold, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def resample_ffill(ds, key_col: str = "user_id", ts_col: str = "ts",
+                   val_col: str = "cents", *, tie_col: str | None = None,
+                   freq_us: int = 3_600_000_000,
+                   num_partitions: int = 16):
+    """Per-key regular time grid with forward-fill (time-series
+    resampling): one output row per (key, grid point) from
+    trunc(min ts) to trunc(max ts) every ``freq_us``, carrying the
+    value of the latest event at-or-before the grid point (equal
+    timestamps resolve to the last row in (ts, original order) — pin a
+    tie-break column upstream). Grid points before a key's first event
+    emit nothing (inner as-of semantics, matching SQL ASOF JOIN).
+
+    One keyed shuffle; inside a block everything is vectorized — the
+    ragged per-key grid comes from one repeat/cumsum, and the as-of
+    lookup is a single np.searchsorted over a composite
+    (key_code << 45 | ts - key_min) int64 key, so no per-key Python.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        cols = {
+            key_col: b.column(key_col).cast(pa.int64()),
+            "__ts": b.column(ts_col).cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            val_col: b.column(val_col).cast(pa.int64()),
+        }
+        if tie_col is not None:
+            cols["__tie"] = b.column(tie_col).cast(pa.int64())
+        return pa.table(cols)
+
+    def fold(b: pa.Table) -> pa.Table:
+        ts_type = pa.timestamp("us")
+        if len(b) == 0:
+            return pa.table({
+                key_col: pa.array([], type=pa.int64()),
+                "hour": pa.array([], type=ts_type),
+                f"last_{val_col}": pa.array([], type=pa.int64()),
+            })
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        ts = b.column("__ts").to_numpy(zero_copy_only=False)
+        v = b.column(val_col).to_numpy(zero_copy_only=False)
+        if tie_col is not None:
+            tie = b.column("__tie").to_numpy(zero_copy_only=False)
+            order = np.lexsort((tie, ts, k))
+        else:
+            order = np.lexsort((ts, k))
+        ks, tss, vs = k[order], ts[order], v[order]
+        first = np.empty(len(ks), dtype=bool)
+        first[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(ks)))
+        ucode = np.cumsum(first) - 1  # block-local dense key codes
+        n_keys = len(starts)
+        base = tss[starts]  # per-key min ts
+        rel = tss - base[ucode]
+        if n_keys >= (1 << 18) or int(rel.max(initial=0)) >= (1 << 45):
+            raise ValueError("resample_ffill: composite-key range "
+                             "exceeded (shrink blocks or widen dtype)")
+        comp = (ucode.astype(np.int64) << np.int64(45)) + rel
+        # per-key grid: trunc(min) .. trunc(max) step freq
+        g0 = (base // freq_us) * freq_us
+        g1 = (tss[starts + lens - 1] // freq_us) * freq_us
+        n_pts = ((g1 - g0) // freq_us + 1).astype(np.int64)
+        total = int(n_pts.sum())
+        gk = np.repeat(np.arange(n_keys), n_pts)
+        c0 = np.cumsum(n_pts) - n_pts
+        step = np.arange(total) - np.repeat(c0, n_pts)
+        g_ts = g0[gk] + step * freq_us
+        g_comp = (gk.astype(np.int64) << np.int64(45)) \
+            + (g_ts - base[gk])
+        idx = np.searchsorted(comp, g_comp, side="right") - 1
+        valid = (g_ts - base[gk]) >= 0  # grid points before first event
+        # searchsorted floor stays within the key's own run because
+        # composites are namespaced by the key code
+        keep = valid & (idx >= 0)
+        return pa.table({
+            key_col: pa.array(ks[starts][gk[keep]]),
+            "hour": pa.array(g_ts[keep]).cast(ts_type),
+            f"last_{val_col}": pa.array(vs[idx[keep]]),
+        })
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (ds.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(P, keys=[key_col])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def retention_cohorts(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      *, epoch_day: str = "2024-01-01",
+                      week_days: int = 7, num_partitions: int = 16):
+    """Cohort retention matrix: cohort = key's first-activity week
+    (days since ``epoch_day`` // 7), one row per (cohort_week,
+    active_week) with the distinct-key count — the standard
+    week-over-week retention triangle. One keyed shuffle: per block,
+    each key folds to its first week + distinct active weeks
+    (vectorized dedup), then a tiny (cohort, week) count aggregate."""
+    ep = np.datetime64(epoch_day).astype("datetime64[us]").astype(
+        np.int64)
+    day_us = 86_400_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b.column(key_col).cast(pa.int64()),
+            "__ts": b.column(ts_col).cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "cohort_week": pa.array([], type=pa.int64()),
+                "week": pa.array([], type=pa.int64()),
+                "n_users": pa.array([], type=pa.int64()),
+            })
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        ts = b.column("__ts").to_numpy(zero_copy_only=False)
+        week = (ts - ep) // day_us // week_days
+        order = np.lexsort((week, k))
+        ks, ws = k[order], week[order]
+        newk = np.empty(len(ks), dtype=bool)
+        newk[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=newk[1:])
+        # distinct (key, week) rows
+        dk = newk.copy()
+        dk[1:] |= ws[1:] != ws[:-1]
+        cohort = ws[np.flatnonzero(newk)]  # first week per key
+        kcode = np.cumsum(newk) - 1
+        pairs_c = cohort[kcode[dk]]
+        pairs_w = ws[dk]
+        key2 = pairs_c * (1 << 20) + pairs_w
+        uk, cnt = np.unique(key2, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(uk >> np.int64(20)),
+            "week": pa.array(uk & np.int64((1 << 20) - 1)),
+            "n_users": pa.array(cnt.astype(np.int64)),
+        })
+
+    def final(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        t = b.group_by(["cohort_week", "week"]).aggregate(
+            [("n_users", "sum")])
+        return pa.table({
+            "cohort_week": t.column("cohort_week"),
+            "week": t.column("week"),
+            "n_users": t.column("n_users_sum").cast(pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (ds.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(P, keys=[key_col])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
