@@ -1628,3 +1628,109 @@ def bm25_topk(ds, query_tokens: list[str], *, k: int = 20,
                                  zero_copy_batch=True)
     return top_k(scored, [("bm25", "descending"),
                           (id_col, "ascending")], k=k)
+
+
+def vocab_drift_weekly(ds, ts_col: str = "ts", text_col: str = "text",
+                       *, epoch_day: str = "2023-11-13",
+                       week_days: int = 7, num_partitions: int = 16):
+    """Corpus drift monitor: token-vocabulary Jaccard between adjacent
+    calendar weeks — the data-quality alarm for a continuously
+    ingested corpus. Plan: block-local distinct (week, token) pairs ->
+    one token-keyed shuffle -> per-token fold emits its per-week
+    presence and adjacent-week co-presence counts -> tiny driver
+    combine (weeks x weeks is small by construction). Outputs integer
+    1e4-scaled floor Jaccard (SQL-exact)."""
+    from .arrow_util import as_array
+    from .context import auto_partitions, gather_table
+
+    ep = np.datetime64(epoch_day).astype("datetime64[us]").astype(
+        np.int64)
+    day_us = 86_400_000_000
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"week": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string())})
+        ts = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        week = (ts - ep) // day_us // week_days
+        texts = as_array(b.column(text_col))
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(texts.cast(pa.string())), r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return pa.table({"week": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string())})
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"week": pa.array(week[parent]), "token": flat})
+        t = t.filter(pc.not_equal(t.column("token"), ""))
+        return t.group_by(["week", "token"]).aggregate([])
+
+    def per_token(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "week_a": pa.array([], type=pa.int64()),
+            "n_a": pa.array([], type=pa.int64()),
+            "n_common": pa.array([], type=pa.int64()),
+        })
+        if len(b) == 0:
+            return empty
+        # block-local rows are (week, token) distinct per input block but
+        # may repeat across blocks: dedup after the shuffle
+        d = b.group_by(["week", "token"]).aggregate([])
+        tok = d.column("token").to_numpy(zero_copy_only=False)
+        wk = d.column("week").to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, tok))
+        tk, wks = tok[order], wk[order]
+        same = np.zeros(len(tk), dtype=bool)
+        if len(tk) > 1:
+            same[1:] = tk[1:] == tk[:-1]
+        adj = same & (np.diff(wks, prepend=wks[:1]) == 1)
+        # sizes: every distinct (week, token) contributes 1 to its week
+        uw, wc = np.unique(wks, return_counts=True)
+        aw, ac = (np.unique(wks[adj] - 1, return_counts=True)
+                  if adj.any() else (np.empty(0, np.int64),
+                                     np.empty(0, np.int64)))
+        return pa.table({
+            "week_a": pa.array(np.concatenate([uw, aw])),
+            "n_a": pa.array(np.concatenate(
+                [wc, np.zeros(len(aw), dtype=np.int64)]).astype(np.int64)),
+            "n_common": pa.array(np.concatenate(
+                [np.zeros(len(uw), dtype=np.int64), ac]).astype(np.int64)),
+        })
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    part = (ds.select_columns([ts_col, text_col])
+            .map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(P, keys=["token"])
+            .map_batches(per_token, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+    t = gather_table(part, schema=pa.schema(
+        [("week_a", pa.int64()), ("n_a", pa.int64()),
+         ("n_common", pa.int64())]))
+    wk = t.column("week_a").to_numpy(zero_copy_only=False)
+    na = t.column("n_a").to_numpy(zero_copy_only=False)
+    nc = t.column("n_common").to_numpy(zero_copy_only=False)
+    uw, inv = np.unique(wk, return_inverse=True)
+    sizes = np.zeros(len(uw), dtype=np.int64)
+    np.add.at(sizes, inv, na)
+    inters = np.zeros(len(uw), dtype=np.int64)
+    np.add.at(inters, inv, nc)
+    size_of = dict(zip(uw.tolist(), sizes.tolist()))
+    inter_of = dict(zip(uw.tolist(), inters.tolist()))
+    rows = []
+    for w in sorted(size_of):
+        if size_of.get(w, 0) > 0 and size_of.get(w + 1, 0) > 0:
+            i = inter_of.get(w, 0)
+            u = size_of[w] + size_of[w + 1] - i
+            rows.append((w, w + 1, size_of[w], size_of[w + 1], i,
+                         i * 10_000 // u))
+    return pa.table({
+        "week_a": pa.array([r[0] for r in rows], type=pa.int64()),
+        "week_b": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_a": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_b": pa.array([r[3] for r in rows], type=pa.int64()),
+        "n_common": pa.array([r[4] for r in rows], type=pa.int64()),
+        "jaccard_e4": pa.array([r[5] for r in rows], type=pa.int64()),
+    })

@@ -860,3 +860,125 @@ def diff_snapshots(a_ds, b_ds, key: str, *, num_partitions: int = 8):
     return tagged.repartition(P, keys=[key]) \
         .map_batches(resolve, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
+
+
+def weighted_median_by(ds, key: str, value_col: str, weight_col: str, *,
+                       num_partitions: int = 8):
+    """Exact lower weighted median per group: the smallest value v with
+    cumulative weight(<=v) * 2 >= total weight. One keyed shuffle, one
+    in-block lexsort + weight cumsum per group — the weighted
+    generalization of grouped_quantile_disc (integer-exact, ANSI
+    window-function reproducible)."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            kt = b.schema.field(key).type if key in b.schema.names \
+                else pa.string()
+            return pa.table({
+                key: pa.array([], type=kt),
+                "weighted_median": pa.array([], type=pa.int64()),
+                "total_weight": pa.array([], type=pa.int64()),
+            })
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((v, k))
+        sk, sv, sw = k[order], v[order], w[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(sk)))
+        cw = np.cumsum(sw)
+        base = np.repeat(cw[starts] - sw[starts], lens)
+        cw_local = cw - base
+        tot = np.repeat(np.add.reduceat(sw, starts), lens)
+        ok = 2 * cw_local >= tot
+        # first qualifying row per group = lower weighted median (the
+        # last row of every group always qualifies, so each group has one)
+        grp = np.cumsum(first) - 1
+        idx = np.flatnonzero(ok)
+        first_ok = np.full(len(starts), len(sk), dtype=np.int64)
+        np.minimum.at(first_ok, grp[idx], idx)
+        med = sv[first_ok]
+        return pa.table({
+            key: pa.array(sk[starts]),
+            "weighted_median": pa.array(med),
+            "total_weight": pa.array(np.add.reduceat(sw, starts)
+                                     .astype(np.int64)),
+        })
+
+    from .context import auto_partitions
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (ds.select_columns([key, value_col, weight_col])
+            .repartition(P, keys=[key])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def partition_checksums(ds, id_col: str, val_col: str, *,
+                        bucket_size: int = 64):
+    """Data-integrity audit: per id-range bucket, row count plus an
+    order-independent additive and xor checksum over a Knuth-hash mix
+    of (id, value) — the cross-engine migration check (compare against
+    a warehouse running the identical SQL). Map-only partials + one
+    tiny bucket fold; commutative aggregates make it partition- and
+    order-independent by construction."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "n_rows": pa.array([], type=pa.int64()),
+                "sum_mix": pa.array([], type=pa.int64()),
+                "xor_mix": pa.array([], type=pa.int64()),
+            })
+        ids = b.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vals = b.column(val_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % 4294967296
+        mix = h * 31 + vals
+        bk = ids // bucket_size
+        ub, inv = np.unique(bk, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(s, inv, mix)
+        x = np.zeros(len(ub), dtype=np.int64)
+        np.bitwise_xor.at(x, inv, mix)
+        return pa.table({
+            "bucket": pa.array(ub),
+            "n_rows": pa.array(n.astype(np.int64)),
+            "sum_mix": pa.array(s),
+            "xor_mix": pa.array(x),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        t = b.group_by("bucket").aggregate(
+            [("n_rows", "sum"), ("sum_mix", "sum")])
+        # xor has no built-in aggregate: fold it vectorized per bucket
+        bk = b.column("bucket").to_numpy(zero_copy_only=False)
+        xr = b.column("xor_mix").to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(bk, return_inverse=True)
+        x = np.zeros(len(ub), dtype=np.int64)
+        np.bitwise_xor.at(x, inv, xr)
+        xmap = dict(zip(ub.tolist(), x.tolist()))
+        tb = t.column("bucket").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": t.column("bucket").cast(pa.int64()),
+            "n_rows": t.column("n_rows_sum").cast(pa.int64()),
+            "sum_mix": t.column("sum_mix_sum").cast(pa.int64()),
+            "xor_mix": pa.array([xmap[int(k)] for k in tb],
+                                type=pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, val_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

@@ -890,3 +890,88 @@ def retention_cohorts(ds, key_col: str = "user_id", ts_col: str = "ts",
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def churn_by_week(ds, key_col: str = "user_id", ts_col: str = "ts", *,
+                  epoch_day: str = "2024-01-01", week_days: int = 7,
+                  num_partitions: int = 16):
+    """Weekly lifecycle states: for each key-week, 'new' (first-ever
+    week), 'retained' (also active the previous week) or 'resurrected'
+    (returns after a gap); additionally one 'churned' row at week g+1
+    for every internal activity gap (active at g, inactive at g+1,
+    active again later). Output: (week, status, n_users). One keyed
+    shuffle; per block each key folds to its sorted distinct weeks and
+    the states fall out of one diff — no per-key Python."""
+    ep = np.datetime64(epoch_day).astype("datetime64[us]").astype(
+        np.int64)
+    day_us = 86_400_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b.column(key_col).cast(pa.int64()),
+            "__ts": b.column(ts_col).cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+        })
+
+    _empty = pa.table({
+        "week": pa.array([], type=pa.int64()),
+        "status": pa.array([], type=pa.string()),
+        "n_users": pa.array([], type=pa.int64()),
+    })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        ts = b.column("__ts").to_numpy(zero_copy_only=False)
+        week = (ts - ep) // day_us // week_days
+        order = np.lexsort((week, k))
+        ks, ws = k[order], week[order]
+        newk = np.empty(len(ks), dtype=bool)
+        newk[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=newk[1:])
+        keep = newk.copy()  # distinct (key, week)
+        keep[1:] |= ws[1:] != ws[:-1]
+        ks, ws = ks[keep], ws[keep]
+        firstk = np.empty(len(ks), dtype=bool)
+        firstk[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=firstk[1:])
+        prev_gap = np.zeros(len(ks), dtype=np.int64)
+        if len(ks) > 1:
+            prev_gap[1:] = ws[1:] - ws[:-1]
+        scode = np.where(firstk, 0,
+                         np.where(prev_gap == 1, 1, 2)).astype(np.int64)
+        # churn rows: one per internal gap, at (previous week + 1)
+        gap = (~firstk) & (prev_gap > 1)
+        churn_w = (ws - prev_gap + 1)[gap]
+        out_w = np.concatenate([ws, churn_w])
+        out_c = np.concatenate([scode, np.full(len(churn_w), 3,
+                                               dtype=np.int64)])
+        key2, cnt = np.unique(out_w * 4 + out_c, return_counts=True)
+        labels = np.array(["new", "retained", "resurrected", "churned"],
+                          dtype=object)
+        return pa.table({
+            "week": pa.array(key2 >> np.int64(2)),
+            "status": pa.array(labels[key2 & 3], type=pa.string()),
+            "n_users": pa.array(cnt.astype(np.int64)),
+        })
+
+    def final(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty
+        t = b.group_by(["week", "status"]).aggregate([("n_users", "sum")])
+        return pa.table({
+            "week": t.column("week"),
+            "status": t.column("status").cast(pa.string()),
+            "n_users": t.column("n_users_sum").cast(pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (ds.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(P, keys=[key_col])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
