@@ -5915,6 +5915,179 @@ def _q_vocab_drift(sf_dir: str):
                               epoch_day="2023-11-13")
 
 
+def _q_jaccard_cross(sf_dir: str):
+    """Exact cross-dataset token-set Jaccard join (R-S PPJoin): pairs
+    (A-doc, B-doc) with J >= 0.8 between the even- and odd-id halves of
+    the documents table — the new-crawl-vs-existing-corpus near-dup
+    audit, recall 1.0 by construction."""
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        jaccard_cross_join,
+    )
+
+    def half(par):
+        def f(b):
+            ids = b.column("doc_id").cast(pa.int64())
+            import pyarrow as pa2
+            return b.filter(pc.equal(
+                pc.bit_wise_and(ids, pa2.scalar(1, type=pa2.int64())),
+                pa2.scalar(par, type=pa2.int64())))
+        return f
+
+    import pyarrow as pa
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    a = docs.map_batches(half(0), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    b = docs.map_batches(half(1), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return jaccard_cross_join(a, b, tau=0.8, num_partitions=16)
+
+
+def _q_docs_above_source_p75(sf_dir: str):
+    """Per-domain quality gate: keep docs at or above their source's
+    exact 75th-percentile length — 'top quartile per domain' curation
+    filtering, one keyed shuffle with the threshold computed in the
+    same fold that filters."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.relational import (
+        filter_above_group_quantile,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def cast(b):
+        return pa.table({
+            "source": b.column("source"),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+        })
+
+    ds = ds.map_batches(cast, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return filter_above_group_quantile(ds, "source", "n_chars", 0.75,
+                                       carry_cols=["doc_id"])
+
+
+def _q_rolling_median_cents(sf_dir: str):
+    """Per-user rolling lower median of event value over the last 7
+    rows (ts, event_id order) — the robust streaming smoother, exact
+    and window-function-reproducible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.windows import (
+        rolling_quantile,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(b):
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "ts": b.column("ts"),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return rolling_quantile(ds, "user_id", "ts", "cents", window=7,
+                            q=0.5, tie_col="event_id")
+
+
+def _q_events_cube(sf_dir: str):
+    """Full CUBE(event_type, isodow): all four grouping sets — (type,
+    dow), (type), (dow), () — folded from one fine-grid combiner pass;
+    'ALL' marks the rolled-up dimension(s)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "dow": pc.day_of_week(b.column("ts"), count_from_zero=False,
+                                  week_start=1).cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+        g = t.group_by(["event_type", "dow"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "dow": g.column("dow").cast(pa.string()),
+            "sum_cents": g.column("cents_sum").cast(pa.int64()),
+            "n": g.column("cents_count").cast(pa.int64()),
+        })
+
+    def expand(b):
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "dow": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "sum_cents": pa.array([], type=pa.int64()),
+        })
+        if len(b) == 0:
+            return empty
+
+        def agg(keys):
+            if keys:
+                g = b.group_by(keys).aggregate(
+                    [("sum_cents", "sum"), ("n", "sum")])
+            else:
+                g = pa.table({
+                    "sum_cents_sum": pa.array(
+                        [pc.sum(b.column("sum_cents")).as_py() or 0],
+                        type=pa.int64()),
+                    "n_sum": pa.array(
+                        [pc.sum(b.column("n")).as_py() or 0],
+                        type=pa.int64()),
+                })
+            n = len(g)
+            return pa.table({
+                "event_type": (g.column("event_type")
+                               if "event_type" in keys
+                               else pa.array(["ALL"] * n,
+                                             type=pa.string())),
+                "dow": (g.column("dow").cast(pa.string())
+                        if "dow" in keys
+                        else pa.array(["ALL"] * n, type=pa.string())),
+                "n": g.column("n_sum").cast(pa.int64()),
+                "sum_cents": g.column("sum_cents_sum").cast(pa.int64()),
+            })
+
+        return pa.concat_tables([
+            agg(["event_type", "dow"]), agg(["event_type"]),
+            agg(["dow"]), agg([]),
+        ])
+
+    return (_read(sf_dir, "events", ["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(expand, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_cluster_representatives(sf_dir: str):
+    """Keep-best curation over the flagship near-dup clusters: one
+    representative conversation per cluster (most turns, conv_id
+    tie-break) plus cluster size — what a training-data pipeline ships
+    after dedup instead of dropping all members."""
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+    from apache_datasketches_go_ray.stages.cluster import (
+        cluster_representatives,
+    )
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    res = run_dedup(ds, _dedup_config())
+    turns = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                                  columns=["conv_id"])
+    return cluster_representatives(res["clusters"], turns) \
+        .sort(["cluster_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -6070,12 +6243,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_nchars": _q_weighted_median,
         "partition_checksums": _q_partition_checksums,
         "vocab_drift_weekly": _q_vocab_drift,
+        "jaccard_cross_dups": _q_jaccard_cross,
+        "docs_above_source_p75": _q_docs_above_source_p75,
+        "rolling_median_cents": _q_rolling_median_cents,
+        "events_cube": _q_events_cube,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
         # window
         "compression_ratios": _q_compression_ratios,
         "incremental_dedup_clusters": _q_incremental_dedup,
+        "cluster_representatives": _q_cluster_representatives,
         "fuzzy_boilerplate_turns": _q_fuzzy_boilerplate_turns,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
@@ -8471,6 +8649,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(mix) AS BIGINT) AS sum_mix,
                    CAST(bit_xor(mix) AS BIGINT) AS xor_mix
             FROM m GROUP BY bucket
+        """,
+        "jaccard_cross_dups": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                         string_split_regex(trim(text), '\s+'))) AS tk
+              FROM documents
+              WHERE trim(text) <> ''
+            ), sz AS (
+              SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM tok a JOIN tok b
+                ON a.tk = b.tk AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY 1, 2
+            )
+            SELECT inter.doc_a, inter.doc_b,
+                   round(i * 1.0 / (sa.s + sb.s - i), 6) AS jacc
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_a
+            JOIN sz sb ON sb.doc_id = inter.doc_b
+            WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+        """,
+        "docs_above_source_p75": r"""
+            WITH t AS (
+              SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(doc_id AS BIGINT) AS doc_id,
+                     quantile_disc(n_chars, 0.75)
+                       OVER (PARTITION BY source) AS thr
+              FROM documents
+            )
+            SELECT source, n_chars, doc_id FROM t WHERE n_chars >= thr
+        """,
+        "rolling_median_cents": r"""
+            WITH t AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+                     CAST(event_id AS BIGINT) AS event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT user_id, ts, event_id,
+                   quantile_disc(cents, 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS rolling_q
+            FROM t
+        """,
+        "events_cube": r"""
+            WITH t AS (
+              SELECT event_type,
+                     CAST(isodow(ts) AS BIGINT) AS dow_i,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   CASE WHEN GROUPING(dow_i) = 1 THEN 'ALL'
+                        ELSE CAST(dow_i AS VARCHAR) END AS dow,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM t
+            GROUP BY CUBE (event_type, dow_i)
         """,
         "vocab_drift_weekly": f"""
             WITH tok AS (

@@ -252,3 +252,95 @@ def cluster_edges(edges_ds, num_partitions: int, max_rounds: int = 40,
         .map_batches(labels_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def cluster_representatives(clusters_ds, turns_ds,
+                            conv_col: str = "conv_id", *,
+                            num_partitions: int = 16):
+    """Pick one representative conversation per near-dup cluster —
+    keep-best curation: the member with the most turns, conv_id as the
+    deterministic tie-break — plus cluster size and the winner's turn
+    count. Plan: per-block partial turn counts -> conv-keyed fold ->
+    broadcast-or-copartition join with the (small) cluster labels ->
+    per-cluster argmax fold. Only (conv, count) rows and labels move;
+    turn text never enters the shuffle."""
+    from .context import auto_partitions
+    from .join import hash_join
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({conv_col: pa.array([], type=pa.string()),
+                             "n_turns": pa.array([], type=pa.int64())})
+        g = b.select([conv_col]).group_by(conv_col).aggregate([([], "count_all")])
+        return pa.table({conv_col: g.column(conv_col),
+                         "n_turns": g.column("count_all").cast(pa.int64())})
+
+    def count_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        g = b.group_by(conv_col).aggregate([("n_turns", "sum")])
+        return pa.table({conv_col: g.column(conv_col),
+                         "n_turns": g.column("n_turns_sum").cast(pa.int64())})
+
+    P = auto_partitions(turns_ds.count(), 1_000_000, num_partitions)
+    counts = (turns_ds.select_columns([conv_col])
+              .map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(P, keys=[conv_col])
+              .map_batches(count_fold, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True))
+    joined = hash_join(counts, clusters_ds, on=(conv_col, conv_col),
+                       num_partitions=num_partitions)
+
+    _empty = pa.table({
+        "cluster_id": pa.array([], type=pa.string()),
+        "rep_conv_id": pa.array([], type=pa.string()),
+        "n_convs": pa.array([], type=pa.int64()),
+        "rep_n_turns": pa.array([], type=pa.int64()),
+    })
+
+    def _fold(cl, cv, nt, sz) -> pa.Table:
+        # best-first order inside each cluster: n_turns desc, conv asc
+        order = np.lexsort((cv, -nt, cl))
+        scl, scv, snt = cl[order], cv[order], nt[order]
+        first = np.empty(len(scl), dtype=bool)
+        first[0] = True
+        np.not_equal(scl[1:], scl[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        grp = np.cumsum(first) - 1
+        sizes = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(sizes, grp, sz[order])
+        return pa.table({
+            "cluster_id": pa.array(scl[starts]),
+            "rep_conv_id": pa.array(scv[starts]),
+            "n_convs": pa.array(sizes),
+            "rep_n_turns": pa.array(snt[starts].astype(np.int64)),
+        })
+
+    def argmax_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty
+        return _fold(
+            b.column("cluster_id").to_numpy(zero_copy_only=False),
+            b.column(conv_col).to_numpy(zero_copy_only=False),
+            b.column("n_turns").to_numpy(zero_copy_only=False),
+            np.ones(len(b), dtype=np.int64))
+
+    def argmax_final(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty
+        return _fold(
+            b.column("cluster_id").to_numpy(zero_copy_only=False),
+            b.column("rep_conv_id").to_numpy(zero_copy_only=False),
+            b.column("rep_n_turns").to_numpy(zero_copy_only=False),
+            b.column("n_convs").to_numpy(zero_copy_only=False))
+
+    # partial argmax per block, then one cluster-keyed exchange: at most
+    # one row per (block, cluster) enters the shuffle
+    CP = auto_partitions(clusters_ds.count(), 500_000, num_partitions)
+    return (joined
+            .map_batches(argmax_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(CP, keys=["cluster_id"])
+            .map_batches(argmax_final, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))

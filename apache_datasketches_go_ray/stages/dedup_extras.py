@@ -527,9 +527,67 @@ def jaccard_similarity_join(ds, tau: float = 0.6, id_col: str = "doc_id",
 
     Returns (doc_a, doc_b, jacc) with jacc half-up-rounded to 6 dp.
     """
+    sets_ds = _token_sets(ds, id_col, text_col, ngram).materialize()
+    return _jaccard_join_core(sets_ds, tau, num_partitions, hot_k,
+                              broadcast_gate_bytes)
+
+
+def jaccard_cross_join(a_ds, b_ds, tau: float = 0.6,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       num_partitions: int = 32, hot_k: int = 4096,
+                       broadcast_gate_bytes: int = 1 << 30,
+                       ngram: int = 1):
+    """Exact R-S token-set Jaccard join BETWEEN two datasets: all pairs
+    (doc_a in A, doc_b in B) with Jaccard >= tau, recall 1.0 — the
+    cross-dataset near-dup audit (e.g. new crawl vs existing corpus, or
+    train vs eval at the whole-document level). Same AllPairs/PPJoin
+    prefix-filter plan as the self-join (the prefix bound J >= tau =>
+    overlap >= ceil(tau*s) holds per set regardless of which dataset
+    the partner comes from); the dataset side rides in the low bit of
+    an encoded id (doc_id*2+side) so the candidate fold can pair only
+    opposite sides. Ids must be non-negative int64s below 2^62."""
+
+    def encode(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            enc = pc.add(pc.multiply(batch.column("doc_id"),
+                                     pa.scalar(2, type=pa.int64())),
+                         pa.scalar(side, type=pa.int64()))
+            return batch.set_column(0, "doc_id", enc.cast(pa.int64()))
+        return f
+
+    sets_ds = (
+        _token_sets(a_ds, id_col, text_col, ngram)
+        .map_batches(encode(0), batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .union(_token_sets(b_ds, id_col, text_col, ngram)
+               .map_batches(encode(1), batch_format="pyarrow",
+                            zero_copy_batch=True))
+    ).materialize()
+    pairs = _jaccard_join_core(sets_ds, tau, num_partitions, hot_k,
+                               broadcast_gate_bytes, cross=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False) >> 1
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False) >> 1
+        return pa.table({
+            "doc_a": pa.array(a, type=pa.int64()),
+            "doc_b": pa.array(b, type=pa.int64()),
+            "jacc": batch.column("jacc"),
+        })
+
+    return pairs.map_batches(decode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _jaccard_join_core(sets_ds, tau: float, num_partitions: int,
+                       hot_k: int, broadcast_gate_bytes: int,
+                       cross: bool = False):
+    """Shared prefix-filter -> candidate -> verify plan over a
+    (doc_id, toks, sz) set table. ``cross=True`` pairs only rows whose
+    encoded-id low bits differ (side A = even, side B = odd) and
+    orients output as (A-side id, B-side id) instead of (min, max)."""
     import ray
 
-    sets_ds = _token_sets(ds, id_col, text_col, ngram).materialize()
     hot_toks, hot_dfs = _hot_token_df(sets_ds, hot_k, num_partitions)
 
     def emit_prefix(batch: pa.Table) -> pa.Table:
@@ -590,8 +648,16 @@ def jaccard_similarity_join(ds, tau: float = 0.6, id_col: str = "doc_id",
             lo = np.minimum(sa, sb).astype(np.float64)
             hi = np.maximum(sa, sb).astype(np.float64)
             ok = lo >= tau * hi - 1e-9                    # size filter
-            a_o.append(np.minimum(da, db)[ok])
-            b_o.append(np.maximum(da, db)[ok])
+            if cross:
+                # pair only across datasets; orient A-side (even
+                # encoded id) first
+                ok &= (da & 1) != (db & 1)
+                a_is_da = (da & 1) == 0
+                a_o.append(np.where(a_is_da, da, db)[ok])
+                b_o.append(np.where(a_is_da, db, da)[ok])
+            else:
+                a_o.append(np.minimum(da, db)[ok])
+                b_o.append(np.maximum(da, db)[ok])
         if not a_o:
             return empty
         return pa.table({

@@ -982,3 +982,43 @@ def partition_checksums(ds, id_col: str, val_col: str, *,
             .repartition(1)
             .map_batches(fold, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def filter_above_group_quantile(ds, key: str, val_col: str,
+                                q: float = 0.75,
+                                carry_cols: list[str] | None = None, *,
+                                num_partitions: int = 8):
+    """Per-group quality gate: keep rows whose value >= the group's
+    exact discrete quantile (sorted[floor(q*(n-1))], DuckDB
+    quantile_disc convention) — 'top 25% of docs per domain' style
+    curation filtering. One keyed shuffle; threshold and filter happen
+    in the same in-block fold, so nothing is materialized and no
+    second pass over the data is needed."""
+    carry = carry_cols or []
+    cols = [key, val_col] + [c for c in carry
+                             if c not in (key, val_col)]
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        v = b.column(val_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        sk, sv = k[order], v[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(sk)))
+        thr_idx = starts + np.floor(q * (lens - 1)).astype(np.int64)
+        thr = np.repeat(sv[thr_idx], lens)
+        keep_sorted = sv >= thr
+        keep = np.zeros(len(sk), dtype=bool)
+        keep[order] = keep_sorted
+        return b.filter(pa.array(keep))
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    return (ds.select_columns(cols)
+            .repartition(P, keys=[key])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

@@ -975,3 +975,67 @@ def churn_by_week(ds, key_col: str = "user_id", ts_col: str = "ts", *,
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def rolling_quantile(ds, key_col: str, ts_col: str, val_col: str, *,
+                     window: int = 7, q: float = 0.5,
+                     tie_col: str | None = None,
+                     num_partitions: int = 16):
+    """Exact rolling discrete quantile per key over the last ``window``
+    rows ordered by (ts, tie): output sorted_window[floor(q*(n-1))]
+    (DuckDB quantile_disc convention), n = rows so far capped at the
+    window — the robust rolling-median smoother for metric streams.
+    One keyed shuffle; the fold builds an (n, window) staircase matrix
+    padded with a sentinel above each row's window start, sorts it
+    once along axis 1 and gathers per-row indices — O(n * w log w)
+    fully vectorized, no per-row Python."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        kt = b.schema.field(key_col).type if key_col in b.schema.names \
+            else pa.int64()
+        if len(b) == 0:
+            cols = {key_col: pa.array([], type=kt),
+                    ts_col: pa.array([], type=pa.timestamp("us"))}
+            if tie_col:
+                cols[tie_col] = pa.array([], type=pa.int64())
+            cols["rolling_q"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        ts = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = b.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tie = (b.column(tie_col).to_numpy(zero_copy_only=False)
+               if tie_col else np.arange(len(k)))
+        order = np.lexsort((tie, ts, k))
+        sk, sts, sv = k[order], ts[order], v[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=first[1:])
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(sk)), 0))
+        pos = np.arange(len(sk)) - grp_start          # 0-based in group
+        n_in = np.minimum(pos + 1, window)
+        # staircase: column j of row i holds sv[i - j] for j < n_in[i]
+        j = np.arange(window)
+        src = np.arange(len(sk))[:, None] - j[None, :]
+        pad = src < (np.arange(len(sk)) - n_in + 1)[:, None]
+        mat = sv[np.maximum(src, 0)]
+        big = np.int64(np.iinfo(np.int64).max)
+        mat[pad] = big                                 # sorts last
+        mat.sort(axis=1)
+        qi = np.floor(q * (n_in - 1)).astype(np.int64)
+        out = mat[np.arange(len(sk)), qi]
+        cols = {key_col: pa.array(sk),
+                ts_col: pa.array(sts).cast(pa.timestamp("us"))}
+        if tie_col:
+            cols[tie_col] = pa.array(tie[order].astype(np.int64))
+        cols["rolling_q"] = pa.array(out, type=pa.int64())
+        return pa.table(cols)
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    cols = [key_col, ts_col, val_col] + ([tie_col] if tie_col else [])
+    return (ds.select_columns(cols)
+            .repartition(P, keys=[key_col])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
