@@ -6088,6 +6088,105 @@ def _q_cluster_representatives(sf_dir: str):
         .sort(["cluster_id"])
 
 
+def _q_user_session_bounds(sf_dir: str):
+    """Sessionize the event stream per user at >12h inactivity gaps —
+    the same split_conversations operator that breaks agent transcripts
+    at real pauses, run generically over (user_id, ts). One keyed
+    shuffle, vectorized segment diff; exact and window-function
+    reproducible."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.assemble import (
+        split_conversations,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b):
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "t_us": b.column("ts").cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            "ts": b.column("ts"),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return split_conversations(ds, gap_us=43_200_000_000,
+                               key_col="user_id", order_col="t_us",
+                               ts_col="ts", num_partitions=8)
+
+
+def _q_user_value_trend(sf_dir: str):
+    """Per-user spend trend as an exact integer rational slope
+    (num/den) over (hours since 2024-01-01, cents) — drift detection
+    with no float in the pipeline, so it is value-exact across engines
+    and partitionings. Distributive-moment fold: per-block 5-tuple
+    partials, one keyed exchange, final algebra."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_linear_trend,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b):
+        t_us = b.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # hours since 2024-01-01 keeps every product comfortably int64
+        x = t_us // 3_600_000_000 - 473352
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "x_hours": pa.array(x.astype(np.int64)),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return grouped_linear_trend(ds, "user_id", "x_hours", "cents",
+                                num_partitions=8)
+
+
+def _q_event_type_cooccurrence(sf_dir: str):
+    """Unordered event-type pair co-engagement: for every pair (a < b),
+    how many users emitted BOTH types — market-basket affinity. Exact:
+    per-block distinct combiner, one user-keyed shuffle, per-key pair
+    expansion bounded by the (small) type domain."""
+    from apache_datasketches_go_ray.stages.relational import (
+        cooccurrence_counts,
+    )
+
+    return cooccurrence_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type", num_partitions=8)
+
+
+def _q_leakage_safe_split(sf_dir: str):
+    """Train/eval split that cannot leak near-duplicates: every member
+    of a flagship near-dup cluster inherits its CLUSTER's murmur
+    bucket, so clusters land wholly on one side; unclustered convs
+    split by their own id hash. Rows-only at the driver gate (cluster
+    labels come from the MinHash pipeline); whole-cluster cohesion and
+    the bucket rule are pinned by pytest oracles."""
+    import ray.data
+
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+    from apache_datasketches_go_ray.stages.cluster import (
+        leakage_safe_split,
+    )
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    res = run_dedup(ds, _dedup_config())
+    turns = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                                  columns=["conv_id"])
+    return leakage_safe_split(res["clusters"], turns,
+                              eval_permille=100, seed=9001)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -6247,6 +6346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_source_p75": _q_docs_above_source_p75,
         "rolling_median_cents": _q_rolling_median_cents,
         "events_cube": _q_events_cube,
+        "user_session_bounds": _q_user_session_bounds,
+        "user_value_trend": _q_user_value_trend,
+        "event_type_cooccurrence": _q_event_type_cooccurrence,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -6254,6 +6356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratios": _q_compression_ratios,
         "incremental_dedup_clusters": _q_incremental_dedup,
         "cluster_representatives": _q_cluster_representatives,
+        "leakage_safe_split": _q_leakage_safe_split,
         "fuzzy_boilerplate_turns": _q_fuzzy_boilerplate_turns,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
@@ -8737,6 +8840,56 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS jaccard_e4
             FROM n na JOIN n nb ON nb.week = na.week + 1
             LEFT JOIN i ON i.week_a = na.week
+        """,
+        "user_session_bounds": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     epoch_us(ts) - epoch_us(
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts)) AS gap
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN gap IS NULL
+                              OR gap > 43200000000
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS sub
+              FROM o
+            )
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   CAST(sub AS BIGINT) AS sub_id,
+                   count(*) AS n_turns,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM s GROUP BY user_id, sub
+        """,
+        "user_value_trend": """
+            WITH r AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 3600000000.0)
+                          AS BIGINT) - 473352 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   count(*) AS n,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                        AS BIGINT) AS slope_num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                        AS BIGINT) AS slope_den
+            FROM r GROUP BY user_id
+        """,
+        "event_type_cooccurrence": """
+            WITH d AS (
+              SELECT DISTINCT user_id, event_type FROM events
+              WHERE event_type IS NOT NULL
+            )
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   count(*) AS n_keys
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
         """,
     }
 

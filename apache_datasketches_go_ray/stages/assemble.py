@@ -161,3 +161,75 @@ def assemble(ds, num_partitions: int, input_layout: str = "shuffled"):
         .map_batches(assemble_block, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def split_conversations(ds, gap_us: int = 1_800_000_000, *,
+                        key_col: str = "conv_id",
+                        order_col: str = "turn_idx",
+                        ts_col: str = "ts",
+                        num_partitions: int = 16):
+    """Split each conversation into sub-conversations at turn gaps
+    longer than ``gap_us`` (``order_col`` order) — long agent sessions
+    broken at real pauses before packing/training. Output one row per
+    (key, sub_id): turn count, first/last timestamp. Generic over
+    column names so the same operator sessionizes any keyed event
+    stream (pass the epoch-us of the timestamp as ``order_col`` to
+    order by time). One key-keyed shuffle, in-block lexsort, segment
+    boundaries from one vectorized diff — same discipline as
+    assemble_block."""
+    from .arrow_util import as_array
+    from .context import auto_partitions
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                key_col: pa.array([], type=pa.string()),
+                "sub_id": pa.array([], type=pa.int64()),
+                "n_turns": pa.array([], type=pa.int64()),
+                "start_ts": pa.array([], type=pa.timestamp("us")),
+                "end_ts": pa.array([], type=pa.timestamp("us")),
+            })
+        conv = as_array(b.column(key_col).cast(pa.string()))
+        dict_arr = as_array(pc.dictionary_encode(conv))
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        ti = as_array(b.column(order_col)).to_numpy(
+            zero_copy_only=False)
+        ts = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, codes))
+        c_s, ts_s = codes[order], ts[order]
+        firstc = np.empty(len(c_s), dtype=bool)
+        firstc[0] = True
+        np.not_equal(c_s[1:], c_s[:-1], out=firstc[1:])
+        gap = np.zeros(len(c_s), dtype=np.int64)
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        new_seg = firstc | (gap > gap_us)
+        seg_starts = np.flatnonzero(new_seg)
+        seg_lens = np.diff(np.append(seg_starts, len(c_s)))
+        # 0-based sub index within each conversation: running segment
+        # counter reset at each conversation's first segment
+        conv_of_seg = c_s[seg_starts]
+        first_seg_of_conv = np.empty(len(seg_starts), dtype=bool)
+        first_seg_of_conv[0] = True
+        np.not_equal(conv_of_seg[1:], conv_of_seg[:-1],
+                     out=first_seg_of_conv[1:])
+        base = np.maximum.accumulate(
+            np.where(first_seg_of_conv, np.arange(len(seg_starts)), 0))
+        sub_id = np.arange(len(seg_starts)) - base
+        start_ts = np.minimum.reduceat(ts_s, seg_starts)
+        end_ts = np.maximum.reduceat(ts_s, seg_starts)
+        conv_names = dict_arr.dictionary.take(
+            pa.array(conv_of_seg, type=pa.int32())).cast(pa.string())
+        return pa.table({
+            key_col: conv_names,
+            "sub_id": pa.array(sub_id.astype(np.int64)),
+            "n_turns": pa.array(seg_lens.astype(np.int64)),
+            "start_ts": pa.array(start_ts).cast(pa.timestamp("us")),
+            "end_ts": pa.array(end_ts).cast(pa.timestamp("us")),
+        })
+
+    P = auto_partitions(ds.count(), 1_000_000, num_partitions)
+    return (ds.select_columns([key_col, order_col, ts_col])
+            .repartition(P, keys=[key_col])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

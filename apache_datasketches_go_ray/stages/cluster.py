@@ -344,3 +344,67 @@ def cluster_representatives(clusters_ds, turns_ds,
             .repartition(CP, keys=["cluster_id"])
             .map_batches(argmax_final, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True))
+
+
+def leakage_safe_split(clusters_ds, convs_ds,
+                       conv_col: str = "conv_id", *,
+                       eval_permille: int = 100, seed: int = 9001,
+                       num_partitions: int = 16):
+    """Train/eval split that cannot leak near-duplicates across the
+    boundary: every member of a near-dup cluster inherits its
+    CLUSTER's deterministic hash bucket, so a cluster lands wholly in
+    train or wholly in eval; unclustered conversations split by their
+    own id hash. The correctness property train_eval_split alone
+    cannot give — eval contamination via near-dups — falls out by
+    construction. Plan: broadcast-or-copartition join of the (small)
+    cluster labels onto the conv universe, then one vectorized murmur
+    bucket per row; no extra shuffle beyond the join."""
+    import pyarrow.compute as pc
+
+    from .join import hash_join
+
+    from .context import auto_partitions
+
+    def distinct_convs(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({conv_col: pa.array([], type=pa.string())})
+        return pa.table({
+            conv_col: b.column(conv_col).cast(pa.string()),
+        }).group_by(conv_col).aggregate([])
+
+    # per-block distinct -> keyed shuffle -> per-block distinct gives a
+    # globally unique conv universe (same combiner discipline as the
+    # exact-dedup stage)
+    P = auto_partitions(convs_ds.count(), 2_000_000, num_partitions)
+    universe = (convs_ds.select_columns([conv_col])
+                .map_batches(distinct_convs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .repartition(P, keys=[conv_col])
+                .map_batches(distinct_convs, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True))
+    joined = hash_join(universe, clusters_ds,
+                       on=(conv_col, conv_col),
+                       num_partitions=num_partitions,
+                       join_type="left outer")
+
+    def assign(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                conv_col: pa.array([], type=pa.string()),
+                "split": pa.array([], type=pa.string()),
+            })
+        conv = b.column(conv_col)
+        cl = b.column("cluster_id")
+        keys = pc.coalesce(cl.cast(pa.string()),
+                           conv.cast(pa.string()))
+        h1, _ = hash_strings(as_array(keys), seed=seed)
+        bucket = (h1 % np.uint64(1000)).astype(np.int64)
+        is_eval = bucket < eval_permille
+        return pa.table({
+            conv_col: conv,
+            "split": pa.array(np.where(is_eval, "eval", "train"),
+                              type=pa.string()),
+        })
+
+    return joined.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1022,3 +1022,149 @@ def filter_above_group_quantile(ds, key: str, val_col: str,
             .repartition(P, keys=[key])
             .map_batches(fold, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def grouped_linear_trend(ds, key: str, x_col: str, y_col: str, *,
+                         num_partitions: int = 8):
+    """Exact per-group least-squares slope as an integer rational:
+    slope = slope_num / slope_den with slope_num = n*Sxy - Sx*Sy,
+    slope_den = n*Sxx - Sx^2 over int64 x/y — metric drift per key
+    with no float in the pipeline (cross-engine exact). Classic
+    distributive-moment fold: per-block partial sums, one keyed
+    exchange of the 5-tuple, final algebra. Caller is responsible for
+    keeping |x|,|y| small enough that the products fit int64 (e.g. x =
+    hours since a fixed epoch)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                key: pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "sx": pa.array([], type=pa.int64()),
+                "sy": pa.array([], type=pa.int64()),
+                "sxy": pa.array([], type=pa.int64()),
+                "sxx": pa.array([], type=pa.int64()),
+            })
+        k = b.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = b.column(x_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = b.column(y_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        out = {"n": np.bincount(inv).astype(np.int64)}
+        for name, vals in (("sx", x), ("sy", y), ("sxy", x * y),
+                           ("sxx", x * x)):
+            acc = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(acc, inv, vals)
+            out[name] = acc
+        return pa.table({key: pa.array(uk),
+                         **{c: pa.array(v) for c, v in out.items()}})
+
+    def final(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                key: pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "slope_num": pa.array([], type=pa.int64()),
+                "slope_den": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(key).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")])
+        n = g.column("n_sum").to_numpy(zero_copy_only=False)
+        sx = g.column("sx_sum").to_numpy(zero_copy_only=False)
+        sy = g.column("sy_sum").to_numpy(zero_copy_only=False)
+        sxy = g.column("sxy_sum").to_numpy(zero_copy_only=False)
+        sxx = g.column("sxx_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: g.column(key).cast(pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+            "slope_num": pa.array((n * sxy - sx * sy).astype(np.int64)),
+            "slope_den": pa.array((n * sxx - sx * sx).astype(np.int64)),
+        })
+
+    P = auto_partitions(ds.count(), 2_000_000, num_partitions)
+    return (ds.select_columns([key, x_col, y_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(P, keys=[key])
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def cooccurrence_counts(ds, key: str, item_col: str, *,
+                        num_partitions: int = 8):
+    """Market-basket co-occurrence: for every unordered pair of items
+    (a < b), the number of keys that have BOTH — event-type affinity /
+    co-engagement analysis. Per-block distinct (key, item) -> key-keyed
+    shuffle -> per-key pair expansion (bounded by the per-key distinct
+    item count, small by domain) -> tiny pair fold."""
+
+    def distinct(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({key: pa.array([], type=pa.int64()),
+                             item_col: pa.array([], type=pa.string())})
+        return pa.table({
+            key: b.column(key).cast(pa.int64()),
+            item_col: b.column(item_col).cast(pa.string()),
+        }).group_by([key, item_col]).aggregate([])
+
+    _pairs_empty = pa.table({
+        "item_a": pa.array([], type=pa.string()),
+        "item_b": pa.array([], type=pa.string()),
+        "n_keys": pa.array([], type=pa.int64()),
+    })
+
+    def expand(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _pairs_empty
+        d = b.group_by([key, item_col]).aggregate([])  # cross-block dedup
+        k = d.column(key).to_numpy(zero_copy_only=False)
+        items = d.column(item_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((items, k))
+        ks, its = k[order], items[order]
+        first = np.empty(len(ks), dtype=bool)
+        first[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(ks)))
+        a_parts, b_parts = [], []
+        for g in np.unique(lens):
+            if g < 2:
+                continue
+            offs = starts[lens == g]
+            idx = offs[:, None] + np.arange(g)
+            ii, jj = np.triu_indices(g, k=1)
+            a_parts.append(its[idx][:, ii].ravel())
+            b_parts.append(its[idx][:, jj].ravel())
+        if not a_parts:
+            return _pairs_empty
+        t = pa.table({
+            "item_a": pa.array(np.concatenate(a_parts), type=pa.string()),
+            "item_b": pa.array(np.concatenate(b_parts), type=pa.string()),
+        })
+        g2 = t.group_by(["item_a", "item_b"]).aggregate([([], "count_all")])
+        return pa.table({
+            "item_a": g2.column("item_a"),
+            "item_b": g2.column("item_b"),
+            "n_keys": g2.column("count_all").cast(pa.int64()),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _pairs_empty
+        g = b.group_by(["item_a", "item_b"]).aggregate([("n_keys", "sum")])
+        return pa.table({
+            "item_a": g.column("item_a").cast(pa.string()),
+            "item_b": g.column("item_b").cast(pa.string()),
+            "n_keys": g.column("n_keys_sum").cast(pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 1_000_000, num_partitions)
+    return (ds.select_columns([key, item_col])
+            .map_batches(distinct, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(P, keys=[key])
+            .map_batches(expand, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
