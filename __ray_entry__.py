@@ -6187,6 +6187,394 @@ def _q_leakage_safe_split(sf_dir: str):
                               eval_permille=100, seed=9001)
 
 
+def _q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sample without replacement (priority /
+    sequential-Poisson sampling, Duffield-Lund-Thorup): keep the k rows
+    with the largest integer priority (w << 32) // h where h is a
+    Knuth-multiplicative hash of the key and w = n_chars — long docs
+    proportionally likelier, result exact and engine-independent.
+    Mergeable top-k, so per-block partials + one tiny gather, no
+    shuffle."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.relational import top_k
+
+    def prep(b):
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = b.column("n_chars").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % 4294967296 + 1
+        pri = (w.astype(object) * 4294967296 // h).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_chars": pa.array(w, type=pa.int64()),
+            "priority": pa.array(pri, type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k(ds, [("priority", "descending"),
+                      ("doc_id", "ascending")], k=100)
+
+
+def _q_purchase_click_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase event matched to the same
+    user's most recent click at or before it (tie-break greatest click
+    id), kept only when the click is within a 7-day lookback — the
+    standard marketing-attribution as-of self-join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def side(kind, id_name, ts_dup):
+        def f(b):
+            t = b.filter(pc.equal(b.column("event_type"), kind))
+            cols = {
+                id_name: t.column("event_id").cast(pa.int64()),
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts"),
+            }
+            if ts_dup:
+                cols[ts_dup] = t.column("ts").cast(pa.timestamp("us"))
+            return pa.table(cols)
+        return f
+
+    purchases = ev.map_batches(side("purchase", "event_id", None),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+    clicks = ev.map_batches(side("click", "click_id", "click_ts"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    j = asof_join(purchases, clicks, on=("user_id", "user_id"),
+                  ts=("ts", "ts"), tie_break="click_id",
+                  left_cols=["event_id"],
+                  right_cols=["click_id", "click_ts"],
+                  num_partitions=8)
+
+    def window(b):
+        if len(b) == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "click_id": pa.array([], type=pa.int64()),
+                "click_ts": pa.array([], type=pa.timestamp("us")),
+            })
+        gap = pc.subtract(b.column("ts").cast(pa.timestamp("us"))
+                          .cast(pa.int64()),
+                          b.column("click_ts").cast(pa.int64()))
+        t = b.filter(pc.less_equal(gap, 604_800_000_000))
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "ts": t.column("ts").cast(pa.timestamp("us")),
+            "click_id": t.column("click_id").cast(pa.int64()),
+            "click_ts": t.column("click_ts").cast(pa.timestamp("us")),
+        })
+
+    return j.map_batches(window, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def _q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7-style cross-nation trade volume: revenue cents per
+    (supplier nation, customer nation, ship year) over 1996-1997
+    shipments between DIFFERENT nations. Fact chain is three engine
+    hash_joins; the two nation dims fold on the driver and broadcast
+    as lookup arrays."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    nat = gather_table(_read(sf_dir, "nation", None))
+    names = {int(k): n for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def prep_line(b):
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi))
+        t = b.filter(m)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "l_year": pc.year(t.column("l_shipdate")).cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"]) \
+        .map_batches(prep_line, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "c_custkey": b.column("c_custkey").cast(pa.int64()),
+            "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "s_suppkey": b.column("s_suppkey").cast(pa.int64()),
+            "s_nationkey": b.column("s_nationkey").cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(line, orders, on=("l_orderkey", "o_orderkey"))
+    j = hash_join(j, cust, on=("o_custkey", "c_custkey"))
+    j = hash_join(j, supp, on=("l_suppkey", "s_suppkey"))
+
+    def partial(b):
+        t = b.filter(pc.not_equal(b.column("s_nationkey"),
+                                  b.column("c_nationkey")))
+        g = t.group_by(["s_nationkey", "c_nationkey", "l_year"]) \
+            .aggregate([("cents", "sum")])
+        return pa.table({
+            "s_nationkey": g.column("s_nationkey").cast(pa.int64()),
+            "c_nationkey": g.column("c_nationkey").cast(pa.int64()),
+            "l_year": g.column("l_year").cast(pa.int64()),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "supp_nation": pa.array([], type=pa.string()),
+                "cust_nation": pa.array([], type=pa.string()),
+                "l_year": pa.array([], type=pa.int64()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["s_nationkey", "c_nationkey", "l_year"]) \
+            .aggregate([("cents", "sum")])
+        sn = [names[int(x)] for x in
+              g.column("s_nationkey").to_pylist()]
+        cn = [names[int(x)] for x in
+              g.column("c_nationkey").to_pylist()]
+        return pa.table({
+            "supp_nation": pa.array(sn, type=pa.string()),
+            "cust_nation": pa.array(cn, type=pa.string()),
+            "l_year": g.column("l_year").cast(pa.int64()),
+            "revenue_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    return (j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13-style customer distribution: histogram of customers by
+    their order count INCLUDING zero-order customers (left outer join
+    semantics without the join — per-block order-count combiner, one
+    customer-keyed fold, then the zero bucket from customer-count minus
+    matched customers)."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_count_distribution,
+    )
+
+    n_cust = int(gather_table(
+        _read(sf_dir, "customer", ["c_custkey"])).num_rows)
+    orders = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(lambda b: pa.table({
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count_distribution(orders, "o_custkey",
+                                      total_keys=n_cust,
+                                      num_partitions=8)
+
+
+def _q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18-style large-volume orders: orders whose total lineitem
+    quantity exceeds a threshold, with customer name and order facts —
+    per-block quantity partials, one order-keyed fold + filter (the
+    having-clause pushdown), then two small joins for the dims."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import auto_partitions
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b):
+        q = pc.round(pc.multiply(b.column("l_quantity"), 100)) \
+            .cast(pa.int64())
+        t = pa.table({
+            "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+            "qc": q,
+        })
+        g = t.group_by("l_orderkey").aggregate([("qc", "sum")])
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey"),
+            "qc": g.column("qc_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "total_qty_c": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by("l_orderkey").aggregate([("qc", "sum")])
+        t = pa.table({
+            "l_orderkey": g.column("l_orderkey").cast(pa.int64()),
+            "total_qty_c": g.column("qc_sum").cast(pa.int64()),
+        })
+        return t.filter(pc.greater(t.column("total_qty_c"), 21000))
+
+    P = auto_partitions(line.count(), 2_000_000, 8)
+    big = (line.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .repartition(P, keys=["l_orderkey"])
+           .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "o_totalprice_c": pc.round(pc.multiply(
+                b.column("o_totalprice"), 100)).cast(pa.int64()),
+            "o_orderdate": b.column("o_orderdate"),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(lambda b: pa.table({
+            "c_custkey": b.column("c_custkey").cast(pa.int64()),
+            "c_name": b.column("c_name").cast(pa.string()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(big, orders, on=("l_orderkey", "o_orderkey"))
+    j = hash_join(j, cust, on=("o_custkey", "c_custkey"))
+    return j.map_batches(lambda b: pa.table({
+        "o_orderkey": b.column("l_orderkey").cast(pa.int64()),
+        "c_name": b.column("c_name").cast(pa.string()),
+        "o_orderdate": b.column("o_orderdate"),
+        "o_totalprice_c": b.column("o_totalprice_c").cast(pa.int64()),
+        "total_qty_c": b.column("total_qty_c").cast(pa.int64()),
+    }), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10-style returned-item report: lost revenue cents per
+    customer from 'R'-flagged lineitems on 1996-H2 orders, top 20
+    customers with name and nation — two hash_joins, a per-block
+    combiner, a customer-keyed fold, and a mergeable top-k."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.join import hash_join
+    from apache_datasketches_go_ray.stages.relational import top_k
+
+    nat = gather_table(_read(sf_dir, "nation", None))
+    names = {int(k): n for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}
+
+    lo = pa.scalar(datetime.datetime(1996, 7, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def prep_line(b):
+        t = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    def prep_orders(b):
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        t = b.filter(m)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+        })
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice",
+                  "l_discount"]) \
+        .map_batches(prep_line, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(prep_orders, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "c_custkey": b.column("c_custkey").cast(pa.int64()),
+            "c_name": b.column("c_name").cast(pa.string()),
+            "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(line, orders, on=("l_orderkey", "o_orderkey"))
+    j = hash_join(j, cust, on=("o_custkey", "c_custkey"))
+
+    def partial(b):
+        g = b.group_by(["o_custkey", "c_name", "c_nationkey"]) \
+            .aggregate([("cents", "sum")])
+        return pa.table({
+            "c_custkey": g.column("o_custkey").cast(pa.int64()),
+            "c_name": g.column("c_name").cast(pa.string()),
+            "c_nationkey": g.column("c_nationkey").cast(pa.int64()),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "c_custkey": pa.array([], type=pa.int64()),
+                "c_name": pa.array([], type=pa.string()),
+                "n_name": pa.array([], type=pa.string()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["c_custkey", "c_name", "c_nationkey"]) \
+            .aggregate([("cents", "sum")])
+        nn = [names[int(x)] for x in
+              g.column("c_nationkey").to_pylist()]
+        return pa.table({
+            "c_custkey": g.column("c_custkey").cast(pa.int64()),
+            "c_name": g.column("c_name").cast(pa.string()),
+            "n_name": pa.array(nn, type=pa.string()),
+            "revenue_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .repartition(1)
+           .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True))
+    return top_k(agg, [("revenue_cents", "descending"),
+                       ("c_custkey", "ascending")], k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -6349,6 +6737,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_bounds": _q_user_session_bounds,
         "user_value_trend": _q_user_value_trend,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "purchase_click_attribution": _q_purchase_click_attribution,
+        "nation_pair_volume": _q_nation_pair_volume,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "large_volume_customers": _q_large_volume_customers,
+        "returned_item_revenue": _q_returned_item_revenue,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -8890,6 +9284,105 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND a.event_type < b.event_type
             GROUP BY a.event_type, b.event_type
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, n_chars,
+                   CAST(n_chars * 4294967296
+                        // ((doc_id * 2654435761) % 4294967296 + 1)
+                        AS BIGINT) AS priority
+            FROM documents
+            ORDER BY priority DESC, doc_id ASC
+            LIMIT 100
+        """,
+        "purchase_click_attribution": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT event_id AS click_id, user_id,
+                     ts AS click_ts
+              FROM events WHERE event_type = 'click'
+            ), j AS (
+              SELECT p.event_id, p.user_id, p.ts,
+                     c.click_id, c.click_ts,
+                     row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.click_ts DESC, c.click_id DESC
+                     ) AS rn
+              FROM p JOIN c
+                ON c.user_id = p.user_id AND c.click_ts <= p.ts
+            )
+            SELECT event_id, user_id, ts, click_id, click_ts
+            FROM j
+            WHERE rn = 1
+              AND epoch_us(ts) - epoch_us(click_ts) <= 604800000000
+        """,
+        "nation_pair_volume": """
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(floor(
+                     l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer cu ON cu.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN nation nc ON nc.n_nationkey = cu.c_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND s.s_nationkey <> cu.c_nationkey
+            GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+        """,
+        "customer_order_distribution": """
+            WITH pc AS (
+              SELECT c.c_custkey, count(o.o_custkey) AS cnt
+              FROM customer c LEFT JOIN orders o
+                ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT CAST(cnt AS BIGINT) AS cnt,
+                   count(*) AS n_keys
+            FROM pc GROUP BY cnt
+        """,
+        "large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                          AS BIGINT) AS total_qty_c
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity * 100) AS BIGINT))
+                     > 21000
+            )
+            SELECT big.l_orderkey AS o_orderkey, c.c_name,
+                   o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                     AS o_totalprice_c,
+                   big.total_qty_c
+            FROM big
+            JOIN orders o ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "returned_item_revenue": """
+            WITH agg AS (
+              SELECT cu.c_custkey, cu.c_name, n.n_name,
+                     CAST(sum(CAST(floor(
+                       l.l_extendedprice * (1 - l.l_discount) * 100
+                       + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer cu ON cu.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = cu.c_nationkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+                AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY cu.c_custkey, cu.c_name, n.n_name
+            )
+            SELECT c_custkey, c_name, n_name, revenue_cents
+            FROM agg
+            ORDER BY revenue_cents DESC, c_custkey ASC
+            LIMIT 20
         """,
     }
 

@@ -1168,3 +1168,64 @@ def cooccurrence_counts(ds, key: str, item_col: str, *,
             .repartition(1)
             .map_batches(fold, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def grouped_count_distribution(ds, key: str, *,
+                               total_keys: int | None = None,
+                               num_partitions: int = 8):
+    """Histogram of per-key row counts (the TPC-H Q13 shape): one row
+    per distinct count ``cnt`` with ``n_keys`` = how many keys have
+    exactly that many rows. ``total_keys`` (the size of the key
+    universe, e.g. the customer table's row count) adds the zero-count
+    bucket for keys with no rows at all — left-outer-join semantics
+    without the join. Per-block count combiner -> key-keyed fold ->
+    per-block histogram partial -> tiny final fold."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({key: pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        g = pa.table({key: b.column(key).cast(pa.int64())}) \
+            .group_by(key).aggregate([([], "count_all")])
+        return pa.table({key: g.column(key),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    def per_key_hist(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"cnt": pa.array([], type=pa.int64()),
+                             "n_keys": pa.array([], type=pa.int64())})
+        g = b.group_by(key).aggregate([("c", "sum")])
+        h = pa.table({"cnt": g.column("c_sum").cast(pa.int64())}) \
+            .group_by("cnt").aggregate([([], "count_all")])
+        return pa.table({"cnt": h.column("cnt"),
+                         "n_keys": h.column("count_all")
+                        .cast(pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        empty = pa.table({"cnt": pa.array([], type=pa.int64()),
+                          "n_keys": pa.array([], type=pa.int64())})
+        if len(b) == 0:
+            b = empty
+        g = b.group_by("cnt").aggregate([("n_keys", "sum")])
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nk = g.column("n_keys_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if total_keys is not None:
+            zero = int(total_keys) - int(nk.sum())
+            if zero > 0:
+                cnt = np.append(cnt, 0)
+                nk = np.append(nk, zero)
+        return pa.table({"cnt": pa.array(cnt.astype(np.int64)),
+                         "n_keys": pa.array(nk.astype(np.int64))})
+
+    P = auto_partitions(ds.count(), 2_000_000, num_partitions)
+    return (ds.select_columns([key])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(P, keys=[key])
+            .map_batches(per_key_hist, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
