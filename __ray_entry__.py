@@ -6575,6 +6575,21 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k=8, 6
+    iterations): broadcast centroids into an actor-pool map_batches,
+    exact int64 partial sums folded on the driver — assignments are
+    partition-independent by construction (pinned by the exact-replica
+    pytest). The semantic-clustering primitive IVF training and
+    cluster-balanced mixing build on."""
+    from apache_datasketches_go_ray.stages.embops import kmeans_fit
+
+    assign, _C = kmeans_fit(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, n_iter=6, num_partitions=8)
+    return assign
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -6751,6 +6766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_clusters": _q_incremental_dedup,
         "cluster_representatives": _q_cluster_representatives,
         "leakage_safe_split": _q_leakage_safe_split,
+        "kmeans_clusters": _q_kmeans_clusters,
         "fuzzy_boilerplate_turns": _q_fuzzy_boilerplate_turns,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_doc_clusters": _q_minhash_doc_clusters,

@@ -259,3 +259,161 @@ def norm_stats_by_label(ds, emb_col: str = "embedding",
             .repartition(num_partitions, keys=["label"])
             .map_batches(fold, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True))
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd) with exact integer accumulation
+# ---------------------------------------------------------------------------
+
+def _kmeans_quantize(batch: pa.Table, emb_col: str, id_col: str,
+                     scale: int) -> pa.Table:
+    """Quantize embeddings to int64 micro-units once up front: every
+    later per-cluster sum is exact integer arithmetic, so centroids —
+    and therefore assignments — are bit-identical across block orders
+    and partitionings (the same order-independence discipline as the
+    engine's exact-cents folds)."""
+    if len(batch) == 0:
+        return pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "q": pa.array([], type=pa.list_(pa.int64())),
+        })
+    m = _embeddings_matrix(batch, emb_col).astype(np.float64)
+    q = np.floor(m * scale + 0.5).astype(np.int64)
+    flat = pa.array(q.reshape(-1), type=pa.int64())
+    offs = pa.array(np.arange(len(batch) + 1, dtype=np.int32)
+                    * m.shape[1], type=pa.int32())
+    return pa.table({
+        "vec_id": as_array(batch.column(id_col)).cast(pa.int64()),
+        "q": pa.ListArray.from_arrays(offs, flat),
+    })
+
+
+def _q_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    flat = as_array(batch.column("q")).flatten().to_numpy(
+        zero_copy_only=False)
+    dim = len(flat) // max(len(batch), 1)
+    return ids, flat.reshape(len(batch), dim).astype(np.float64)
+
+
+class _KmeansPartial:
+    """Actor-pool stage: holds this iteration's broadcast centroid
+    matrix; emits per-block (cluster, n, int64 sum-vector) partials."""
+
+    def __init__(self, cent_ref):
+        self.C = ray.get(cent_ref)  # (k, dim) float64, deterministic
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k, dim = self.C.shape
+        if len(batch) == 0:
+            return pa.table({
+                "cluster": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "sums": pa.array([], type=pa.list_(pa.int64())),
+            })
+        _ids, m = _q_matrix(batch)
+        # argmin over squared L2: ||x||^2 is constant per row, so rank
+        # by -2 x.C^T + ||c||^2 (one matmul per block)
+        d = m @ self.C.T * -2.0 + (self.C * self.C).sum(axis=1)
+        assign = np.argmin(d, axis=1)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, assign, m.astype(np.int64))
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        flat = pa.array(sums.reshape(-1), type=pa.int64())
+        offs = pa.array(np.arange(k + 1, dtype=np.int32) * dim,
+                        type=pa.int32())
+        return pa.table({
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "n": pa.array(counts),
+            "sums": pa.ListArray.from_arrays(offs, flat),
+        })
+
+
+class _KmeansAssign:
+    def __init__(self, cent_ref):
+        self.C = ray.get(cent_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+            })
+        ids, m = _q_matrix(batch)
+        d = m @ self.C.T * -2.0 + (self.C * self.C).sum(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+        })
+
+
+def kmeans_fit(ds, k: int = 8, n_iter: int = 10, *,
+               emb_col: str = "embedding", id_col: str = "vec_id",
+               scale: int = 1 << 20, num_partitions: int = 8):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Engine shape per iteration: broadcast the (k × dim) centroid matrix
+    via ``ray.put`` into an actor-pool ``map_batches`` (one matmul +
+    one scatter-add per block), gather the tiny per-block partial
+    table, fold on the driver. The corpus is quantized to int64
+    micro-units ONCE and materialized, so (a) every per-cluster sum is
+    exact integer arithmetic — centroids and assignments are
+    partition-independent — and (b) the T passes stream from the
+    object store instead of re-reading parquet. Deterministic init:
+    the k rows with the smallest Knuth hash of ``id_col`` (the same
+    bottom-k/KMV idea as the reference's k-minimum-values machinery,
+    hll/hll_sketch.go:338-343). Empty clusters keep their previous
+    centroid. Returns (assignments Dataset (vec_id, cluster),
+    centroids float64 (k, dim) in original embedding units)."""
+    import functools
+
+    from .relational import top_k
+
+    prep = ds.map_batches(
+        functools.partial(_kmeans_quantize, emb_col=emb_col,
+                          id_col=id_col, scale=scale),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def seed_hash(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % 4294967296
+        return b.append_column("h", pa.array(h.astype(np.int64)))
+
+    seeds = gather_table(top_k(
+        prep.map_batches(seed_hash, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        [("h", "ascending"), ("vec_id", "ascending")], k=k))
+    sid, C = _q_matrix(seeds.select(["vec_id", "q"]))
+    order = np.lexsort(
+        (sid, seeds.column("h").to_numpy(zero_copy_only=False)))
+    C = C[order]
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    for _ in range(n_iter):
+        ref = ray.put(C)
+        parts = gather_table(prep.map_batches(
+            _KmeansPartial, fn_constructor_args=(ref,),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, max(2, n_cpus // 2))))
+        cl = parts.column("cluster").to_numpy(zero_copy_only=False)
+        n = parts.column("n").to_numpy(zero_copy_only=False)
+        flat = as_array(parts.column("sums")).flatten().to_numpy(
+            zero_copy_only=False)
+        dim = C.shape[1]
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, cl, flat.reshape(len(parts), dim))
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(counts, cl, n)
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        if np.array_equal(newC, C):
+            break
+        C = newC
+
+    ref = ray.put(C)
+    assign = prep.map_batches(
+        _KmeansAssign, fn_constructor_args=(ref,),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, max(2, n_cpus // 2)))
+    return assign, C / float(scale)
