@@ -6575,6 +6575,34 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_sample_docs_per_source(sf_dir: str):
+    """Fixed-size uniform sample per stratum: 5 docs per source by
+    Knuth-hash order (grouped bottom-k / KMV per group) — the 'pull k
+    examples per domain for inspection' curation primitive. Per-block
+    combiner bounds the shuffle at k x groups x blocks rows."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_bottom_k,
+    )
+
+    def prep(b):
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % 4294967296
+        return pa.table({
+            "source": b.column("source").cast(pa.string()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "h": pa.array(h.astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_bottom_k(ds, "source",
+                            [("h", "ascending"), ("doc_id", "ascending")],
+                            k=5, num_partitions=8)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (k=8, 6
     iterations): broadcast centroids into an actor-pool map_batches,
@@ -6758,6 +6786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "large_volume_customers": _q_large_volume_customers,
         "returned_item_revenue": _q_returned_item_revenue,
+        "sample_docs_per_source": _q_sample_docs_per_source,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -9379,6 +9408,19 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "sample_docs_per_source": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     CAST((doc_id * 2654435761) % 4294967296
+                          AS BIGINT) AS h,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 4294967296,
+                                doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, doc_id, h FROM r WHERE rn <= 5
         """,
         "returned_item_revenue": """
             WITH agg AS (

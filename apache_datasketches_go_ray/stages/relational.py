@@ -1229,3 +1229,60 @@ def grouped_count_distribution(ds, key: str, *,
             .repartition(1)
             .map_batches(fold, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def _group_topk_block(b: pa.Table, key: str,
+                      sort_keys: list[tuple[str, str]],
+                      k: int) -> pa.Table:
+    """Keep at most k rows per key under (col, direction) order —
+    vectorized: one lexsort, group starts from one diff, rank-within-
+    group from one repeat. Numeric sort columns only for descending."""
+    from .arrow_util import as_array
+
+    if len(b) == 0:
+        return b
+    import pyarrow.compute as pc2
+
+    kcol = as_array(b.column(key))
+    codes = as_array(pc2.dictionary_encode(kcol)).indices \
+        .to_numpy(zero_copy_only=False)
+    arrs = []
+    for col, direction in reversed(sort_keys):
+        a = b.column(col).to_numpy(zero_copy_only=False)
+        if direction == "descending":
+            if not np.issubdtype(np.asarray(a).dtype, np.number):
+                raise ValueError(
+                    f"descending sort needs a numeric column: {col}")
+            a = -a
+        arrs.append(a)
+    arrs.append(codes)
+    order = np.lexsort(tuple(arrs))
+    ks = codes[order]
+    first = np.empty(len(ks), dtype=bool)
+    first[0] = True
+    np.not_equal(ks[1:], ks[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.append(starts, len(ks)))
+    rank = np.arange(len(ks)) - np.repeat(starts, lens)
+    return b.take(pa.array(order[rank < k]))
+
+
+def grouped_bottom_k(ds, key: str, sort_keys: list[tuple[str, str]],
+                     k: int, *, num_partitions: int = 8):
+    """k rows per group under a deterministic per-group order — the
+    'inspect k docs per source' / per-stratum fixed-size sample
+    primitive. Per-block combiner keeps at most k rows per (block,
+    group), so the keyed shuffle moves <= k x groups x blocks rows; the
+    per-key fold then takes the true per-group k. Pair with a hash
+    sort column for a uniform-without-replacement sample per group
+    (the grouped form of sample_docs_bottomk's KMV idea)."""
+    import functools
+
+    fn = functools.partial(_group_topk_block, key=key,
+                           sort_keys=sort_keys, k=k)
+    P = auto_partitions(ds.count(), 2_000_000, num_partitions)
+    return (ds.map_batches(fn, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(P, keys=[key])
+            .map_batches(fn, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

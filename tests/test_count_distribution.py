@@ -36,3 +36,40 @@ def test_grouped_count_distribution(ray_session, blocks, total):
     got_map = {int(r.cnt): int(r.n_keys) for r in got.itertuples()}
     assert got_map == dict(want)
     assert len(got) == len(got_map)
+
+
+def _brute_group_bottomk(keys, a, b_, k, desc_a=False):
+    rows = sorted(range(len(keys)),
+                  key=lambda i: (keys[i], -a[i] if desc_a else a[i],
+                                 b_[i]))
+    out, seen = [], {}
+    for i in rows:
+        c = seen.get(keys[i], 0)
+        if c < k:
+            out.append(i)
+            seen[keys[i]] = c + 1
+    return sorted(out)
+
+
+@pytest.mark.parametrize("blocks,desc", [(1, False), (4, False),
+                                         (3, True)])
+def test_grouped_bottom_k(ray_session, blocks, desc):
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_bottom_k,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 400
+    keys = np.array([f"s{i}" for i in rng.integers(0, 12, n)],
+                    dtype=object)
+    a = rng.integers(0, 50, n).astype(np.int64)
+    b_ = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"g": pa.array(keys, type=pa.string()),
+                    "a": pa.array(a), "rid": pa.array(b_)})
+    direction = "descending" if desc else "ascending"
+    got = grouped_bottom_k(_ds(tbl, blocks), "g",
+                           [("a", direction), ("rid", "ascending")],
+                           k=3, num_partitions=3).to_pandas()
+    want = _brute_group_bottomk(keys.tolist(), a.tolist(), b_.tolist(),
+                                3, desc_a=desc)
+    assert sorted(got["rid"].tolist()) == want
