@@ -6575,6 +6575,105 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_frequent_ngrams(sf_dir: str):
+    """Top-50 most frequent 5-token windows across the documents
+    corpus with exact occurrence counts — the memorized-boilerplate /
+    template detection report every pretraining-data audit runs.
+    Count combiner -> gram-keyed fold -> mergeable top-k."""
+    from apache_datasketches_go_ray.stages.corpusops import top_ngrams
+
+    return top_ngrams(_read(sf_dir, "documents", ["text"]),
+                      n=5, k=50, num_partitions=8)
+
+
+def _q_mixture_weights(sf_dir: str):
+    """Temperature-smoothed source mixing plan (alpha=0.5): per source
+    its doc count and sqrt-scaled sampling weight in parts-per-million
+    — how much each domain contributes to the training mix after
+    up-weighting small sources. Per-block count combiner, one tiny
+    single-partition fold that normalizes on the spot."""
+    import pyarrow as pa
+
+    def partial(b):
+        g = pa.table({"source": b.column("source").cast(pa.string())}) \
+            .group_by("source").aggregate([([], "count_all")])
+        return pa.table({
+            "source": g.column("source"),
+            "c": g.column("count_all").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "weight_ppm": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by("source").aggregate([("c", "sum")])
+        n = g.column("c_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = np.sqrt(n.astype(np.float64))
+        ppm = np.floor(w / w.sum() * 1_000_000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "source": g.column("source").cast(pa.string()),
+            "n_docs": pa.array(n),
+            "weight_ppm": pa.array(ppm),
+        })
+
+    return (_read(sf_dir, "documents", ["source"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_new_docs_unmatched(sf_dir: str):
+    """New-crawl novelty filter: odd-id documents (the incoming batch)
+    with NO >=0.8 token-Jaccard match in the even-id half (the
+    existing corpus) — what actually gets ingested after cross-corpus
+    near-dup screening. PPJoin cross join for the matched set (recall
+    1.0), then a left-anti hash_join to keep the unmatched."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        jaccard_cross_join,
+    )
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(par):
+        def f(b):
+            ids = b.column("doc_id").cast(pa.int64())
+            return b.filter(pc.equal(
+                pc.bit_wise_and(ids, pa.scalar(1, type=pa.int64())),
+                pa.scalar(par, type=pa.int64())))
+        return f
+
+    a = docs.map_batches(half(0), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    b_new = docs.map_batches(half(1), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    pairs = jaccard_cross_join(a, b_new, tau=0.8, num_partitions=16)
+
+    def matched_ids(t):
+        if len(t) == 0:
+            return pa.table({"m_id": pa.array([], type=pa.int64())})
+        return pa.table({
+            "m_id": t.column("doc_b").cast(pa.int64()),
+        }).group_by("m_id").aggregate([])
+
+    matched = pairs.map_batches(matched_ids, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    new_ids = b_new.map_batches(lambda t: pa.table({
+        "doc_id": t.column("doc_id").cast(pa.int64()),
+    }), batch_format="pyarrow", zero_copy_batch=True)
+    return hash_join(new_ids, matched, on=("doc_id", "m_id"),
+                     join_type="left anti", num_partitions=8)
+
+
 def _q_sample_docs_per_source(sf_dir: str):
     """Fixed-size uniform sample per stratum: 5 docs per source by
     Knuth-hash order (grouped bottom-k / KMV per group) — the 'pull k
@@ -6787,6 +6886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "returned_item_revenue": _q_returned_item_revenue,
         "sample_docs_per_source": _q_sample_docs_per_source,
+        "frequent_ngrams": _q_frequent_ngrams,
+        "mixture_weights": _q_mixture_weights,
+        "new_docs_unmatched": _q_new_docs_unmatched,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -9408,6 +9510,60 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "frequent_ngrams": r"""
+            WITH t AS (
+              SELECT string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ), g AS (
+              SELECT unnest(list_transform(
+                       range(1, len(toks) - 3),
+                       i -> toks[i] || ' ' || toks[i+1] || ' '
+                            || toks[i+2] || ' ' || toks[i+3] || ' '
+                            || toks[i+4])) AS ngram
+              FROM t WHERE len(toks) >= 5
+            )
+            SELECT ngram, count(*) AS n_occurrences
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC
+            LIMIT 50
+        """,
+        "mixture_weights": """
+            WITH c AS (
+              SELECT source, count(*) AS n_docs
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs,
+                   CAST(floor(sqrt(n_docs) / sum(sqrt(n_docs)) OVER ()
+                              * 1000000 + 0.5) AS BIGINT) AS weight_ppm
+            FROM c
+        """,
+        "new_docs_unmatched": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                         string_split_regex(trim(text), '\s+'))) AS tk
+              FROM documents
+              WHERE trim(text) <> ''
+            ), sz AS (
+              SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS i
+              FROM tok a JOIN tok b
+                ON a.tk = b.tk AND a.doc_id % 2 = 0
+               AND b.doc_id % 2 = 1
+              GROUP BY 1, 2
+            ), matched AS (
+              SELECT DISTINCT inter.doc_b
+              FROM inter
+              JOIN sz sa ON sa.doc_id = inter.doc_a
+              JOIN sz sb ON sb.doc_id = inter.doc_b
+              WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND d.doc_id NOT IN (SELECT doc_b FROM matched)
         """,
         "sample_docs_per_source": """
             WITH r AS (

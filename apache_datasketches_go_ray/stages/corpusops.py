@@ -1734,3 +1734,63 @@ def vocab_drift_weekly(ds, ts_col: str = "ts", text_col: str = "text",
         "n_common": pa.array([r[4] for r in rows], type=pa.int64()),
         "jaccard_e4": pa.array([r[5] for r in rows], type=pa.int64()),
     })
+
+
+def _gram_strings(col, n: int) -> pa.Array:
+    """All order-n token windows of every text as ' '-joined strings —
+    one vectorized binary_join_element_wise over n shifted takes."""
+    flat, offsets = _tokens_of(col)
+    lens = np.diff(offsets)
+    n_g = np.maximum(lens - n + 1, 0)
+    total = int(n_g.sum())
+    if total == 0:
+        return pa.array([], type=pa.string())
+    ends = np.cumsum(n_g)
+    starts = np.repeat(offsets[:-1], n_g) \
+        + (np.arange(total, dtype=np.int64)
+           - np.repeat(ends - n_g, n_g))
+    parts = [flat.take(pa.array(starts + j)) for j in range(n)]
+    return pc.binary_join_element_wise(*parts, " ").cast(pa.string())
+
+
+def top_ngrams(ds, text_col: str = "text", *, n: int = 5, k: int = 50,
+               num_partitions: int = 8):
+    """Most frequent order-n token windows across the corpus, exact
+    occurrence counts — the memorized-boilerplate / template-span
+    report. Per-block count combiner -> gram-keyed fold -> mergeable
+    global top-k by (count desc, gram asc); the shuffle carries one
+    row per (block, distinct gram), never positions."""
+    from .context import auto_partitions
+    from .relational import top_k
+
+    _empty = pa.table({"ngram": pa.array([], type=pa.string()),
+                       "n_occurrences": pa.array([], type=pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty
+        grams = _gram_strings(b.column(text_col), n)
+        if len(grams) == 0:
+            return _empty
+        g = pa.table({"ngram": grams}).group_by("ngram") \
+            .aggregate([([], "count_all")])
+        return pa.table({"ngram": g.column("ngram"),
+                         "n_occurrences": g.column("count_all")
+                        .cast(pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty
+        g = b.group_by("ngram").aggregate([("n_occurrences", "sum")])
+        return pa.table({"ngram": g.column("ngram").cast(pa.string()),
+                         "n_occurrences": g.column("n_occurrences_sum")
+                        .cast(pa.int64())})
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .repartition(P, keys=["ngram"])
+              .map_batches(fold, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True))
+    return top_k(counts, [("n_occurrences", "descending"),
+                          ("ngram", "ascending")], k=k)
