@@ -6575,6 +6575,32 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_events_user_outliers(sf_dir: str):
+    """Per-user anomalous spend events: |x - mean| > 3 sigma decided in
+    EXACT integer arithmetic ((n*x - Sx)^2 > 9*(n*Sxx - Sx^2)) — no
+    float, no sqrt, so the flag is engine- and partition-independent.
+    One user-keyed shuffle; moments and filter in the same fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.relational import (
+        flag_group_outliers,
+    )
+
+    def prep(b):
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b.column("value"), 100))
+                .cast(pa.int64()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "value", "event_id"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return flag_group_outliers(ds, "user_id", "cents", z=3,
+                               carry_cols=["event_id"])
+
+
 def _q_frequent_ngrams(sf_dir: str):
     """Top-50 most frequent 5-token windows across the documents
     corpus with exact occurrence counts — the memorized-boilerplate /
@@ -6889,6 +6915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_ngrams": _q_frequent_ngrams,
         "mixture_weights": _q_mixture_weights,
         "new_docs_unmatched": _q_new_docs_unmatched,
+        "events_user_outliers": _q_events_user_outliers,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -9510,6 +9537,26 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "events_user_outliers": """
+            WITH t AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST(event_id AS BIGINT) AS event_id,
+                     count(*) OVER w AS n,
+                     sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS sx,
+                     sum(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS sxx
+              FROM events
+              WINDOW w AS (PARTITION BY user_id)
+            )
+            SELECT user_id, cents, event_id
+            FROM t
+            WHERE n >= 2
+              AND (n * cents - sx) * (n * cents - sx)
+                  > 9 * (n * sxx - sx * sx)
         """,
         "frequent_ngrams": r"""
             WITH t AS (

@@ -1286,3 +1286,53 @@ def grouped_bottom_k(ds, key: str, sort_keys: list[tuple[str, str]],
             .repartition(P, keys=[key])
             .map_batches(fn, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def flag_group_outliers(ds, key: str, val_col: str, *, z: int = 3,
+                        carry_cols: list[str] | None = None,
+                        num_partitions: int = 8):
+    """Rows whose value is more than ``z`` group standard deviations
+    from their group mean, decided in EXACT integer arithmetic:
+    (n*x - Sx)^2 > z^2 * (n*Sxx - Sx^2) — no float, no sqrt, so the
+    flag is identical across engines and partitionings. One keyed
+    shuffle; the same in-block fold computes the group moments and
+    filters the rows (the filter_above_group_quantile discipline).
+    Caller keeps |x| small enough that n^2*x^2 fits int64 (cents-scale
+    values and per-key counts in the millions are fine)."""
+    carry = carry_cols or []
+    schema = ds.schema()
+    carry_types = {c: schema.types[schema.names.index(c)]
+                   for c in carry}
+
+    def fold(b: pa.Table) -> pa.Table:
+        cols = {key: pa.array([], type=pa.int64()),
+                val_col: pa.array([], type=pa.int64())}
+        for c in carry:
+            cols[c] = pa.array([], type=carry_types[c])
+        if len(b) == 0:
+            return pa.table(cols)
+        k = b.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = b.column(val_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sx = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sx, inv, x)
+        sxx = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sxx, inv, x * x)
+        ni, sxi, sxxi = n[inv], sx[inv], sxx[inv]
+        lhs = (ni * x - sxi).astype(np.int64)
+        rhs = z * z * (ni * sxxi - sxi * sxi)
+        mask = (ni >= 2) & (lhs * lhs > rhs)
+        out = {key: pa.array(k[mask]),
+               val_col: pa.array(x[mask])}
+        for c in carry:
+            out[c] = b.column(c).cast(carry_types[c]) \
+                .filter(pa.array(mask))
+        return pa.table(out)
+
+    P = auto_partitions(ds.count(), 2_000_000, num_partitions)
+    return (ds.select_columns([key, val_col] + carry)
+            .repartition(P, keys=[key])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

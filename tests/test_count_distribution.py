@@ -73,3 +73,34 @@ def test_grouped_bottom_k(ray_session, blocks, desc):
     want = _brute_group_bottomk(keys.tolist(), a.tolist(), b_.tolist(),
                                 3, desc_a=desc)
     assert sorted(got["rid"].tolist()) == want
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_flag_group_outliers(ray_session, blocks):
+    from apache_datasketches_go_ray.stages.relational import (
+        flag_group_outliers,
+    )
+
+    rng = np.random.default_rng(33)
+    n = 300
+    keys = rng.integers(0, 8, n).astype(np.int64)
+    x = rng.integers(90, 110, n).astype(np.int64)
+    # plant extreme values
+    x[::50] = 10_000
+    rid = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"g": pa.array(keys), "v": pa.array(x),
+                    "rid": pa.array(rid)})
+    got = flag_group_outliers(_ds(tbl, blocks), "g", "v", z=3,
+                              carry_cols=["rid"],
+                              num_partitions=3).to_pandas()
+    want = []
+    for g in np.unique(keys):
+        m = keys == g
+        xs = x[m]
+        nn, sx, sxx = len(xs), int(xs.sum()), int((xs * xs).sum())
+        for v, r in zip(xs, rid[m]):
+            if nn >= 2 and (nn * int(v) - sx) ** 2 \
+                    > 9 * (nn * sxx - sx * sx):
+                want.append(int(r))
+    assert sorted(got["rid"].tolist()) == sorted(want)
+    assert len(want) > 0
