@@ -6575,6 +6575,196 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_order_fulfillment_span(sf_dir: str):
+    """Per-order fulfilment facts: line count, first/last ship date and
+    the order-to-last-ship span in days — per-block min/max/count
+    combiner, one order-keyed fold, one hash_join for the order date
+    (exact day arithmetic on epoch-day integers)."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.context import auto_partitions
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial(b):
+        t = pa.table({
+            "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+            "sd": b.column("l_shipdate").cast(pa.timestamp("us")),
+        })
+        g = t.group_by("l_orderkey").aggregate(
+            [("sd", "min"), ("sd", "max"), ([], "count_all")])
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey"),
+            "mn": g.column("sd_min"),
+            "mx": g.column("sd_max"),
+            "c": g.column("count_all").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "n_lines": pa.array([], type=pa.int64()),
+                "first_ship": pa.array([], type=pa.timestamp("us")),
+                "last_ship": pa.array([], type=pa.timestamp("us")),
+            })
+        g = b.group_by("l_orderkey").aggregate(
+            [("mn", "min"), ("mx", "max"), ("c", "sum")])
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey").cast(pa.int64()),
+            "n_lines": g.column("c_sum").cast(pa.int64()),
+            "first_ship": g.column("mn_min").cast(pa.timestamp("us")),
+            "last_ship": g.column("mx_max").cast(pa.timestamp("us")),
+        })
+
+    P = auto_partitions(line.count(), 2_000_000, 8)
+    agg = (line.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .repartition(P, keys=["l_orderkey"])
+           .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_orderdate": b.column("o_orderdate")
+            .cast(pa.timestamp("us")),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(agg, orders, on=("l_orderkey", "o_orderkey"))
+
+    def span(b):
+        if len(b) == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "n_lines": pa.array([], type=pa.int64()),
+                "first_ship": pa.array([], type=pa.timestamp("us")),
+                "last_ship": pa.array([], type=pa.timestamp("us")),
+                "span_days": pa.array([], type=pa.int64()),
+            })
+        last = b.column("last_ship").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        od = b.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = last // 86_400_000_000 - od // 86_400_000_000
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey").cast(pa.int64()),
+            "n_lines": b.column("n_lines").cast(pa.int64()),
+            "first_ship": b.column("first_ship"),
+            "last_ship": b.column("last_ship"),
+            "span_days": pa.array(days.astype(np.int64)),
+        })
+
+    return j.map_batches(span, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def _q_signup_first_click(sf_dir: str):
+    """First-touch attribution: each signup matched to the same user's
+    EARLIEST click at or after it (forward as-of join, expressed as the
+    engine's backward as-of over negated timestamps), kept when within
+    7 days — onboarding-latency analysis."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def side(kind, id_name, keep_orig_ts):
+        def f(b):
+            t = b.filter(pc.equal(b.column("event_type"), kind))
+            tneg = pc.multiply(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                pa.scalar(-1, type=pa.int64()))
+            cols = {
+                id_name: t.column("event_id").cast(pa.int64()),
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "tneg": tneg,
+            }
+            cols[keep_orig_ts] = t.column("ts").cast(pa.timestamp("us"))
+            return pa.table(cols)
+        return f
+
+    signups = ev.map_batches(side("signup", "event_id", "ts"),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True)
+    clicks = ev.map_batches(side("click", "click_id", "click_ts"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    j = asof_join(signups, clicks, on=("user_id", "user_id"),
+                  ts=("tneg", "tneg"), tie_break="click_id",
+                  left_cols=["event_id", "ts"],
+                  right_cols=["click_id", "click_ts"],
+                  num_partitions=8)
+
+    def window(b):
+        if len(b) == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "click_id": pa.array([], type=pa.int64()),
+                "click_ts": pa.array([], type=pa.timestamp("us")),
+            })
+        gap = pc.subtract(b.column("click_ts").cast(pa.int64()),
+                          b.column("ts").cast(pa.timestamp("us"))
+                          .cast(pa.int64()))
+        t = b.filter(pc.less_equal(gap, 604_800_000_000))
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "ts": t.column("ts").cast(pa.timestamp("us")),
+            "click_id": t.column("click_id").cast(pa.int64()),
+            "click_ts": t.column("click_ts").cast(pa.timestamp("us")),
+        })
+
+    return j.map_batches(window, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def _q_user_gap_quantiles(sf_dir: str):
+    """Exact per-user quartiles of inter-event gaps (activity-rhythm
+    profile): one user-keyed shuffle computes ordered gaps in-block
+    (lexsort + diff), a second serves all three discrete quantiles from
+    one lexsort (grouped_quantile_disc)."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.context import auto_partitions
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_quantile_disc,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def gaps(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "gap_us": pa.array([], type=pa.int64()),
+            })
+        u = b.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        e = b.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        us, tss = u[order], t[order]
+        same = us[1:] == us[:-1]
+        gap = (tss[1:] - tss[:-1])[same]
+        return pa.table({
+            "user_id": pa.array(us[1:][same]),
+            "gap_us": pa.array(gap.astype(np.int64)),
+        })
+
+    P = auto_partitions(ev.count(), 2_000_000, 8)
+    g = (ev.repartition(P, keys=["user_id"])
+         .map_batches(gaps, batch_format="pyarrow", batch_size=None,
+                      zero_copy_batch=True))
+    return grouped_quantile_disc(g, "user_id", "gap_us",
+                                 (0.25, 0.5, 0.75), num_partitions=8)
+
+
 def _q_events_user_outliers(sf_dir: str):
     """Per-user anomalous spend events: |x - mean| > 3 sigma decided in
     EXACT integer arithmetic ((n*x - Sx)^2 > 9*(n*Sxx - Sx^2)) — no
@@ -6916,6 +7106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": _q_mixture_weights,
         "new_docs_unmatched": _q_new_docs_unmatched,
         "events_user_outliers": _q_events_user_outliers,
+        "order_fulfillment_span": _q_order_fulfillment_span,
+        "signup_first_click": _q_signup_first_click,
+        "user_gap_quantiles": _q_user_gap_quantiles,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -9537,6 +9730,56 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "order_fulfillment_span": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   count(*) AS n_lines,
+                   min(l.l_shipdate) AS first_ship,
+                   max(l.l_shipdate) AS last_ship,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(max(l.l_shipdate) AS DATE))
+                        AS BIGINT) AS span_days
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_orderkey, o.o_orderdate
+        """,
+        "signup_first_click": """
+            WITH s AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'signup'
+            ), c AS (
+              SELECT event_id AS click_id, user_id,
+                     ts AS click_ts
+              FROM events WHERE event_type = 'click'
+            ), j AS (
+              SELECT s.event_id, s.user_id, s.ts,
+                     c.click_id, c.click_ts,
+                     row_number() OVER (
+                       PARTITION BY s.event_id
+                       ORDER BY c.click_ts ASC, c.click_id DESC
+                     ) AS rn
+              FROM s JOIN c
+                ON c.user_id = s.user_id AND c.click_ts >= s.ts
+            )
+            SELECT event_id, user_id, ts, click_id, click_ts
+            FROM j
+            WHERE rn = 1
+              AND epoch_us(click_ts) - epoch_us(ts) <= 604800000000
+        """,
+        "user_gap_quantiles": """
+            WITH o AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     epoch_us(ts) - epoch_us(
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS gap_us
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(quantile_disc(gap_us, 0.25) AS BIGINT) AS q25,
+                   CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS q50,
+                   CAST(quantile_disc(gap_us, 0.75) AS BIGINT) AS q75
+            FROM o WHERE gap_us IS NOT NULL
+            GROUP BY user_id
         """,
         "events_user_outliers": """
             WITH t AS (
