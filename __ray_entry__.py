@@ -4197,6 +4197,51 @@ def _q_logreg_quality(sf_dir: str):
         n_iters=30, lr=0.5)
 
 
+def _q_logreg_quality_scores(sf_dir: str):
+    """Learned-quality-filter inference: train the logreg head (same
+    deterministic full-batch GD as logreg_quality_train), then score
+    EVERY document with one broadcast-weights map-only pass — (doc_id,
+    score_e6, keep). The train->filter loop every learned quality
+    pipeline ships; rows-only (iterative optimization has no SQL
+    form), exactness pinned by the brute-scoring pytest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.textops import (
+        token_count_batch,
+    )
+    from apache_datasketches_go_ray.stages.train import (
+        logreg_apply, logreg_train,
+    )
+
+    def feats(b):
+        out = token_count_batch(b)
+        n_tok = out.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        nchars = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        n_digit = pc.binary_length(pc.replace_substring_regex(
+            b.column("text"), pattern="[^0-9]", replacement="")) \
+            .to_numpy(zero_copy_only=False).astype("float64")
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "f_ntok": pa.array(n_tok / 100.0),
+            "f_mean_toklen": pa.array(
+                nchars / np.maximum(n_tok, 1.0) / 10.0),
+            "f_digit_frac": pa.array(
+                n_digit / np.maximum(nchars, 1.0)),
+            "label": pa.array(
+                (nchars >= 300.0).astype("int64"), type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]) \
+        .map_batches(feats, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+    fcols = ["f_ntok", "f_mean_toklen", "f_digit_frac"]
+    model = logreg_train(ds, fcols, "label", n_iters=30, lr=0.5)
+    return logreg_apply(ds, model, fcols, "doc_id", threshold=0.5)
+
+
 def _q_cluster_size_histogram(sf_dir: str):
     """Dedup report: histogram of near-dup cluster sizes from the
     flagship pipeline output (rows-only: clusters are murmur-seeded).
@@ -7158,6 +7203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance": _q_dsir_importance,
         "bpe_merges": _q_bpe_merges,
         "logreg_quality_train": _q_logreg_quality,
+        "logreg_quality_scores": _q_logreg_quality_scores,
     }
 
 

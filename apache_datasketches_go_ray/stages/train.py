@@ -137,3 +137,46 @@ def logreg_train(ds, feature_cols: list[str], label_col: str,
                         float(n_total)]
     return pa.table({"term": pa.array(terms, type=pa.string()),
                      "value": pa.array(values, type=pa.float64())})
+
+
+def logreg_apply(ds, model_tbl: pa.Table, feature_cols: list[str],
+                 id_col: str, *, threshold: float = 0.5):
+    """Score every row with a trained logreg model (the long-format
+    (term, value) table logreg_train returns): weights are ray.put ONCE
+    and every block does one vectorized X@w + sigmoid — map-only, no
+    shuffle. Returns (id, score_e6, keep): score rounded half-up to
+    1e-6 (engine float-parity grid), keep = score >= threshold. The
+    inference half of the learned-quality-filter loop."""
+    import functools
+
+    import ray
+
+    terms = model_tbl.column("term").to_pylist()
+    vals = model_tbl.column("value").to_numpy(zero_copy_only=False)
+    lookup = dict(zip(terms, vals))
+    w = np.array([lookup[f"w_{c}"] for c in feature_cols]
+                 + [lookup["intercept"]], dtype=np.float64)
+    w_ref = ray.put(w)
+    d = len(feature_cols)
+
+    def score(b: pa.Table, w_ref=w_ref) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "score_e6": pa.array([], type=pa.int64()),
+                "keep": pa.array([], type=pa.bool_()),
+            })
+        wv = ray.get(w_ref)
+        X = np.column_stack([
+            as_array(b.column(c)).to_numpy(zero_copy_only=False)
+            .astype(np.float64) for c in feature_cols])
+        p = _sigmoid(X @ wv[:d] + wv[d])
+        e6 = np.floor(p * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            "score_e6": pa.array(e6),
+            "keep": pa.array(p >= threshold),
+        })
+
+    return ds.map_batches(functools.partial(score),
+                          batch_format="pyarrow", zero_copy_batch=True)

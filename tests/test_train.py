@@ -78,3 +78,40 @@ def test_logreg_empty_input(ray_session):
                     "label": pa.array([], type=pa.int64())})
     out = logreg_train(_ds(tbl, 1), ["f0"], "label", n_iters=3)
     assert len(out) == 0
+
+
+def test_logreg_apply_matches_brute(ray_session):
+    """Broadcast-weights inference == numpy scoring of the same model."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.train import (
+        logreg_apply, logreg_train, _sigmoid,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 300
+    f1 = rng.normal(0, 1, n)
+    f2 = rng.normal(0, 1, n)
+    y = ((2 * f1 - f2 + rng.normal(0, 0.3, n)) > 0).astype(np.int64)
+    tbl = pa.table({
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+        "a": pa.array(f1), "b": pa.array(f2),
+        "label": pa.array(y),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3).materialize()
+    model = logreg_train(ds, ["a", "b"], "label", n_iters=25, lr=0.5)
+    got = logreg_apply(ds, model, ["a", "b"], "rid",
+                       threshold=0.5).to_pandas() \
+        .sort_values("rid", ignore_index=True)
+    lk = dict(zip(model.column("term").to_pylist(),
+                  model.column("value").to_numpy(zero_copy_only=False)))
+    w = np.array([lk["w_a"], lk["w_b"], lk["intercept"]])
+    p = _sigmoid(np.column_stack([f1, f2]) @ w[:2] + w[2])
+    want_e6 = np.floor(p * 1e6 + 0.5).astype(np.int64)
+    assert got["score_e6"].to_numpy().tolist() == want_e6.tolist()
+    assert got["keep"].to_numpy().tolist() == (p >= 0.5).tolist()
+    # the learned filter actually separates the planted signal
+    acc = ((p >= 0.5).astype(int) == y).mean()
+    assert acc > 0.85
