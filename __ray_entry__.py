@@ -6620,6 +6620,34 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_latest2_orders_per_customer(sf_dir: str):
+    """Retention-compaction shape: the latest 2 orders per customer
+    (order-date desc, orderkey desc) — grouped bottom-k on negated
+    sort columns; per-block combiner caps shuffle volume at
+    2 x customers x blocks rows."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_bottom_k,
+    )
+
+    def prep(b):
+        return pa.table({
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "od_us": b.column("o_orderdate").cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+        })
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_bottom_k(ds, "o_custkey",
+                            [("od_us", "descending"),
+                             ("o_orderkey", "descending")],
+                            k=2, num_partitions=8)
+
+
 def _q_order_fulfillment_span(sf_dir: str):
     """Per-order fulfilment facts: line count, first/last ship date and
     the order-to-last-ship span in days — per-block min/max/count
@@ -7154,6 +7182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_fulfillment_span": _q_order_fulfillment_span,
         "signup_first_click": _q_signup_first_click,
         "user_gap_quantiles": _q_user_gap_quantiles,
+        "latest2_orders_per_customer": _q_latest2_orders_per_customer,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -9776,6 +9805,20 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "latest2_orders_per_customer": """
+            WITH r AS (
+              SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                     CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                     epoch_us(o_orderdate) AS od_us,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                     ) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, od_us
+            FROM r WHERE rn <= 2
         """,
         "order_fulfillment_span": """
             SELECT l.l_orderkey AS o_orderkey,
