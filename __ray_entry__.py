@@ -6620,6 +6620,60 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_tool_cooccurrence(sf_dir: str):
+    """Which tools get used TOGETHER in one conversation: unordered
+    tool-pair counts over conversations (the cooccurrence_counts
+    operator on the transcript axis, empty tool rows excluded)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.relational import (
+        cooccurrence_counts,
+    )
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "tool"])
+
+    def prep(b):
+        t = b.filter(pc.not_equal(b.column("tool"), ""))
+        return pa.table({
+            "conv_id": t.column("conv_id").cast(pa.string()),
+            "tool": t.column("tool").cast(pa.string()),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return cooccurrence_counts(ds, "conv_id", "tool",
+                               num_partitions=8)
+
+
+def _q_conv_length_by_depth(sf_dir: str):
+    """Conversation length distribution by depth: for each turn count,
+    how many conversations and the exact median assembled char length
+    — the context-window planning table. Composition: the flagship
+    assemble stats feed grouped_quantile_disc keyed on n_turns.
+    Output: (n_turns, q50)."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_quantile_disc,
+    )
+
+    stats = _q_transcript_assemble(sf_dir)
+
+    def prep(b):
+        return pa.table({
+            "n_turns": b.column("n_turns").cast(pa.int64()),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+        })
+
+    ds = stats.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return grouped_quantile_disc(ds, "n_turns", "n_chars", (0.5,),
+                                 num_partitions=4)
+
+
 def _q_latest2_orders_per_customer(sf_dir: str):
     """Retention-compaction shape: the latest 2 orders per customer
     (order-date desc, orderkey desc) — grouped bottom-k on negated
@@ -7183,6 +7237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_first_click": _q_signup_first_click,
         "user_gap_quantiles": _q_user_gap_quantiles,
         "latest2_orders_per_customer": _q_latest2_orders_per_customer,
+        "tool_cooccurrence": _q_tool_cooccurrence,
+        "conv_length_by_depth": _q_conv_length_by_depth,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -9805,6 +9861,28 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "tool_cooccurrence": f"""
+            WITH d AS (
+              SELECT DISTINCT conv_id, tool FROM {T}
+              WHERE tool <> ''
+            )
+            SELECT a.tool AS item_a, b.tool AS item_b,
+                   count(*) AS n_keys
+            FROM d a JOIN d b
+              ON a.conv_id = b.conv_id AND a.tool < b.tool
+            GROUP BY a.tool, b.tool
+        """,
+        "conv_length_by_depth": f"""
+            WITH a AS (
+              SELECT conv_id, count(*) AS n_turns,
+                     CAST(sum(length(text)) + count(*) - 1 AS BIGINT)
+                       AS n_chars
+              FROM {T} GROUP BY conv_id
+            )
+            SELECT CAST(n_turns AS BIGINT) AS n_turns,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS q50
+            FROM a GROUP BY n_turns
         """,
         "latest2_orders_per_customer": """
             WITH r AS (

@@ -1099,11 +1099,13 @@ def cooccurrence_counts(ds, key: str, item_col: str, *,
     item count, small by domain) -> tiny pair fold."""
 
     def distinct(b: pa.Table) -> pa.Table:
+        # the key never reaches the output, so a string image is a
+        # safe universal grouping key (int64 and string keys both work)
         if len(b) == 0:
-            return pa.table({key: pa.array([], type=pa.int64()),
+            return pa.table({key: pa.array([], type=pa.string()),
                              item_col: pa.array([], type=pa.string())})
         return pa.table({
-            key: b.column(key).cast(pa.int64()),
+            key: b.column(key).cast(pa.string()),
             item_col: b.column(item_col).cast(pa.string()),
         }).group_by([key, item_col]).aggregate([])
 
