@@ -6250,7 +6250,8 @@ def _q_weighted_sample_docs(sf_dir: str):
         w = b.column("n_chars").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         h = (ids * 2654435761) % 4294967296 + 1
-        pri = (w.astype(object) * 4294967296 // h).astype(np.int64)
+        # w*2^32 fits int64 for any n_chars < 2^31 — pure vector math
+        pri = (w * 4294967296) // h
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
             "n_chars": pa.array(w, type=pa.int64()),
@@ -6618,6 +6619,55 @@ def _q_returned_item_revenue(sf_dir: str):
                         zero_copy_batch=True))
     return top_k(agg, [("revenue_cents", "descending"),
                        ("c_custkey", "ascending")], k=20)
+
+
+def _q_nchars_histogram_by_source(sf_dir: str):
+    """Per-source fixed-width length histogram (the per-domain length
+    profile a mixing plan is sanity-checked against): 200-char buckets
+    with count and exact cumulative char mass per (source, bucket) —
+    two-key in-block combiner + tiny keyed fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        n = b.column("n_chars").cast(pa.int64())
+        t = pa.table({
+            "source": b.column("source").cast(pa.string()),
+            "bucket": pc.divide(n, 200),
+            "n_chars": n,
+        })
+        g = t.group_by(["source", "bucket"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "bucket": g.column("bucket"),
+            "n": g.column("n_chars_count").cast(pa.int64()),
+            "sum_chars": g.column("n_chars_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_chars": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["source", "bucket"]).aggregate(
+            [("n", "sum"), ("sum_chars", "sum")])
+        return pa.table({
+            "source": g.column("source").cast(pa.string()),
+            "bucket": g.column("bucket").cast(pa.int64()),
+            "n": g.column("n_sum").cast(pa.int64()),
+            "sum_chars": g.column("sum_chars_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", ["source", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["source", "bucket"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
 
 
 def _q_tool_cooccurrence(sf_dir: str):
@@ -7239,6 +7289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest2_orders_per_customer": _q_latest2_orders_per_customer,
         "tool_cooccurrence": _q_tool_cooccurrence,
         "conv_length_by_depth": _q_conv_length_by_depth,
+        "nchars_histogram_by_source": _q_nchars_histogram_by_source,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -9861,6 +9912,14 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "nchars_histogram_by_source": """
+            SELECT source,
+                   CAST(n_chars // 200 AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY source, n_chars // 200
         """,
         "tool_cooccurrence": f"""
             WITH d AS (
