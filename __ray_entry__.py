@@ -6621,6 +6621,68 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_conv_role_char_ratio(sf_dir: str):
+    """Per-conversation assistant/user character balance (who does the
+    talking): exact char sums by role and the assistant:user ratio in
+    basis points (integer, exact) — SFT-mix QA signal. Per-block
+    (conv, role) partials, one conv-keyed fold with an in-block
+    pivot."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "role", "text"])
+
+    def partial(b):
+        import pyarrow.compute as pc
+        t = pa.table({
+            "conv_id": b.column("conv_id").cast(pa.string()),
+            "role": b.column("role").cast(pa.string()),
+            "nc": pc.binary_length(b.column("text")).cast(pa.int64()),
+        })
+        g = t.group_by(["conv_id", "role"]).aggregate([("nc", "sum")])
+        return pa.table({
+            "conv_id": g.column("conv_id"),
+            "role": g.column("role"),
+            "nc": g.column("nc_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "user_chars": pa.array([], type=pa.int64()),
+                "assistant_chars": pa.array([], type=pa.int64()),
+                "ratio_bp": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["conv_id", "role"]).aggregate([("nc", "sum")])
+        conv = g.column("conv_id").to_numpy(zero_copy_only=False)
+        role = g.column("role").to_numpy(zero_copy_only=False)
+        nc = g.column("nc_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(conv, return_inverse=True)
+        uc = np.zeros(len(uniq), dtype=np.int64)
+        ac = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(uc, inv[role == "user"], nc[role == "user"])
+        np.add.at(ac, inv[role == "assistant"], nc[role == "assistant"])
+        ratio = ac * 10000 // np.maximum(uc, 1)
+        return pa.table({
+            "conv_id": pa.array(uniq, type=pa.string()),
+            "user_chars": pa.array(uc),
+            "assistant_chars": pa.array(ac),
+            "ratio_bp": pa.array(ratio),
+        })
+
+    from apache_datasketches_go_ray.stages.context import auto_partitions
+
+    P = auto_partitions(ds.count(), 1_000_000, 8)
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(P, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_nchars_histogram_by_source(sf_dir: str):
     """Per-source fixed-width length histogram (the per-domain length
     profile a mixing plan is sanity-checked against): 200-char buckets
@@ -7290,6 +7352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_cooccurrence": _q_tool_cooccurrence,
         "conv_length_by_depth": _q_conv_length_by_depth,
         "nchars_histogram_by_source": _q_nchars_histogram_by_source,
+        "conv_role_char_ratio": _q_conv_role_char_ratio,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -9912,6 +9975,23 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "conv_role_char_ratio": f"""
+            WITH r AS (
+              SELECT conv_id,
+                     CAST(sum(CASE WHEN role = 'user'
+                              THEN length(text) ELSE 0 END)
+                          AS BIGINT) AS user_chars,
+                     CAST(sum(CASE WHEN role = 'assistant'
+                              THEN length(text) ELSE 0 END)
+                          AS BIGINT) AS assistant_chars
+              FROM {T} GROUP BY conv_id
+            )
+            SELECT conv_id, user_chars, assistant_chars,
+                   CAST(assistant_chars * 10000
+                        // greatest(user_chars, 1) AS BIGINT)
+                     AS ratio_bp
+            FROM r
         """,
         "nchars_histogram_by_source": """
             SELECT source,

@@ -104,3 +104,28 @@ def test_flag_group_outliers(ray_session, blocks):
                 want.append(int(r))
     assert sorted(got["rid"].tolist()) == sorted(want)
     assert len(want) > 0
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_top_ngrams_matches_brute(ray_session, blocks):
+    from collections import Counter
+
+    from apache_datasketches_go_ray.stages.corpusops import top_ngrams
+
+    rng = np.random.default_rng(41)
+    words = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(words, rng.integers(2, 30)))
+             for _ in range(120)]
+    tbl = pa.table({"text": pa.array(texts, type=pa.string())})
+    got = top_ngrams(_ds(tbl, blocks), n=3, k=15,
+                     num_partitions=3).to_pandas()
+    want = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks) - 2):
+            want[" ".join(toks[i:i + 3])] += 1
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got_pairs = list(zip(got["ngram"], got["n_occurrences"]))
+    # top_k returns the right SET under (count desc, gram asc); order
+    # within the returned block is the sort order
+    assert sorted(got_pairs, key=lambda kv: (-kv[1], kv[0])) == ranked
