@@ -6621,6 +6621,74 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_corpus_summary(sf_dir: str):
+    """One-row dataset card: doc/source/lang counts, exact char and
+    whitespace-token totals, min/max doc length — the header block of
+    a corpus datasheet. Per-block partials (counts, sums, block-local
+    distinct label sets) folded to one row; label domains are small so
+    the distinct fold ships a few dozen strings, never rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        toks = pc.count_substring_regex(
+            pc.utf8_trim_whitespace(b.column("text")), r"\S+") \
+            .cast(pa.int64())
+        nc = b.column("n_chars").cast(pa.int64())
+        srcs = pc.unique(b.column("source").cast(pa.string()))
+        langs = pc.unique(b.column("lang").cast(pa.string()))
+        pad = max(len(srcs), len(langs), 1)
+
+        def col(v, typ):
+            return pa.array([v] + [None] * (pad - 1), type=typ)
+
+        return pa.table({
+            "n_docs": col(len(b), pa.int64()),
+            "total_chars": col(pc.sum(nc).as_py() or 0, pa.int64()),
+            "total_tokens": col(pc.sum(toks).as_py() or 0, pa.int64()),
+            "min_chars": col(pc.min(nc).as_py(), pa.int64()),
+            "max_chars": col(pc.max(nc).as_py(), pa.int64()),
+            "src": pa.concat_arrays(
+                [srcs.cast(pa.string()),
+                 pa.nulls(pad - len(srcs), pa.string())]),
+            "lng": pa.concat_arrays(
+                [langs.cast(pa.string()),
+                 pa.nulls(pad - len(langs), pa.string())]),
+        })
+
+    def fold(b):
+        n = pc.sum(b.column("n_docs")).as_py() or 0
+        return pa.table({
+            "n_docs": pa.array([n], type=pa.int64()),
+            "n_sources": pa.array(
+                [len(pc.drop_null(pc.unique(b.column("src"))))],
+                type=pa.int64()),
+            "n_langs": pa.array(
+                [len(pc.drop_null(pc.unique(b.column("lng"))))],
+                type=pa.int64()),
+            "total_chars": pa.array(
+                [pc.sum(b.column("total_chars")).as_py() or 0],
+                type=pa.int64()),
+            "total_tokens": pa.array(
+                [pc.sum(b.column("total_tokens")).as_py() or 0],
+                type=pa.int64()),
+            "min_chars": pa.array(
+                [pc.min(b.column("min_chars")).as_py()],
+                type=pa.int64()),
+            "max_chars": pa.array(
+                [pc.max(b.column("max_chars")).as_py()],
+                type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents",
+                  ["text", "n_chars", "source", "lang"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_conv_role_char_ratio(sf_dir: str):
     """Per-conversation assistant/user character balance (who does the
     talking): exact char sums by role and the assistant:user ratio in
@@ -7353,6 +7421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_length_by_depth": _q_conv_length_by_depth,
         "nchars_histogram_by_source": _q_nchars_histogram_by_source,
         "conv_role_char_ratio": _q_conv_role_char_ratio,
+        "corpus_summary": _q_corpus_summary,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -9975,6 +10044,18 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "corpus_summary": r"""
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   count(DISTINCT lang) AS n_langs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(len(list_filter(string_split_regex(
+                     trim(text), '\s+'), x -> x <> ''))) AS BIGINT)
+                     AS total_tokens,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents
         """,
         "conv_role_char_ratio": f"""
             WITH r AS (
