@@ -6621,6 +6621,24 @@ def _q_returned_item_revenue(sf_dir: str):
                        ("c_custkey", "ascending")], k=20)
 
 
+def _q_image_near_dups(sf_dir: str):
+    """Perceptual image near-dup pairs: real BMP decode (actor pool)
+    -> 64-bit dHash per image -> the SAME generic 4x16-bit Hamming
+    banding the text SimHash path uses (exact recall at radius 3 by
+    pigeonhole). Rows-only (hash outputs); engine-vs-brute parity and
+    planted-dup recall pinned by pytest."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.multimodal import (
+        image_dhash_near_dups, make_near_dup_image_batch,
+    )
+
+    media = ray.data.from_arrow(
+        make_near_dup_image_batch(96, 32, kind="image/bmp"))
+    return image_dhash_near_dups(media, fake=False, max_hamming=3,
+                                 num_partitions=8)
+
+
 def _q_corpus_summary(sf_dir: str):
     """One-row dataset card: doc/source/lang counts, exact char and
     whitespace-token totals, min/max doc length — the header block of
@@ -7453,6 +7471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_knn_join_topk": _q_ann_lsh_knn_join,
         "multimodal_features": _q_multimodal_features,
+        "image_near_dups": _q_image_near_dups,
         "audio_wav_features": _q_audio_wav_features,
         "video_frame_features": _q_video_frame_features,
         "curate_docs": _q_curate_docs,

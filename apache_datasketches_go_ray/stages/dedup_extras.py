@@ -275,28 +275,25 @@ def exact_top_tokens(ds, text_col: str = "text", k: int = 20,
                                    ("token", "ascending")])
 
 
-def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
-                           text_col: str = "text", max_hamming: int = 3,
+def hamming_near_dup_pairs(ds, id_col: str = "doc_id",
+                           hash_col: str = "simhash",
+                           max_hamming: int = 3,
                            num_partitions: int = 32,
                            max_bucket: int = 256):
-    """SimHash near-duplicate pairs within a Hamming radius.
+    """Near-duplicate pairs within a Hamming radius over ANY 64-bit
+    fingerprint column (SimHash, image dHash/pHash, audio fingerprint).
 
-    The 64-bit SimHash is split into 4 x 16-bit bands; a pair differing
+    The 64-bit hash is split into 4 x 16-bit bands; a pair differing
     in <= 3 bits leaves at least one band untouched (pigeonhole), so
     banding has exact recall for max_hamming <= 3. Buckets co-locate via
     the band-key hash shuffle; in-block popcount of XORed fingerprints
     keeps pairs within the radius; a final (a, b) shuffle dedups pairs
     found by several bands. Returns (doc_a, doc_b, hamming)."""
-    from .textops import simhash_batch
 
     def emit_bands(batch: pa.Table) -> pa.Table:
-        b = pa.table({
-            id_col: batch.column(id_col),
-            "text": as_array(batch.column(text_col)).cast(pa.string()),
-        })
-        s = simhash_batch(b)
-        sh = s.column("simhash").to_numpy(zero_copy_only=False)
-        ids = as_array(s.column(id_col)).cast(pa.int64()) \
+        sh = as_array(batch.column(hash_col)).cast(pa.uint64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = as_array(batch.column(id_col)).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         n = len(sh)
         keys, did, shs = [], [], []
@@ -362,7 +359,7 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
             ["doc_a", "doc_b", "hamming"])
 
     return (
-        ds.select_columns([id_col, text_col])
+        ds.select_columns([id_col, hash_col])
         .map_batches(emit_bands, batch_format="pyarrow",
                      zero_copy_batch=True)
         .repartition(num_partitions, keys=["band_key"])
@@ -372,6 +369,30 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
         .map_batches(dedup, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def simhash_near_dup_pairs(ds, id_col: str = "doc_id",
+                           text_col: str = "text", max_hamming: int = 3,
+                           num_partitions: int = 32,
+                           max_bucket: int = 256):
+    """SimHash near-duplicate pairs within a Hamming radius — the text
+    instantiation of hamming_near_dup_pairs (one vectorized SimHash
+    pass, then generic 4x16-bit banding)."""
+    from .textops import simhash_batch
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = pa.table({
+            id_col: batch.column(id_col),
+            "text": as_array(batch.column(text_col)).cast(pa.string()),
+        })
+        return simhash_batch(b)
+
+    fp = ds.select_columns([id_col, text_col]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    return hamming_near_dup_pairs(fp, id_col=id_col, hash_col="simhash",
+                                  max_hamming=max_hamming,
+                                  num_partitions=num_partitions,
+                                  max_bucket=max_bucket)
 
 
 # ---------------------------------------------------------------------------

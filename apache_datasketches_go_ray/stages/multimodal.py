@@ -528,3 +528,105 @@ def frame_pipeline(ds, *, every_k: int = 6, batch_size: int = 8,
                      batch_size=batch_size, zero_copy_batch=True,
                      concurrency=concurrency)
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (dHash + generic Hamming banding)
+# ---------------------------------------------------------------------------
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash of one decoded image: grayscale, nearest
+    resize to 9x8, bit = left-pixel < right-pixel per adjacent column
+    pair. The standard perceptual near-dup fingerprint — stable under
+    re-encode, small noise and resize; pure numpy."""
+    arr = pixels
+    if arr.ndim == 3:
+        arr = arr.astype(np.uint32).sum(axis=2) // arr.shape[2]
+    h, w = arr.shape
+    yi = np.arange(8) * h // 8
+    xi = np.arange(9) * w // 9
+    g = arr[yi][:, xi].astype(np.int32)
+    bits = (g[:, :-1] < g[:, 1:]).astype(np.uint8)
+    return int(np.packbits(bits.reshape(-1)).view(">u8")[0])
+
+
+class DHashStage:
+    """Actor-pool stage: decoded image blobs -> 64-bit dHash column
+    (variable image shapes force a per-image loop, same shape as the
+    other multimodal stages; the hash itself is vectorized numpy)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = as_array(batch.column("decoded")).to_pylist()
+        shapes = [json.loads(s) for s in
+                  as_array(batch.column("decoded_shape")).to_pylist()]
+        out = np.empty(len(blobs), dtype=np.uint64)
+        for i, (blob, sh) in enumerate(zip(blobs, shapes)):
+            arr = np.frombuffer(blob, dtype=sh["dtype"]) \
+                .reshape(sh["shape"])
+            out[i] = dhash64(arr)
+        return pa.table({
+            "media_id": batch.column("media_id").cast(pa.int64()),
+            "dhash": pa.array(out, type=pa.uint64()),
+        })
+
+
+def image_dhash_near_dups(media_ds, *, fake: bool = False,
+                          max_hamming: int = 3,
+                          num_partitions: int = 16,
+                          batch_size: int = 32,
+                          concurrency=(1, 4)):
+    """Perceptual near-duplicate image pairs: real byte-level decode
+    (PNG/BMP/JPEG/GIF actor pool) -> per-image 64-bit dHash -> the
+    SAME generic 4x16-bit Hamming banding the text SimHash path uses
+    (dedup_extras.hamming_near_dup_pairs; exact recall for hamming <=
+    3 by pigeonhole). The image half of cross-modal dedup: no
+    all-pairs scan, one band shuffle + one pair-dedup shuffle."""
+    from .dedup_extras import hamming_near_dup_pairs
+
+    fp = (media_ds
+          .map_batches(DecodeStage, fn_constructor_args=(fake,),
+                       batch_format="pyarrow", batch_size=batch_size,
+                       zero_copy_batch=True, concurrency=concurrency)
+          .map_batches(DHashStage, batch_format="pyarrow",
+                       batch_size=batch_size, zero_copy_batch=True,
+                       concurrency=concurrency))
+    return hamming_near_dup_pairs(fp, id_col="media_id",
+                                  hash_col="dhash",
+                                  max_hamming=max_hamming,
+                                  num_partitions=num_partitions)
+
+
+def make_near_dup_image_batch(n_base: int, n_dups: int,
+                              kind: str = "image/bmp",
+                              seed: int = 7) -> pa.Table:
+    """Images with planted perceptual near-dups: dup j is base
+    (j % n_base) with ONE pixel strongly changed — that pixel enters at
+    most two adjacent-column comparisons of the 9x8 dHash grid, so the
+    planted pair's Hamming distance is <= 2 by construction (the
+    guarantee the exact-recall banding radius covers)."""
+    rng = np.random.default_rng(seed)
+    enc = {"image/bmp": encode_bmp, "image/png": encode_png}[kind]
+    payloads, metas, ids = [], [], []
+    bases = []
+    for i in range(n_base):
+        px = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+        bases.append(px)
+        payloads.append(enc(px))
+        metas.append(json.dumps({"width": 17, "height": 12,
+                                 "channels": 3}))
+        ids.append(i)
+    for j in range(n_dups):
+        noisy = bases[j % n_base].copy()
+        r0 = int(rng.integers(0, noisy.shape[0]))
+        c0 = int(rng.integers(0, noisy.shape[1]))
+        noisy[r0, c0] = 255 - noisy[r0, c0]
+        payloads.append(enc(noisy))
+        metas.append(json.dumps({"width": 17, "height": 12,
+                                 "channels": 3}))
+        ids.append(n_base + j)
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "media": pa.array(payloads, type=pa.large_binary()),
+        "media_type": pa.array([kind] * len(ids), type=pa.string()),
+        "media_meta": pa.array(metas, type=pa.string()),
+    })
