@@ -6639,6 +6639,23 @@ def _q_image_near_dups(sf_dir: str):
                                  num_partitions=8)
 
 
+def _q_audio_near_dups(sf_dir: str):
+    """Near-duplicate audio clips: real WAV decode -> 64-bit
+    energy-envelope fingerprint -> the same generic Hamming banding as
+    text SimHash and image dHash (one banding/shuffle plan across all
+    three modalities). Rows-only; engine-vs-brute parity and planted
+    recall pinned by pytest."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.multimodal import (
+        audio_near_dups, make_near_dup_audio_batch,
+    )
+
+    media = ray.data.from_arrow(make_near_dup_audio_batch(96, 32))
+    return audio_near_dups(media, fake=False, max_hamming=3,
+                           num_partitions=8)
+
+
 def _q_corpus_summary(sf_dir: str):
     """One-row dataset card: doc/source/lang counts, exact char and
     whitespace-token totals, min/max doc length — the header block of
@@ -7472,6 +7489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_knn_join_topk": _q_ann_lsh_knn_join,
         "multimodal_features": _q_multimodal_features,
         "image_near_dups": _q_image_near_dups,
+        "audio_near_dups": _q_audio_near_dups,
         "audio_wav_features": _q_audio_wav_features,
         "video_frame_features": _q_video_frame_features,
         "curate_docs": _q_curate_docs,

@@ -47,3 +47,40 @@ def test_image_dhash_near_dups_matches_brute(ray_session, blocks):
     planted = {(k % 40, 40 + k) for k in range(20)}
     found_planted = planted & set(want)
     assert len(found_planted) >= 15
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_audio_near_dups_matches_brute(ray_session, blocks):
+    import json
+
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.multimodal import (
+        audio_fingerprint64, audio_near_dups, make_near_dup_audio_batch,
+        _decode_payload,
+    )
+
+    tbl = make_near_dup_audio_batch(30, 15)
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = audio_near_dups(ds, fake=False, max_hamming=3,
+                          num_partitions=4).to_pandas()
+    got_pairs = {(int(r.doc_a), int(r.doc_b)): int(r.hamming)
+                 for r in got.itertuples()}
+
+    fps = {}
+    for i in range(len(tbl)):
+        payload = tbl.column("media").to_pylist()[i]
+        meta = json.loads(tbl.column("media_meta").to_pylist()[i])
+        arr = _decode_payload(payload, "audio/wav", meta, fake=False)
+        fps[int(tbl.column("media_id").to_pylist()[i])] = \
+            audio_fingerprint64(arr)
+    want = {}
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = _hamming(fps[ids[x]], fps[ids[y]])
+            if h <= 3:
+                want[(ids[x], ids[y])] = h
+    assert got_pairs == want
+    planted = {(k % 30, 30 + k) for k in range(15)}
+    assert len(planted & set(want)) >= 12
