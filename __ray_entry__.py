@@ -6639,6 +6639,23 @@ def _q_image_near_dups(sf_dir: str):
                                  num_partitions=8)
 
 
+def _q_video_near_dups(sf_dir: str):
+    """Near-duplicate video clips: real ISO-BMFF frame sampling ->
+    per-frame dHash -> majority-vote 64-bit clip fingerprint (one
+    clip-keyed fold; frames never re-ship) -> the shared Hamming
+    banding. Rows-only; engine-vs-brute parity + planted recall pinned
+    by pytest."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.multimodal import (
+        make_near_dup_video_batch, video_near_dups,
+    )
+
+    media = ray.data.from_arrow(make_near_dup_video_batch(48, 16))
+    return video_near_dups(media, every_k=3, max_hamming=3,
+                           num_partitions=8)
+
+
 def _q_audio_near_dups(sf_dir: str):
     """Near-duplicate audio clips: real WAV decode -> 64-bit
     energy-envelope fingerprint -> the same generic Hamming banding as
@@ -7490,6 +7507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "image_near_dups": _q_image_near_dups,
         "audio_near_dups": _q_audio_near_dups,
+        "video_near_dups": _q_video_near_dups,
         "audio_wav_features": _q_audio_wav_features,
         "video_frame_features": _q_video_frame_features,
         "curate_docs": _q_curate_docs,

@@ -733,3 +733,136 @@ def make_near_dup_audio_batch(n_base: int, n_dups: int,
                                type=pa.string()),
         "media_meta": pa.array(metas, type=pa.string()),
     })
+
+
+# ---------------------------------------------------------------------------
+# video near-dup (per-frame dHash -> majority-bit clip fingerprint)
+# ---------------------------------------------------------------------------
+
+def _frame_dhash_partial(batch: pa.Table) -> pa.Table:
+    """(media_id, decoded frame) rows -> per-block partial bit counts:
+    one row per clip with n_frames and the 64 per-bit set counts from
+    this block's frames (mergeable — the clip fingerprint folds from
+    these under one media_id-keyed shuffle)."""
+    if len(batch) == 0:
+        return pa.table({
+            "media_id": pa.array([], type=pa.int64()),
+            "n_frames": pa.array([], type=pa.int64()),
+            "bit_counts": pa.array([], type=pa.list_(pa.int64())),
+        })
+    ids = as_array(batch.column("media_id")).to_numpy(
+        zero_copy_only=False)
+    blobs = as_array(batch.column("decoded")).to_pylist()
+    shapes = [json.loads(s) for s in
+              as_array(batch.column("decoded_shape")).to_pylist()]
+    hashes = np.empty(len(blobs), dtype=np.uint64)
+    for i, (blob, sh) in enumerate(zip(blobs, shapes)):
+        arr = np.frombuffer(blob, dtype=sh["dtype"]).reshape(sh["shape"])
+        hashes[i] = dhash64(arr)
+    bits = np.unpackbits(
+        hashes[:, None].view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.int64)  # (n, 64)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    counts = np.zeros((len(uniq), 64), dtype=np.int64)
+    np.add.at(counts, inv, bits)
+    n_frames = np.bincount(inv).astype(np.int64)
+    flat = pa.array(counts.reshape(-1), type=pa.int64())
+    offs = pa.array(np.arange(len(uniq) + 1, dtype=np.int32) * 64,
+                    type=pa.int32())
+    return pa.table({
+        "media_id": pa.array(uniq.astype(np.int64)),
+        "n_frames": pa.array(n_frames),
+        "bit_counts": pa.ListArray.from_arrays(offs, flat),
+    })
+
+
+def _clip_fingerprint_fold(batch: pa.Table) -> pa.Table:
+    """Fold co-located per-clip partials -> 64-bit majority-vote clip
+    fingerprint (bit set iff set in >= half the sampled frames)."""
+    if len(batch) == 0:
+        return pa.table({
+            "media_id": pa.array([], type=pa.int64()),
+            "vfp": pa.array([], type=pa.uint64()),
+        })
+    ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+    nf = batch.column("n_frames").to_numpy(zero_copy_only=False)
+    flat = as_array(batch.column("bit_counts")).flatten() \
+        .to_numpy(zero_copy_only=False)
+    counts = flat.reshape(len(batch), 64)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    tot = np.zeros((len(uniq), 64), dtype=np.int64)
+    np.add.at(tot, inv, counts)
+    n = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(n, inv, nf)
+    bits = (tot * 2 >= n[:, None]).astype(np.uint8)
+    fp = np.packbits(bits, axis=1, bitorder="little") \
+        .view(np.uint64).reshape(-1)
+    return pa.table({
+        "media_id": pa.array(uniq.astype(np.int64)),
+        "vfp": pa.array(fp, type=pa.uint64()),
+    })
+
+
+def video_near_dups(media_ds, *, every_k: int = 3,
+                    max_hamming: int = 3, num_partitions: int = 16,
+                    batch_size: int = 8, concurrency=(1, 4)):
+    """Near-duplicate video pairs: real ISO-BMFF frame sampling
+    (mp4box sample tables) -> per-frame dHash -> per-block partial bit
+    counts -> one clip-keyed fold to a 64-bit majority-vote clip
+    fingerprint -> the shared generic Hamming banding. Completes the
+    cross-modal dedup family (text/image/audio/video on one
+    banding/shuffle plan); frames never re-ship after the partial."""
+    from .context import auto_partitions
+    from .dedup_extras import hamming_near_dup_pairs
+
+    frames = media_ds.map_batches(
+        FrameSampleStage, fn_constructor_args=(every_k,),
+        batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True, concurrency=concurrency)
+    P = auto_partitions(media_ds.count(), 500_000, num_partitions)
+    fp = (frames.map_batches(_frame_dhash_partial,
+                             batch_format="pyarrow",
+                             zero_copy_batch=True)
+          .repartition(P, keys=["media_id"])
+          .map_batches(_clip_fingerprint_fold, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True))
+    return hamming_near_dup_pairs(fp, id_col="media_id", hash_col="vfp",
+                                  max_hamming=max_hamming,
+                                  num_partitions=num_partitions)
+
+
+def make_near_dup_video_batch(n_base: int, n_dups: int,
+                              n_frames: int = 12, h: int = 8,
+                              w: int = 9, seed: int = 23) -> pa.Table:
+    """MP4 clips with planted near-dups: dup j re-encodes base
+    (j % n_base) with ONE pixel changed per frame — each frame's dHash
+    moves <= 2 bits, so the majority-vote clip fingerprint stays
+    within the banding radius by construction."""
+    from ..functions.mp4box import encode_mp4
+
+    rng = np.random.default_rng(seed)
+    payloads, metas, ids = [], [], []
+    bases = []
+    for i in range(n_base):
+        arr = rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+        bases.append(arr)
+        payloads.append(encode_mp4([f.tobytes() for f in arr],
+                                   fps=12, width=w, height=h))
+        metas.append(json.dumps({"fps": 12}))
+        ids.append(i)
+    for j in range(n_dups):
+        arr = bases[j % n_base].copy()
+        for f in range(arr.shape[0]):
+            r0 = int(rng.integers(0, h))
+            c0 = int(rng.integers(0, w))
+            arr[f, r0, c0] = 255 - arr[f, r0, c0]
+        payloads.append(encode_mp4([f.tobytes() for f in arr],
+                                   fps=12, width=w, height=h))
+        metas.append(json.dumps({"fps": 12}))
+        ids.append(n_base + j)
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "media_type": pa.array(["video/mp4"] * len(ids)),
+        "payload": pa.array(payloads, type=pa.large_binary()),
+        "meta": pa.array(metas, type=pa.string()),
+    })

@@ -84,3 +84,47 @@ def test_audio_near_dups_matches_brute(ray_session, blocks):
     assert got_pairs == want
     planted = {(k % 30, 30 + k) for k in range(15)}
     assert len(planted & set(want)) >= 12
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_video_near_dups_matches_brute(ray_session, blocks):
+    import ray.data
+
+    from apache_datasketches_go_ray.functions.mp4box import extract_frames
+    from apache_datasketches_go_ray.stages.multimodal import (
+        dhash64, make_near_dup_video_batch, video_near_dups,
+    )
+
+    tbl = make_near_dup_video_batch(25, 12)
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = video_near_dups(ds, every_k=3, max_hamming=3,
+                          num_partitions=4).to_pandas()
+    got_pairs = {(int(r.doc_a), int(r.doc_b)): int(r.hamming)
+                 for r in got.itertuples()}
+
+    # brute: sample the same frames, majority-vote fingerprint
+    fps = {}
+    for i in range(len(tbl)):
+        payload = tbl.column("payload").to_pylist()[i]
+        info, samples = extract_frames(payload, 3)
+        hs = []
+        for _f, _ts, blob in samples:
+            arr = np.frombuffer(blob, dtype=np.uint8).reshape(
+                info["height"], info["width"], 3)
+            hs.append(dhash64(arr))
+        bits = np.unpackbits(
+            np.array(hs, dtype=np.uint64)[:, None].view(np.uint8),
+            axis=1, bitorder="little").astype(np.int64)
+        maj = (bits.sum(axis=0) * 2 >= len(hs)).astype(np.uint8)
+        fps[int(tbl.column("media_id").to_pylist()[i])] = int(
+            np.packbits(maj, bitorder="little").view(np.uint64)[0])
+    want = {}
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = _hamming(fps[ids[x]], fps[ids[y]])
+            if h <= 3:
+                want[(ids[x], ids[y])] = h
+    assert got_pairs == want
+    planted = {(k % 25, 25 + k) for k in range(12)}
+    assert len(planted & set(want)) >= 10
