@@ -6639,6 +6639,21 @@ def _q_image_near_dups(sf_dir: str):
                                  num_partitions=8)
 
 
+def _q_decontamination_pairs(sf_dir: str):
+    """Contamination provenance: (train_doc, eval_doc) pairs sharing
+    >= 1 distinct 13-gram under the deterministic train/eval split,
+    with the shared-gram count — not just the decontamination flag but
+    WHICH eval doc leaked into WHICH train doc. Gram-keyed shuffle +
+    in-block pair expansion + pair fold."""
+    from apache_datasketches_go_ray.stages.decontaminate import (
+        contamination_pairs,
+    )
+
+    return contamination_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        n=13, eval_pct=10, num_partitions=8)
+
+
 def _q_video_near_dups(sf_dir: str):
     """Near-duplicate video clips: real ISO-BMFF frame sampling ->
     per-frame dHash -> majority-vote 64-bit clip fingerprint (one
@@ -7474,6 +7489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nchars_histogram_by_source": _q_nchars_histogram_by_source,
         "conv_role_char_ratio": _q_conv_role_char_ratio,
         "corpus_summary": _q_corpus_summary,
+        "decontamination_pairs": _q_decontamination_pairs,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -10099,6 +10115,29 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "decontamination_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ), g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, len(toks) - 11),
+                       i -> array_to_string(toks[i:i+12], ' '))))
+                       AS gram
+              FROM t WHERE len(toks) >= 13
+            ), e AS (
+              SELECT * FROM g
+              WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+            ), tr AS (
+              SELECT * FROM g
+              WHERE ((doc_id * 2654435761) % 4294967296) % 100 >= 10
+            )
+            SELECT tr.doc_id AS train_doc, e.doc_id AS eval_doc,
+                   count(*) AS n_shared
+            FROM tr JOIN e ON e.gram = tr.gram
+            GROUP BY tr.doc_id, e.doc_id
         """,
         "corpus_summary": r"""
             SELECT count(*) AS n_docs,

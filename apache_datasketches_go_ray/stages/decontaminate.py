@@ -146,3 +146,119 @@ def decontaminate(train_ds, eval_ds, n: int = 13, id_col: str = "doc_id",
     ev = eval_ngram_hashes(eval_ds, n=n, text_col=text_col)
     return flag_contaminated(train_ds, ev, n=n, id_col=id_col,
                              text_col=text_col, keep_clean=keep_clean)
+
+
+def contamination_pairs(docs_ds, *, n: int = 13, id_col: str = "doc_id",
+                        text_col: str = "text", eval_pct: int = 10,
+                        num_partitions: int = 16,
+                        max_df: int | None = None):
+    """Contamination PROVENANCE: (train_doc, eval_doc, n_shared) for
+    every train/eval pair sharing >= 1 distinct token n-gram — not
+    just the flag, but which eval doc leaked into which train doc and
+    how hard. Train/eval split is the deterministic Knuth doc-id rule
+    (train_eval_split). Gram-keyed shuffle of (gram-hash, doc, side)
+    rows -> in-block train x eval pair expansion (bounded per gram by
+    its document frequency; pass ``max_df`` to skip stop-gram blowups
+    at corpus scale — the oracle-matched default expands fully) ->
+    pair-keyed count fold. Same 64-bit murmur gram substrate as
+    flag_contaminated."""
+    from .context import auto_partitions
+
+    _empty_rows = pa.table({
+        "h": pa.array([], type=pa.uint64()),
+        "doc": pa.array([], type=pa.int64()),
+        "is_eval": pa.array([], type=pa.bool_()),
+    })
+    _empty_pairs = pa.table({
+        "train_doc": pa.array([], type=pa.int64()),
+        "eval_doc": pa.array([], type=pa.int64()),
+        "n_shared": pa.array([], type=pa.int64()),
+    })
+
+    def emit(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty_rows
+        ids = b.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hashes, d_offs, keep = _doc_ngram_hashes(b.column(text_col), n)
+        if len(hashes) == 0:
+            return _empty_rows
+        kept_ids = ids[keep]
+        doc_of = np.repeat(kept_ids, np.diff(d_offs))
+        # per-doc distinct grams (mirrors the oracle's list_distinct)
+        order = np.lexsort((hashes, doc_of))
+        d_s, h_s = doc_of[order], hashes[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_u, h_u = d_s[first], h_s[first]
+        is_eval = ((d_u * 2654435761) % 4294967296) % 100 < eval_pct
+        return pa.table({
+            "h": pa.array(h_u, type=pa.uint64()),
+            "doc": pa.array(d_u, type=pa.int64()),
+            "is_eval": pa.array(is_eval),
+        })
+
+    def pairs_block(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty_pairs
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        doc = b.column("doc").to_numpy(zero_copy_only=False)
+        ev = b.column("is_eval").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h, doc, ev = h[order], doc[order], ev[order]
+        first = np.empty(len(h), dtype=bool)
+        first[0] = True
+        first[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(h))
+        t_parts, e_parts = [], []
+        for s, e in zip(starts, ends):
+            evm = ev[s:e]
+            n_e = int(evm.sum())
+            n_t = (e - s) - n_e
+            if n_e == 0 or n_t == 0:
+                continue
+            if max_df is not None and (e - s) > max_df:
+                continue
+            tr = doc[s:e][~evm]
+            ed = doc[s:e][evm]
+            t_parts.append(np.repeat(tr, n_e))
+            e_parts.append(np.tile(ed, n_t))
+        if not t_parts:
+            return _empty_pairs
+        t = pa.table({
+            "train_doc": pa.array(np.concatenate(t_parts),
+                                  type=pa.int64()),
+            "eval_doc": pa.array(np.concatenate(e_parts),
+                                 type=pa.int64()),
+        })
+        g = t.group_by(["train_doc", "eval_doc"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "train_doc": g.column("train_doc"),
+            "eval_doc": g.column("eval_doc"),
+            "n_shared": g.column("count_all").cast(pa.int64()),
+        })
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty_pairs
+        g = b.group_by(["train_doc", "eval_doc"]).aggregate(
+            [("n_shared", "sum")])
+        return pa.table({
+            "train_doc": g.column("train_doc").cast(pa.int64()),
+            "eval_doc": g.column("eval_doc").cast(pa.int64()),
+            "n_shared": g.column("n_shared_sum").cast(pa.int64()),
+        })
+
+    P = auto_partitions(docs_ds.count(), 500_000, num_partitions)
+    return (docs_ds.select_columns([id_col, text_col])
+            .map_batches(emit, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(P, keys=["h"])
+            .map_batches(pairs_block, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(P, keys=["train_doc", "eval_doc"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
