@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from apache_datasketches_go_ray.stages.decontaminate import (
@@ -90,3 +91,53 @@ def test_empty_eval_set_flags_nothing(ray_session):
     out = decontaminate(ray.data.from_arrow(tr), empty_ev, n=13,
                         keep_clean=True).to_pandas()
     assert not out["contaminated"].any()
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_contamination_pairs_matches_brute(ray_session, blocks):
+    """Pair provenance == brute per-doc-distinct 13-gram join, under
+    the Knuth train/eval split, across partitionings."""
+    import numpy as np
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.decontaminate import (
+        contamination_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, rng.integers(13, 40)))
+             for _ in range(80)]
+    # plant leaks: copy a 13-token window from doc a into doc b
+    for a, b in [(0, 11), (2, 31), (4, 51), (6, 71)]:
+        win = texts[a].split()[:13]
+        texts[b] = texts[b] + " " + " ".join(win)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    got = contamination_pairs(
+        ray.data.from_arrow(tbl).repartition(blocks),
+        n=13, eval_pct=10, num_partitions=4).to_pandas()
+    got_map = {(int(r.train_doc), int(r.eval_doc)): int(r.n_shared)
+               for r in got.itertuples()}
+
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 13])
+                for i in range(len(toks) - 12)}
+
+    is_eval = [((i * 2654435761) % 4294967296) % 100 < 10
+               for i in range(80)]
+    want = {}
+    for tr_id in range(80):
+        if is_eval[tr_id]:
+            continue
+        gt = grams(texts[tr_id])
+        for ev_id in range(80):
+            if not is_eval[ev_id]:
+                continue
+            shared = len(gt & grams(texts[ev_id]))
+            if shared:
+                want[(tr_id, ev_id)] = shared
+    assert got_map == want
