@@ -6639,6 +6639,32 @@ def _q_image_near_dups(sf_dir: str):
                                  num_partitions=8)
 
 
+def _q_dedup_lineage_report(sf_dir: str):
+    """The flagship's lineage/metrics surface as a queryable table:
+    one row per pipeline stage with its output row count and wall
+    seconds (the north_rule's 'per-partition lineage + metrics'
+    contract, exposed as data instead of a JSON sidecar). Rows-only —
+    timings are nondeterministic; the row COUNT (one per stage) and
+    stage names are stable."""
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    res = run_dedup(ds, _dedup_config())
+    stages = res["metrics"]["stages"]
+    names = sorted(stages)
+    return ray.data.from_arrow(pa.table({
+        "stage": pa.array(names, type=pa.string()),
+        "rows": pa.array([int(stages[s].get("rows") or -1)
+                          for s in names], type=pa.int64()),
+        "seconds": pa.array([float(stages[s].get("sec") or 0.0)
+                             for s in names], type=pa.float64()),
+    }))
+
+
 def _q_decontamination_pairs(sf_dir: str):
     """Contamination provenance: (train_doc, eval_doc) pairs sharing
     >= 1 distinct 13-gram under the deterministic train/eval split,
@@ -7524,6 +7550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dups": _q_image_near_dups,
         "audio_near_dups": _q_audio_near_dups,
         "video_near_dups": _q_video_near_dups,
+        "dedup_lineage_report": _q_dedup_lineage_report,
         "audio_wav_features": _q_audio_wav_features,
         "video_frame_features": _q_video_frame_features,
         "curate_docs": _q_curate_docs,
