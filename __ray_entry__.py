@@ -6639,6 +6639,119 @@ def _q_image_near_dups(sf_dir: str):
                                  num_partitions=8)
 
 
+def _q_event_type_transitions(sf_dir: str):
+    """Per-user event-type Markov edge list: counts of consecutive
+    (type -> next type) transitions in (ts, event_id) order — the
+    behavioral-flow graph. User-keyed shuffle + in-block adjacency
+    fold (type²-bounded partials, tiny driver-side finish)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+    from apache_datasketches_go_ray.stages.context import auto_partitions
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    _empty = pa.table({"chain": pa.array([], type=pa.string()),
+                       "n": pa.array([], type=pa.int64())})
+
+    def partial(b):
+        if len(b) < 2:
+            return _empty
+        u = b.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        e = b.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        types, rcodes = np.unique(
+            as_array(b.column("event_type"))
+            .to_numpy(zero_copy_only=False), return_inverse=True)
+        order = np.lexsort((e, t, u))
+        us, r = u[order], rcodes[order]
+        same = us[1:] == us[:-1]
+        a, nxt = r[:-1][same], r[1:][same]
+        if len(a) == 0:
+            return _empty
+        key = a * len(types) + nxt
+        uk, cnt = np.unique(key, return_counts=True)
+        ta = pa.array(types[uk // len(types)])
+        tb = pa.array(types[uk % len(types)])
+        return pa.table({
+            "chain": pc.binary_join_element_wise(ta, tb, " -> "),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        g = b.group_by("chain").aggregate([("n", "sum")])
+        return pa.table({
+            "chain": g.column("chain").cast(pa.string()),
+            "n": g.column("n_sum").cast(pa.int64()),
+        })
+
+    P = auto_partitions(ds.count(), 2_000_000, 8)
+    return (ds.repartition(P, keys=["user_id"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_event_type_lift(sf_dir: str):
+    """Market-basket LIFT per unordered event-type pair: n_ab * N *
+    1e4 // (n_a * n_b) in exact integer arithmetic — which behaviors
+    co-occur beyond chance. Distributed: cooccurrence pair counts +
+    per-type distinct-user marginals; only the type²-bounded finals
+    reach the driver."""
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.relational import (
+        cooccurrence_counts, distinct_count_by,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = gather_table(cooccurrence_counts(
+        ev, "user_id", "event_type", num_partitions=8))
+    marg = gather_table(distinct_count_by(
+        ev, "event_type", "user_id", num_partitions=8))
+    mcol = [c for c in marg.column_names if c != "event_type"][0]
+    n_of = dict(zip(marg.column("event_type").to_pylist(),
+                    marg.column(mcol).to_pylist()))
+    # N = distinct users overall: exact distinct via one extra fold
+    import pyarrow.compute as pc
+
+    def du(b):
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+        }).group_by("user_id").aggregate([])
+
+    users = gather_table(
+        ev.map_batches(du, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4, keys=["user_id"])
+        .map_batches(du, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True))
+    N = users.num_rows
+    a = pairs.column("item_a").to_pylist()
+    b_ = pairs.column("item_b").to_pylist()
+    nk = pairs.column("n_keys").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    na = np.array([n_of[x] for x in a], dtype=np.int64)
+    nb = np.array([n_of[x] for x in b_], dtype=np.int64)
+    lift = nk * N * 10000 // (na * nb)
+    return ray.data.from_arrow(pa.table({
+        "item_a": pa.array(a, type=pa.string()),
+        "item_b": pa.array(b_, type=pa.string()),
+        "n_keys": pa.array(nk),
+        "lift_e4": pa.array(lift),
+    }))
+
+
 def _q_dedup_lineage_report(sf_dir: str):
     """The flagship's lineage/metrics surface as a queryable table:
     one row per pipeline stage with its output row count and wall
@@ -7516,6 +7629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_char_ratio": _q_conv_role_char_ratio,
         "corpus_summary": _q_corpus_summary,
         "decontamination_pairs": _q_decontamination_pairs,
+        "event_type_transitions": _q_event_type_transitions,
+        "event_type_lift": _q_event_type_lift,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -10142,6 +10257,42 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "event_type_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+              FROM events
+            )
+            SELECT event_type || ' -> ' || nxt AS chain,
+                   count(*) AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY event_type || ' -> ' || nxt
+        """,
+        "event_type_lift": """
+            WITH d AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ), m AS (
+              SELECT event_type, count(*) AS c FROM d GROUP BY 1
+            ), tot AS (
+              SELECT count(DISTINCT user_id) AS nu FROM events
+            ), p AS (
+              SELECT a.event_type AS item_a, b.event_type AS item_b,
+                     count(*) AS n_keys
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT p.item_a, p.item_b, p.n_keys,
+                   CAST(p.n_keys * tot.nu * 10000
+                        // (ma.c * mb.c) AS BIGINT) AS lift_e4
+            FROM p
+            CROSS JOIN tot
+            JOIN m ma ON ma.event_type = p.item_a
+            JOIN m mb ON mb.event_type = p.item_b
         """,
         "decontamination_pairs": r"""
             WITH t AS (
