@@ -974,6 +974,28 @@ def _q_ann_ivf_topk(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_ann_ivf_kmeans_topk(sf_dir: str):
+    """IVF top-k with the coarse quantizer trained by the EXACT
+    distributed Lloyd k-means (embops.kmeans_fit) instead of a bounded
+    driver sample — the full-corpus index-build path for skewed
+    corpora; querying is the same n_probe cell scan."""
+    import pyarrow.parquet as pq
+
+    from apache_datasketches_go_ray.stages.ann import ivf_topk
+    from apache_datasketches_go_ray.stages.embops import kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _assign, C = kmeans_fit(emb, k=16, n_iter=5, num_partitions=8)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(emb_path).slice(0, 5)
+    q_ids = head.column("vec_id").to_pylist()
+    qm = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
+    out = ivf_topk(_read(sf_dir, "embeddings",
+                         ["vec_id", "embedding"]), q_ids, qm, k=10,
+                   n_probe=4, round_to=4, centroids=C)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_simhash_near_dups(sf_dir: str):
     """Hamming-radius SimHash near-dup pairs. The sf documents are all
     distinct, so plant deterministic copies: 20 exact + 20 one-token
@@ -7660,6 +7682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_scores": _q_lm_quality_scores,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
         "ann_lsh_knn_join_topk": _q_ann_lsh_knn_join,
         "multimodal_features": _q_multimodal_features,
         "image_near_dups": _q_image_near_dups,

@@ -458,19 +458,29 @@ def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
              n_clusters: int = 16, n_probe: int = 4,
              sample_size: int = 4096, id_col: str = "vec_id",
              emb_col: str = "embedding", seed: int = 9001,
-             round_to: int = 6) -> pa.Table:
+             round_to: int = 6,
+             centroids: np.ndarray | None = None) -> pa.Table:
     """IVF approximate cosine top-k: the second ANN scale path.
 
     A deterministic driver-side sample trains a spherical k-means coarse
     quantizer; each query scans only its n_probe nearest cells
     (~n_probe/n_clusters of the corpus). Corpus cell assignment happens
     inside the scan batch (one matmul) — the corpus is never reshuffled,
-    so building + querying the index is one streaming pass."""
-    sample_tbl = ds.limit(sample_size).materialize().to_arrow_refs()
-    sample = np.concatenate(
-        [_embeddings_matrix(t, emb_col)
-         for t in (ray.get(r) for r in sample_tbl) if len(t)])
-    C = _spherical_kmeans(sample, n_clusters, seed=seed)
+    so building + querying the index is one streaming pass. Pass
+    ``centroids`` (k x dim, e.g. from embops.kmeans_fit's exact
+    distributed Lloyd) to skip the sample training — the full-corpus
+    quantizer for skewed corpora a bounded sample can't represent."""
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C = C / norms
+    else:
+        sample_tbl = ds.limit(sample_size).materialize().to_arrow_refs()
+        sample = np.concatenate(
+            [_embeddings_matrix(t, emb_col)
+             for t in (ray.get(r) for r in sample_tbl) if len(t)])
+        C = _spherical_kmeans(sample, n_clusters, seed=seed)
     qm = np.asarray(query_matrix, dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     order = np.argsort(-(qn @ C.T), axis=1, kind="stable")
