@@ -358,3 +358,37 @@ def test_lsh_knn_join_recall(ray_session):
     recall = hits / (len(truth) * k)
     assert recall >= 0.8, recall
     assert (approx["rank"] >= 1).all() and (approx["rank"] <= k).all()
+
+
+def test_ivf_topk_with_injected_kmeans_centroids(ray_session):
+    """ivf_topk(centroids=...) — the exact distributed-Lloyd quantizer
+    path — recovers the planted neighbors like the sampled trainer."""
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.ann import (
+        brute_force_topk, ivf_topk,
+    )
+    from apache_datasketches_go_ray.stages.embops import kmeans_fit
+
+    rng = np.random.default_rng(29)
+    m = rng.standard_normal((400, 32)).astype(np.float32)
+    for i in range(5):
+        m[100 + i] = m[i] + 0.01 * rng.standard_normal(32) \
+            .astype(np.float32)
+    ids = np.arange(400, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(m),
+                                          type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    _assign, C = kmeans_fit(ds, k=8, n_iter=5, num_partitions=3)
+    q_ids = ids[:5]
+    qm = m[:5]
+    bf = brute_force_topk(ray.data.from_arrow(tbl), q_ids, qm, k=5)
+    ap = ivf_topk(ray.data.from_arrow(tbl), q_ids, qm, k=5,
+                  n_probe=3, centroids=C)
+    bf_top = {(r["query_id"], r["rank"]): r["vec_id"]
+              for r in bf.to_pylist() if r["rank"] <= 2}
+    ap_top = {(r["query_id"], r["rank"]): r["vec_id"]
+              for r in ap.to_pylist() if r["rank"] <= 2}
+    assert ap_top == bf_top
