@@ -58,6 +58,13 @@ class DedupConfig:
     turn_block_max_convs: int = 20
     # shuffle sizing
     num_partitions: int = 64
+    # Ray Data dynamic-block-split cap applied by the pipeline (None =
+    # leave the context default, 128 MiB). Smaller blocks mean more
+    # map tasks per stage; 16 MiB measured best on a 32-core node for
+    # the text-heavy assembled table (flagship 59.7 -> 52.1 s; 8 MiB
+    # over-splits). Scale-invariant: it bounds PER-BLOCK bytes, not
+    # block count.
+    target_block_bytes: int | None = 16 << 20
     # input layout: "shuffled" (always correct) or "conv_grouped" — the
     # data-at-rest fast path when transcript files are sorted by
     # (conv_id, turn_idx): assembly shuffles one fragment row per

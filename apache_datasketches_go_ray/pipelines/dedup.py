@@ -41,6 +41,11 @@ class DedupPipeline(CheckpointedPipeline):
         super().__init__(config.to_dict(), checkpoint_dir)
         self.cfg = config
         ensure_hash_shuffle()
+        if config.target_block_bytes:
+            import ray.data as _rd
+
+            _rd.DataContext.get_current().target_max_block_size = \
+                int(config.target_block_bytes)
 
     # ---- pipeline ---------------------------------------------------------
     def run(self, transcripts_ds, *, input_fingerprint: str = "",
@@ -168,6 +173,11 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
         self.cfg = config
         self.against = against
         ensure_hash_shuffle()
+        if config.target_block_bytes:
+            import ray.data as _rd
+
+            _rd.DataContext.get_current().target_max_block_size = \
+                int(config.target_block_bytes)
 
     def run(self, new_transcripts_ds, *, input_fingerprint: str = "",
             signer_concurrency=None):
