@@ -6661,6 +6661,100 @@ def _q_image_near_dups(sf_dir: str):
                                  num_partitions=8)
 
 
+def _q_source_lang_crosstab(sf_dir: str):
+    """Corpus composition crosstab: doc count and exact char mass per
+    (source, lang) cell — the mixing-plan denominator table. Two-key
+    combiner + tiny keyed fold."""
+    import pyarrow as pa
+
+    def partial(b):
+        t = pa.table({
+            "source": b.column("source").cast(pa.string()),
+            "lang": b.column("lang").cast(pa.string()),
+            "nc": b.column("n_chars").cast(pa.int64()),
+        })
+        g = t.group_by(["source", "lang"]).aggregate(
+            [([], "count_all"), ("nc", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "lang": g.column("lang"),
+            "n_docs": g.column("count_all").cast(pa.int64()),
+            "total_chars": g.column("nc_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "total_chars": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum")])
+        return pa.table({
+            "source": g.column("source").cast(pa.string()),
+            "lang": g.column("lang").cast(pa.string()),
+            "n_docs": g.column("n_docs_sum").cast(pa.int64()),
+            "total_chars": g.column("total_chars_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", ["source", "lang", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(4, keys=["source", "lang"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_monthly_revenue_growth(sf_dir: str):
+    """Month-over-month order revenue with the exact cents delta vs the
+    previous month — the KPI trend table. Per-block month partials fold
+    to one tiny block where the lag is a shifted view."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        t = pa.table({
+            "month": pc.strftime(b.column("o_orderdate"), format="%Y-%m"),
+            "cents": pc.round(pc.multiply(b.column("o_totalprice"), 100))
+                .cast(pa.int64()),
+        })
+        g = t.group_by("month").aggregate([("cents", "sum")])
+        return pa.table({
+            "month": g.column("month"),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "month": pa.array([], type=pa.string()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+                "delta_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by("month").aggregate([("cents", "sum")])
+        m = g.column("month").to_numpy(zero_copy_only=False)
+        c = g.column("cents_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(m)
+        m, c = m[order], c[order]
+        delta = np.zeros(len(c), dtype=np.int64)
+        delta[1:] = c[1:] - c[:-1]
+        return pa.table({
+            "month": pa.array(m, type=pa.string()),
+            "revenue_cents": pa.array(c),
+            "delta_cents": pa.array(delta),
+        })
+
+    return (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_event_type_transitions(sf_dir: str):
     """Per-user event-type Markov edge list: counts of consecutive
     (type -> next type) transitions in (ts, event_id) order — the
@@ -7653,6 +7747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination_pairs": _q_decontamination_pairs,
         "event_type_transitions": _q_event_type_transitions,
         "event_type_lift": _q_event_type_lift,
+        "source_lang_crosstab": _q_source_lang_crosstab,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -10280,6 +10376,25 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "source_lang_crosstab": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source, lang
+        """,
+        "monthly_revenue_growth": """
+            WITH m AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS revenue_cents
+              FROM orders GROUP BY 1
+            )
+            SELECT month, revenue_cents,
+                   CAST(coalesce(revenue_cents
+                                 - lag(revenue_cents)
+                                   OVER (ORDER BY month), 0)
+                        AS BIGINT) AS delta_cents
+            FROM m
         """,
         "event_type_transitions": """
             WITH o AS (
