@@ -63,7 +63,11 @@ class DedupConfig:
     # map tasks per stage; 16 MiB measured best on a 32-core node for
     # the text-heavy assembled table (flagship 59.7 -> 52.1 s; 8 MiB
     # over-splits). Scale-invariant: it bounds PER-BLOCK bytes, not
-    # block count.
+    # block count. SAFE with keyed folds: hash-shuffle output
+    # partitions are NOT subject to this split (verified empirically —
+    # a 40 MB partition arrives as ONE batch under a 1 MiB cap), so
+    # the engine's whole-key-per-batch co-location invariant holds at
+    # any cap value.
     target_block_bytes: int | None = 16 << 20
     # input layout: "shuffled" (always correct) or "conv_grouped" — the
     # data-at-rest fast path when transcript files are sorted by
