@@ -6661,6 +6661,67 @@ def _q_image_near_dups(sf_dir: str):
                                  num_partitions=8)
 
 
+def _q_supplier_nation_rollup(sf_dir: str):
+    """Supplier footprint per (region, nation): count and exact
+    account-balance cents — the two dim tables fold on the driver and
+    broadcast as lookup maps; one combiner + tiny fold on the fact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+
+    nat = gather_table(_read(sf_dir, "nation", None))
+    reg = gather_table(_read(sf_dir, "region", None))
+    rname = dict(zip(reg.column("r_regionkey").to_pylist(),
+                     reg.column("r_name").to_pylist()))
+    nk2name = {int(k): n for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}
+    nk2region = {int(k): rname[int(r)] for k, r in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_regionkey").to_pylist())}
+
+    def partial(b):
+        t = pa.table({
+            "nk": b.column("s_nationkey").cast(pa.int64()),
+            "bal_c": pc.round(pc.multiply(b.column("s_acctbal"), 100))
+                .cast(pa.int64()),
+        })
+        g = t.group_by("nk").aggregate(
+            [([], "count_all"), ("bal_c", "sum")])
+        return pa.table({
+            "nk": g.column("nk"),
+            "n": g.column("count_all").cast(pa.int64()),
+            "bal_c": g.column("bal_c_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "r_name": pa.array([], type=pa.string()),
+                "n_name": pa.array([], type=pa.string()),
+                "n_suppliers": pa.array([], type=pa.int64()),
+                "acctbal_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by("nk").aggregate([("n", "sum"), ("bal_c", "sum")])
+        nk = [int(x) for x in g.column("nk").to_pylist()]
+        return pa.table({
+            "r_name": pa.array([nk2region[k] for k in nk],
+                               type=pa.string()),
+            "n_name": pa.array([nk2name[k] for k in nk],
+                               type=pa.string()),
+            "n_suppliers": g.column("n_sum").cast(pa.int64()),
+            "acctbal_cents": g.column("bal_c_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_source_lang_crosstab(sf_dir: str):
     """Corpus composition crosstab: doc count and exact char mass per
     (source, lang) cell — the mixing-plan denominator table. Two-key
@@ -7748,6 +7809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": _q_event_type_transitions,
         "event_type_lift": _q_event_type_lift,
         "source_lang_crosstab": _q_source_lang_crosstab,
+        "supplier_nation_rollup": _q_supplier_nation_rollup,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
@@ -10376,6 +10438,16 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "supplier_nation_rollup": """
+            SELECT r.r_name, n.n_name,
+                   count(*) AS n_suppliers,
+                   CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS acctbal_cents
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name, n.n_name
         """,
         "source_lang_crosstab": """
             SELECT source, lang, count(*) AS n_docs,
