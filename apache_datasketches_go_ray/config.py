@@ -61,13 +61,18 @@ class DedupConfig:
     # Ray Data dynamic-block-split cap applied by the pipeline (None =
     # leave the context default, 128 MiB). Smaller blocks mean more
     # map tasks per stage; 16 MiB measured best on a 32-core node for
-    # the text-heavy assembled table (flagship 59.7 -> 52.1 s; 8 MiB
+    # the text-heavy assembled table (flagship 60.7 -> 45.5 s; 8 MiB
     # over-splits). Scale-invariant: it bounds PER-BLOCK bytes, not
     # block count. SAFE with keyed folds: hash-shuffle output
     # partitions are NOT subject to this split (verified empirically —
     # a 40 MB partition arrives as ONE batch under a 1 MiB cap), so
     # the engine's whole-key-per-batch co-location invariant holds at
-    # any cap value.
+    # any cap value. The pipelines apply it ONLY in the in-memory
+    # regime (estimated signature working set < half the object
+    # store): at spill scale the 8x object-count inflation drives the
+    # raylet's spill-worker loop into its known recursion crash
+    # (measured at 12M turns / 37 GiB store), while the default 128
+    # MiB blocks spill fine.
     target_block_bytes: int | None = 16 << 20
     # input layout: "shuffled" (always correct) or "conv_grouped" — the
     # data-at-rest fast path when transcript files are sorted by

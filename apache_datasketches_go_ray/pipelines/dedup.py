@@ -41,17 +41,19 @@ class DedupPipeline(CheckpointedPipeline):
         super().__init__(config.to_dict(), checkpoint_dir)
         self.cfg = config
         ensure_hash_shuffle()
-        if config.target_block_bytes:
-            import ray.data as _rd
-
-            _rd.DataContext.get_current().target_max_block_size = \
-                int(config.target_block_bytes)
 
     # ---- pipeline ---------------------------------------------------------
     def run(self, transcripts_ds, *, input_fingerprint: str = "",
             signer_concurrency=None):
+        from ..stages.context import apply_block_cap
+
         cfg = self.cfg
         t_start = time.time()
+        # regime-gated block cap: small blocks raise map parallelism in
+        # the in-memory regime but inflate spill object counts at scale
+        # (stages/context.apply_block_cap)
+        self.metrics["block_cap_applied"] = apply_block_cap(
+            cfg.target_block_bytes, transcripts_ds.count())
 
         # assembled IS materialized: fusing read -> repartition -> assemble
         # -> sign into one streaming chain measured ~2x slower than
@@ -173,11 +175,6 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
         self.cfg = config
         self.against = against
         ensure_hash_shuffle()
-        if config.target_block_bytes:
-            import ray.data as _rd
-
-            _rd.DataContext.get_current().target_max_block_size = \
-                int(config.target_block_bytes)
 
     def run(self, new_transcripts_ds, *, input_fingerprint: str = "",
             signer_concurrency=None):
@@ -185,10 +182,12 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
 
         from ..functions.murmur3 import hash_strings
         from ..stages.arrow_util import as_array
-        from ..stages.context import gather_table
+        from ..stages.context import apply_block_cap, gather_table
 
         cfg = self.cfg
         t_start = time.time()
+        self.metrics["block_cap_applied"] = apply_block_cap(
+            cfg.target_block_bytes, new_transcripts_ds.count())
         old_sigs = ray.data.read_parquet(
             os.path.join(self.against, "signatures"))
         old_assembled = ray.data.read_parquet(

@@ -66,3 +66,34 @@ def gather_table(ds, schema=None):
             schema = next((t.schema for t in all_blocks
                            if t.schema.names), pa.schema([]))
     return schema.empty_table()
+
+
+def apply_block_cap(cap_bytes: int | None, n_rows: int, *,
+                    bytes_per_row: int = 1000) -> bool:
+    """Apply the dynamic block-split cap ONLY in the in-memory regime.
+
+    Smaller blocks raise map-task parallelism (the flagship's
+    CPU-heavy signer measured 60.7 -> 45.5 s at sf0.1 with a 16 MiB
+    cap) but inflate plasma object COUNT ~8x; at spill scale that
+    drives the raylet's spill-worker pool into its known recursion
+    crash (measured at 12M turns on a 37 GiB store), while default
+    128 MiB blocks spill fine. Rule: cap when the estimated
+    materialized working set (n_rows x bytes_per_row, calibrated on
+    the flagship's ~1 KB/turn signature+assembled state) stays under a
+    quarter of the object store — comfortably inside the no-spill
+    regime. Returns True if the cap was applied."""
+    if not cap_bytes:
+        return False
+    try:
+        import ray as _ray
+        import ray.data as _rd
+
+        store = float(_ray.cluster_resources()
+                      .get("object_store_memory", 0.0))
+        if store and n_rows * bytes_per_row < 0.25 * store:
+            _rd.DataContext.get_current().target_max_block_size = \
+                int(cap_bytes)
+            return True
+    except Exception:
+        pass
+    return False
