@@ -188,12 +188,27 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
         t_start = time.time()
         self.metrics["block_cap_applied"] = apply_block_cap(
             cfg.target_block_bytes, new_transcripts_ds.count())
-        old_sigs = ray.data.read_parquet(
-            os.path.join(self.against, "signatures"))
-        old_assembled = ray.data.read_parquet(
-            os.path.join(self.against, "assembled"))
+        # ``against`` may be one checkpoint dir or a CHAIN of them (the
+        # original full run plus each prior increment's checkpoint, in
+        # order): signature/assembled surfaces union across the chain —
+        # each increment's checkpoint holds only its own batch — while
+        # cluster labels come from the LAST entry (they are cumulative,
+        # since every increment re-enters the prior labels as edges).
+        chain = ([self.against] if isinstance(self.against, str)
+                 else list(self.against))
+
+        def _union_surface(name):
+            parts = [ray.data.read_parquet(os.path.join(d, name))
+                     for d in chain]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.union(p)
+            return out
+
+        old_sigs = _union_surface("signatures")
+        old_assembled = _union_surface("assembled")
         old_clusters = ray.data.read_parquet(
-            os.path.join(self.against, "clusters"))
+            os.path.join(chain[-1], "clusters"))
 
         assembled_new, fp = self._stage(
             "assembled", input_fingerprint,
@@ -242,10 +257,20 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
             # is already in the checkpointed cluster labels)
             from ..stages.turnblock import hashes_from_assembled
 
-            th_dir = os.path.join(self.against, "turn_hashes")
-            old_hashes = (ray.data.read_parquet(th_dir)
-                          if os.path.isdir(th_dir)
-                          else hashes_from_assembled(old_assembled, cfg))
+            th_parts = []
+            missing = False
+            for d in chain:
+                th_dir = os.path.join(d, "turn_hashes")
+                if os.path.isdir(th_dir):
+                    th_parts.append(ray.data.read_parquet(th_dir))
+                else:
+                    missing = True
+            if missing or not th_parts:
+                old_hashes = hashes_from_assembled(old_assembled, cfg)
+            else:
+                old_hashes = th_parts[0]
+                for p in th_parts[1:]:
+                    old_hashes = old_hashes.union(p)
             new_hashes, fp = self._stage(
                 "turn_hashes", fp,
                 lambda: turn_hash_dataset(new_transcripts_ds, cfg),

@@ -97,3 +97,35 @@ def test_incremental_with_own_checkpoint_resumes(split_fixture, tmp_path):
     assert _labels(r2) == cl1
     for name, ent in p2.metrics["stages"].items():
         assert ent["resumed"], f"stage {name} should have resumed"
+
+
+def test_chained_increments_equal_full(split_fixture, tmp_path):
+    """Three-batch chained ingestion: dedup(A) + inc(B) + inc(C) ==
+    dedup(A ∪ B ∪ C), with `against` a CHAIN of checkpoints (the full
+    run plus each prior increment's) — the daily-ingest loop."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import (
+        run_dedup, run_dedup_incremental)
+
+    cfg = DedupConfig(num_partitions=4)
+    full = _labels(run_dedup(
+        ray.data.read_parquet(split_fixture["dir"]), cfg))
+
+    def _part(b, r):
+        nums = np.array([int(c.rsplit("-", 1)[1]) for c in
+                         b.column("conv_id").to_pylist()])
+        return b.filter(pa.array(nums % 3 == r))
+
+    def part_ds(r):
+        return ray.data.read_parquet(split_fixture["dir"]).map_batches(
+            lambda b, r=r: _part(b, r), batch_format="pyarrow")
+
+    ck_a = str(tmp_path / "chain_a")
+    ck_b = str(tmp_path / "chain_b")
+    run_dedup(part_ds(0), cfg, checkpoint_dir=ck_a)
+    run_dedup_incremental(part_ds(1), against=ck_a, config=cfg,
+                          checkpoint_dir=ck_b)
+    inc2 = _labels(run_dedup_incremental(
+        part_ds(2), against=[ck_a, ck_b], config=cfg))
+    assert inc2 == full
