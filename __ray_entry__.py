@@ -6231,6 +6231,70 @@ def _q_event_type_cooccurrence(sf_dir: str):
         "user_id", "event_type", num_partitions=8)
 
 
+def _copurchase_edges(sf_dir: str):
+    """Co-purchase graph: part pairs appearing together in >= 2 distinct
+    orders (the >= 2 threshold prunes incidental one-order pairings the
+    way a min-support rule does). Edge derivation reuses the
+    market-basket co-occurrence combiner, so the only new shuffles are
+    the graph operator's own."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.relational import (
+        cooccurrence_counts,
+    )
+
+    pairs = cooccurrence_counts(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        "l_orderkey", "l_partkey", num_partitions=8)
+
+    def to_edges(b):
+        t = b.filter(pc.greater_equal(b.column("n_keys"), 2))
+        return pa.table({"a": t.column("item_a").cast(pa.int64()),
+                         "b": t.column("item_b").cast(pa.int64())})
+
+    return pairs.map_batches(to_edges, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _q_part_copurchase_components(sf_dir: str):
+    """Generic distributed connected components (the flagship's
+    large/small-star union-find lifted to ANY edge table) over the
+    co-purchase graph: which parts form connected substitution/bundle
+    families. Label = minimum part key in the component; value-exact vs
+    a recursive-CTE min-label-propagation oracle."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.graph import (
+        connected_components,
+    )
+
+    comp = connected_components(_copurchase_edges(sf_dir), "a", "b",
+                                num_partitions=8)
+    return comp.map_batches(
+        lambda b: pa.table({"part_key": b.column("node"),
+                            "component": b.column("component")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_part_copurchase_triangles(sf_dir: str):
+    """Exact per-node triangle participation counts over the co-purchase
+    graph (compact-forward: degree-ordered orientation bounds wedge
+    fan-out, closure is a keyed co-partition against the edge set —
+    never a broadcast, never all-pairs). Value-exact vs a three-way
+    self-join oracle."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.graph import triangle_counts
+
+    tri = triangle_counts(_copurchase_edges(sf_dir), "a", "b",
+                          num_partitions=8)
+    return tri.map_batches(
+        lambda b: pa.table({"part_key": b.column("node"),
+                            "n_triangles": b.column("n_triangles")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_leakage_safe_split(sf_dir: str):
     """Train/eval split that cannot leak near-duplicates: every member
     of a flagship near-dup cluster inherits its CLUSTER's murmur
@@ -7785,6 +7849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_bounds": _q_user_session_bounds,
         "user_value_trend": _q_user_value_trend,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
+        "part_copurchase_components": _q_part_copurchase_components,
+        "part_copurchase_triangles": _q_part_copurchase_triangles,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "purchase_click_attribution": _q_purchase_click_attribution,
         "nation_pair_volume": _q_nation_pair_volume,
@@ -10359,6 +10425,52 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND a.event_type < b.event_type
             GROUP BY a.event_type, b.event_type
+        """,
+        "part_copurchase_components": """
+            WITH RECURSIVE dl AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.l_partkey AS a, b.l_partkey AS b
+              FROM dl a JOIN dl b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            und AS (
+              SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ),
+            walk(node, lab) AS (
+              SELECT a, a FROM und
+              UNION
+              SELECT und.b, walk.lab
+              FROM walk JOIN und ON und.a = walk.node
+            )
+            SELECT node AS part_key, min(lab) AS component
+            FROM walk GROUP BY node
+        """,
+        "part_copurchase_triangles": """
+            WITH dl AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.l_partkey AS a, b.l_partkey AS b
+              FROM dl a JOIN dl b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM pairs e1
+              JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT part_key, count(*)::BIGINT AS n_triangles FROM (
+              SELECT x AS part_key FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ) GROUP BY part_key
         """,
         "weighted_sample_docs": """
             SELECT doc_id, n_chars,

@@ -1,0 +1,117 @@
+"""Generic graph operators (stages/graph.py) vs brute single-process
+oracles, across >= 2 partitionings."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl, blocks):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _random_graph(seed, n_nodes=60, n_edges=120):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    # keep some duplicates and reversed duplicates on purpose; drop
+    # nothing — the operators must canonicalize themselves
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+
+def _brute_components(tbl):
+    a = tbl.column("a").to_numpy(zero_copy_only=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    return {n: find(n) for n in parent}
+
+
+def _brute_triangles(tbl):
+    a = tbl.column("a").to_numpy(zero_copy_only=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False)
+    edges = set()
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    counts = {}
+    for (x, y) in edges:
+        for z in adj[x] & adj[y]:
+            if z > y:  # each triangle once: x < y < z by construction
+                for n in (x, y, z):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("seed,blocks", [(1, 1), (1, 5), (2, 3)])
+def test_connected_components_brute_parity(ray_session, seed, blocks):
+    from apache_datasketches_go_ray.stages.graph import connected_components
+
+    tbl = _random_graph(seed)
+    out = connected_components(_ds(tbl, blocks), "a", "b",
+                               num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    want = _brute_components(tbl)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed,blocks", [(1, 1), (1, 5), (3, 4)])
+def test_triangle_counts_brute_parity(ray_session, seed, blocks):
+    from apache_datasketches_go_ray.stages.graph import triangle_counts
+
+    tbl = _random_graph(seed, n_nodes=40, n_edges=160)
+    out = triangle_counts(_ds(tbl, blocks), "a", "b",
+                          num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    want = _brute_triangles(tbl)
+    assert got == want
+    assert all(v > 0 for v in got.values())
+
+
+def test_triangle_counts_known_graph(ray_session):
+    """K4 plus a pendant: every K4 node is in C(3,2)=3 triangles."""
+    from apache_datasketches_go_ray.stages.graph import triangle_counts
+
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9)]
+    tbl = pa.table({"a": pa.array([x for x, _ in e], type=pa.int64()),
+                    "b": pa.array([y for _, y in e], type=pa.int64())})
+    out = triangle_counts(_ds(tbl, 2), "a", "b").to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_graph_ops_empty_and_triangle_free(ray_session):
+    from apache_datasketches_go_ray.stages.graph import (
+        connected_components, triangle_counts,
+    )
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    assert connected_components(_ds(empty, 1), "a", "b").count() == 0
+    assert triangle_counts(_ds(empty, 1), "a", "b").count() == 0
+
+    # a path graph has components but no triangles; self-loops ignored
+    path = pa.table({"a": pa.array([0, 1, 2, 7, 5], type=pa.int64()),
+                     "b": pa.array([1, 2, 3, 7, 6], type=pa.int64())})
+    comp = connected_components(_ds(path, 2), "a", "b").to_pandas()
+    got = dict(zip(comp["node"], comp["component"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 5: 5, 6: 5}
+    assert triangle_counts(_ds(path, 2), "a", "b").count() == 0
