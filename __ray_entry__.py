@@ -6295,6 +6295,41 @@ def _q_part_copurchase_triangles(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_part_copurchase_pagerank(sf_dir: str):
+    """Deterministic integer PageRank (ppb scale, damping 17/20, 3
+    iterations) over the co-purchase graph — 'which parts anchor the
+    bundle graph'. Every intermediate is int64 floor arithmetic, so the
+    distributed run is bit-identical to a chained-CTE SQL oracle and
+    partition-independent."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.graph import pagerank_ppb
+
+    pr = pagerank_ppb(_copurchase_edges(sf_dir), "a", "b",
+                      iterations=3, num_partitions=8)
+    return pr.map_batches(
+        lambda b: pa.table({"part_key": b.column("node"),
+                            "rank_ppb": b.column("rank_ppb")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_part_copurchase_hops(sf_dir: str):
+    """Exact BFS hop distances from the smallest part key in the
+    co-purchase graph (<= 8 hops): frontier-expansion rounds, settled
+    set maintained by keyed co-partition — a reachability/blast-radius
+    primitive. Value-exact vs a recursive-CTE min-hop oracle."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.graph import bfs_hops
+
+    d = bfs_hops(_copurchase_edges(sf_dir), "a", "b", max_hops=8,
+                 num_partitions=8)
+    return d.map_batches(
+        lambda b: pa.table({"part_key": b.column("node"),
+                            "hops": b.column("hops")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_leakage_safe_split(sf_dir: str):
     """Train/eval split that cannot leak near-duplicates: every member
     of a flagship near-dup cluster inherits its CLUSTER's murmur
@@ -7851,6 +7886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": _q_event_type_cooccurrence,
         "part_copurchase_components": _q_part_copurchase_components,
         "part_copurchase_triangles": _q_part_copurchase_triangles,
+        "part_copurchase_pagerank": _q_part_copurchase_pagerank,
+        "part_copurchase_hops": _q_part_copurchase_hops,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "purchase_click_attribution": _q_purchase_click_attribution,
         "nation_pair_volume": _q_nation_pair_volume,
@@ -10471,6 +10508,81 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT y FROM tri
               UNION ALL SELECT z FROM tri
             ) GROUP BY part_key
+        """,
+        "part_copurchase_pagerank": """
+            WITH dl AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.l_partkey AS a, b.l_partkey AS b
+              FROM dl a JOIN dl b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            und AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+            ),
+            deg AS (
+              SELECT a AS node, count(*)::BIGINT AS deg
+              FROM und GROUP BY a
+            ),
+            r0 AS (
+              SELECT node, 1000000000::BIGINT AS r FROM deg
+            ),
+            r1 AS (
+              SELECT u.b AS node,
+                     CAST(150000000 + (17 * sum(r0.r // d.deg)) // 20
+                          AS BIGINT) AS r
+              FROM und u
+              JOIN r0 ON r0.node = u.a
+              JOIN deg d ON d.node = u.a
+              GROUP BY u.b
+            ),
+            r2 AS (
+              SELECT u.b AS node,
+                     CAST(150000000 + (17 * sum(r1.r // d.deg)) // 20
+                          AS BIGINT) AS r
+              FROM und u
+              JOIN r1 ON r1.node = u.a
+              JOIN deg d ON d.node = u.a
+              GROUP BY u.b
+            ),
+            r3 AS (
+              SELECT u.b AS node,
+                     CAST(150000000 + (17 * sum(r2.r // d.deg)) // 20
+                          AS BIGINT) AS r
+              FROM und u
+              JOIN r2 ON r2.node = u.a
+              JOIN deg d ON d.node = u.a
+              GROUP BY u.b
+            )
+            SELECT node AS part_key, r AS rank_ppb FROM r3
+        """,
+        "part_copurchase_hops": """
+            WITH RECURSIVE dl AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.l_partkey AS a, b.l_partkey AS b
+              FROM dl a JOIN dl b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            und AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+            ),
+            src AS (SELECT min(a) AS s FROM und),
+            walk(node, d) AS (
+              SELECT s, 0::BIGINT FROM src
+              UNION
+              SELECT u.b, walk.d + 1
+              FROM walk JOIN und u ON u.a = walk.node
+              WHERE walk.d < 8
+            )
+            SELECT node AS part_key, min(d)::BIGINT AS hops
+            FROM walk GROUP BY node
         """,
         "weighted_sample_docs": """
             SELECT doc_id, n_chars,

@@ -108,6 +108,250 @@ def _dedup_uv(b: pa.Table) -> pa.Table:
     return b.group_by(["u", "v"]).aggregate([])
 
 
+def _canonical_edges(edges_ds, src: str, dst: str, P: int):
+    """Distinct canonical (u < v) edge table: in-block canon + dedup,
+    (u, v)-keyed shuffle, in-block global dedup. Materialized."""
+    return (edges_ds
+            .map_batches(lambda b: _canon_block(b, src, dst),
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(P, keys=["u", "v"])
+            .map_batches(_dedup_uv, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .materialize())
+
+
+def _bidirectional(canon_ds):
+    """canonical (u, v) -> both directions as (s, t)."""
+
+    def flip(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"s": pa.array([], type=pa.int64()),
+                             "t": pa.array([], type=pa.int64())})
+        u, v = as_array(b.column("u")), as_array(b.column("v"))
+        return pa.table({"s": pa.concat_arrays([u, v]),
+                         "t": pa.concat_arrays([v, u])})
+
+    return canon_ds.map_batches(flip, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def _degrees(canon_ds, P: int):
+    """canonical edges -> (node, deg) via endpoint emission + keyed fold."""
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"node": pa.array([], type=pa.int64())})
+        return pa.table({"node": pa.concat_arrays(
+            [as_array(b.column("u")), as_array(b.column("v"))])})
+
+    def deg_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "deg": pa.array([], type=pa.int64())})
+        g = b.group_by("node").aggregate([([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "deg": g.column("count_all").cast(pa.int64())})
+
+    return (canon_ds.map_batches(endpoints, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .repartition(P, keys=["node"])
+            .map_batches(deg_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+_RANK_EMPTY = pa.table({"node": pa.array([], type=pa.int64()),
+                        "rank_ppb": pa.array([], type=pa.int64())})
+
+
+def pagerank_ppb(edges_ds, src: str = "a", dst: str = "b", *,
+                 iterations: int = 3, damping_num: int = 17,
+                 damping_den: int = 20, num_partitions: int = 8):
+    """Deterministic integer PageRank over the undirected simple graph.
+
+    Every quantity is int64 parts-per-billion: rank_0 = 10^9; each
+    iteration sends ``rank // deg`` along every edge and folds
+    ``rank' = base + (damping_num * sum_in) // damping_den`` with
+    ``base = ((damping_den - damping_num) * 10^9) // damping_den``
+    (damping 17/20 = 0.85). Floor division everywhere makes the result
+    partition-independent and bit-reproducible (integer addition is
+    exactly commutative — the same determinism discipline as the
+    engine's other iterative trainers), and lets a plain chained-CTE
+    SQL oracle reproduce it value-exact.
+
+    Scale note: a node's incoming sum is bounded by the total rank mass
+    ~ N * 10^9, so the ppb scale is safe to N ~ 5e8 nodes; beyond that
+    drop the scale to ppm. Per iteration: one keyed join (ranks onto the
+    pre-partitioned edge list) + one keyed sum fold — no broadcast of
+    node-sized state.
+    """
+    import ray
+    import ray.data
+
+    n_in = edges_ds.count()
+    P = auto_partitions(max(n_in, 1), 500_000, num_partitions)
+    canon = _canonical_edges(edges_ds, src, dst, P)
+    if canon.count() == 0:
+        return ray.data.from_arrow(_RANK_EMPTY)
+
+    from .join import hash_join
+
+    bidir = _bidirectional(canon)
+    degrees = _degrees(canon, P)
+    # attach the sender's degree once; re-used every iteration
+    edges_deg = hash_join(
+        bidir, degrees.rename_columns(["node", "deg"]),
+        on=("s", "node"), num_partitions=P).materialize()
+
+    base = ((damping_den - damping_num) * 1_000_000_000) // damping_den
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _RANK_EMPTY
+        return pa.table({
+            "node": b.column("node"),
+            "rank_ppb": pa.array(
+                np.full(len(b), 1_000_000_000, dtype=np.int64)),
+        })
+
+    ranks = degrees.map_batches(init_ranks, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
+    def contrib(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"t": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        r = as_array(b.column("rank_ppb")).to_numpy(zero_copy_only=False)
+        d = as_array(b.column("deg")).to_numpy(zero_copy_only=False)
+        return pa.table({"t": as_array(b.column("t")),
+                         "c": pa.array(r // d)})
+
+    def rank_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _RANK_EMPTY
+        g = b.group_by("t").aggregate([("c", "sum")])
+        s = g.column("c_sum").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "node": g.column("t"),
+            "rank_ppb": pa.array(base + (damping_num * s) // damping_den),
+        })
+
+    for _ in range(iterations):
+        with_rank = hash_join(edges_deg, ranks, on=("s", "node"),
+                              num_partitions=P)
+        ranks = (with_rank
+                 .map_batches(contrib, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .repartition(P, keys=["t"])
+                 .map_batches(rank_fold, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+                 .materialize())
+    return ranks
+
+
+_HOPS_EMPTY = pa.table({"node": pa.array([], type=pa.int64()),
+                        "hops": pa.array([], type=pa.int64())})
+
+
+def bfs_hops(edges_ds, src: str = "a", dst: str = "b", *,
+             source: int | None = None, max_hops: int = 8,
+             num_partitions: int = 8):
+    """Minimum hop distance from ``source`` (default: the smallest node
+    id in the edge set) to every node reachable within ``max_hops``
+    undirected hops. Exact frontier-expansion BFS: per hop, the frontier
+    joins the pre-partitioned adjacency list, and newly reached nodes
+    are found with a tagged-union keyed co-partition against the settled
+    set (no broadcast of node-sized state). Terminates early on an empty
+    frontier. Returns (node, hops) including the source at 0.
+    """
+    import ray
+    import ray.data
+
+    n_in = edges_ds.count()
+    P = auto_partitions(max(n_in, 1), 500_000, num_partitions)
+    canon = _canonical_edges(edges_ds, src, dst, P)
+    if canon.count() == 0:
+        return ray.data.from_arrow(_HOPS_EMPTY)
+
+    from .join import hash_join
+
+    bidir = _bidirectional(canon).materialize()
+    if source is None:
+        source = int(min(canon.min("u"), canon.min("v")))
+
+    start = pa.table({"node": pa.array([source], type=pa.int64()),
+                      "hops": pa.array([0], type=pa.int64())})
+    settled = ray.data.from_arrow(start).materialize()
+    frontier = settled
+
+    def neighbor_block(h: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return _HOPS_EMPTY
+            # distinct neighbors in-block; the settled co-partition
+            # dedups across blocks
+            t = as_array(b.column("t"))
+            return pa.table({
+                "node": t,
+                "hops": pa.array(np.full(len(t), h, dtype=np.int64)),
+            }).group_by(["node", "hops"]).aggregate([])
+        return fn
+
+    def improved_block(b: pa.Table) -> pa.Table:
+        """tagged union of settled (hops >= 0 real) and candidates
+        (hops = current h): emit candidate nodes with NO settled row."""
+        if len(b) == 0:
+            return _HOPS_EMPTY
+        nodes = as_array(b.column("node")).to_numpy(zero_copy_only=False)
+        hops = as_array(b.column("hops")).to_numpy(zero_copy_only=False)
+        tag = as_array(b.column("is_settled")).to_numpy(
+            zero_copy_only=False)
+        cand_mask = ~tag
+        if not cand_mask.any():
+            return _HOPS_EMPTY
+        settled_nodes = np.unique(nodes[tag])
+        cn = nodes[cand_mask]
+        ch = hops[cand_mask]
+        keep = ~np.isin(cn, settled_nodes)
+        cn, ch = cn[keep], ch[keep]
+        if not len(cn):
+            return _HOPS_EMPTY
+        uniq, first = np.unique(cn, return_index=True)
+        return pa.table({"node": pa.array(uniq),
+                         "hops": pa.array(ch[first])})
+
+    def tag(is_settled: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            out = pa.table({
+                "node": as_array(b.column("node")) if len(b) else
+                pa.array([], type=pa.int64()),
+                "hops": as_array(b.column("hops")) if len(b) else
+                pa.array([], type=pa.int64()),
+            })
+            return out.append_column("is_settled", pa.array(
+                np.full(len(out), is_settled, dtype=bool)))
+        return fn
+
+    for h in range(1, max_hops + 1):
+        cands = (hash_join(bidir, frontier.select_columns(["node"]),
+                           on=("s", "node"), num_partitions=P)
+                 .map_batches(neighbor_block(h), batch_format="pyarrow",
+                              zero_copy_batch=True))
+        tagged = (settled.map_batches(tag(True), batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                  .union(cands.map_batches(tag(False),
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True)))
+        frontier = (tagged.repartition(P, keys=["node"])
+                    .map_batches(improved_block, batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True)
+                    .materialize())
+        if frontier.count() == 0:
+            break
+        settled = settled.union(frontier).materialize()
+    return settled
+
+
 def triangle_counts(edges_ds, src: str = "a", dst: str = "b", *,
                     num_partitions: int = 8):
     """Exact per-node triangle participation counts over an undirected
@@ -129,37 +373,13 @@ def triangle_counts(edges_ds, src: str = "a", dst: str = "b", *,
     n_in = edges_ds.count()
     P = auto_partitions(max(n_in, 1), 500_000, num_partitions)
 
-    canon = (edges_ds
-             .map_batches(lambda b: _canon_block(b, src, dst),
-                          batch_format="pyarrow", zero_copy_batch=True)
-             .repartition(P, keys=["u", "v"])
-             .map_batches(_dedup_uv, batch_format="pyarrow",
-                          batch_size=None, zero_copy_batch=True)
-             .materialize())
+    canon = _canonical_edges(edges_ds, src, dst, P)
     if canon.count() == 0:
         return ray.data.from_arrow(_TRI_EMPTY)
 
-    # Degrees: both endpoints -> keyed count. The degree table is
-    # node-sized; it is re-joined to the edges by key, never broadcast.
-    def endpoints(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return pa.table({"node": pa.array([], type=pa.int64())})
-        return pa.table({"node": pa.concat_arrays(
-            [as_array(b.column("u")), as_array(b.column("v"))])})
-
-    def deg_fold(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return pa.table({"node": pa.array([], type=pa.int64()),
-                             "deg": pa.array([], type=pa.int64())})
-        g = b.group_by("node").aggregate([([], "count_all")])
-        return pa.table({"node": g.column("node"),
-                         "deg": g.column("count_all").cast(pa.int64())})
-
-    degrees = (canon.map_batches(endpoints, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-               .repartition(P, keys=["node"])
-               .map_batches(deg_fold, batch_format="pyarrow",
-                            batch_size=None, zero_copy_batch=True))
+    # Degrees are node-sized; re-joined to the edges by key, never
+    # broadcast.
+    degrees = _degrees(canon, P)
 
     from .join import hash_join
 

@@ -98,6 +98,87 @@ def test_triangle_counts_known_graph(ray_session):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
+def _brute_pagerank(tbl, iterations=3, num=17, den=20):
+    a = tbl.column("a").to_numpy(zero_copy_only=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False)
+    edges = set()
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    base = ((den - num) * 1_000_000_000) // den
+    rank = {n: 1_000_000_000 for n in adj}
+    for _ in range(iterations):
+        inc = {n: 0 for n in adj}
+        for n, nbrs in adj.items():
+            c = rank[n] // len(nbrs)
+            for m in nbrs:
+                inc[m] += c
+        rank = {n: base + (num * inc[n]) // den for n in adj}
+    return rank
+
+
+def _brute_bfs(tbl, source, max_hops=8):
+    a = tbl.column("a").to_numpy(zero_copy_only=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False)
+    adj = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x != y:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+    dist = {source: 0}
+    frontier = [source]
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = h
+                    nxt.append(m)
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+@pytest.mark.parametrize("seed,blocks", [(1, 1), (1, 4), (5, 3)])
+def test_pagerank_brute_parity(ray_session, seed, blocks):
+    from apache_datasketches_go_ray.stages.graph import pagerank_ppb
+
+    tbl = _random_graph(seed, n_nodes=50, n_edges=130)
+    out = pagerank_ppb(_ds(tbl, blocks), "a", "b",
+                       iterations=3, num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["rank_ppb"]))
+    assert got == _brute_pagerank(tbl)
+
+
+@pytest.mark.parametrize("seed,blocks", [(1, 1), (1, 4), (7, 2)])
+def test_bfs_hops_brute_parity(ray_session, seed, blocks):
+    from apache_datasketches_go_ray.stages.graph import bfs_hops
+
+    tbl = _random_graph(seed, n_nodes=80, n_edges=110)
+    src = int(min(tbl.column("a")[0].as_py(), tbl.column("b")[0].as_py()))
+    out = bfs_hops(_ds(tbl, blocks), "a", "b", source=src,
+                   max_hops=5, num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["hops"]))
+    assert got == _brute_bfs(tbl, src, max_hops=5)
+
+
+def test_bfs_default_source_and_cap(ray_session):
+    """Default source = min node id; max_hops truncates the frontier."""
+    from apache_datasketches_go_ray.stages.graph import bfs_hops
+
+    # path 3-4-5-6-7
+    tbl = pa.table({"a": pa.array([3, 4, 5, 6], type=pa.int64()),
+                    "b": pa.array([4, 5, 6, 7], type=pa.int64())})
+    out = bfs_hops(_ds(tbl, 2), "a", "b", max_hops=2).to_pandas()
+    got = dict(zip(out["node"], out["hops"]))
+    assert got == {3: 0, 4: 1, 5: 2}
+
+
 def test_graph_ops_empty_and_triangle_free(ray_session):
     from apache_datasketches_go_ray.stages.graph import (
         connected_components, triangle_counts,
@@ -107,6 +188,12 @@ def test_graph_ops_empty_and_triangle_free(ray_session):
                       "b": pa.array([], type=pa.int64())})
     assert connected_components(_ds(empty, 1), "a", "b").count() == 0
     assert triangle_counts(_ds(empty, 1), "a", "b").count() == 0
+
+    from apache_datasketches_go_ray.stages.graph import (
+        bfs_hops, pagerank_ppb,
+    )
+    assert pagerank_ppb(_ds(empty, 1), "a", "b").count() == 0
+    assert bfs_hops(_ds(empty, 1), "a", "b").count() == 0
 
     # a path graph has components but no triangles; self-loops ignored
     path = pa.table({"a": pa.array([0, 1, 2, 7, 5], type=pa.int64()),
