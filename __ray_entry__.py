@@ -155,6 +155,36 @@ def _q_incremental_dedup(sf_dir: str):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def _q_deletion_dedup(sf_dir: str):
+    """Right-to-be-forgotten deletion from a dedup checkpoint: run the
+    flagship once with a checkpoint, then delete one member of every
+    multi-member cluster and re-derive labels from the checkpointed
+    verified edge set — no re-assembly, re-signing or re-verification
+    of the surviving corpus. Equality to a from-scratch dedup of the
+    survivors (including bridge-removal cluster SPLITS) is pinned by
+    tests/test_delete_convs.py; rows-only at the driver gate."""
+    import shutil
+    import tempfile
+
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import (
+        delete_convs, run_dedup)
+
+    tdir = _transcripts_dir(sf_dir)
+    ds = ray.data.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
+    ck = tempfile.mkdtemp(prefix="adgr_del_ck_")
+    try:
+        full = run_dedup(ds, _dedup_config(), checkpoint_dir=ck)
+        by_cluster: dict = {}
+        for r in full["clusters"].take_all():
+            by_cluster.setdefault(r["cluster_id"], []).append(r["conv_id"])
+        removed = sorted(max(v) for v in by_cluster.values() if len(v) >= 2)
+        res = delete_convs(ck, removed, _dedup_config())
+        return res["clusters"].sort(["conv_id"]).materialize()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def _q_transcript_assemble(sf_dir: str):
     import ray.data
     from apache_datasketches_go_ray.stages.assemble import assemble
@@ -7920,6 +7950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window
         "compression_ratios": _q_compression_ratios,
         "incremental_dedup_clusters": _q_incremental_dedup,
+        "deletion_dedup_clusters": _q_deletion_dedup,
         "cluster_representatives": _q_cluster_representatives,
         "leakage_safe_split": _q_leakage_safe_split,
         "kmeans_clusters": _q_kmeans_clusters,

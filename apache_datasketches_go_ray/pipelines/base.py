@@ -73,7 +73,12 @@ class CheckpointedPipeline:
                 return ds, fp
             ds = build()
             ds.write_parquet(out_dir)
-            ds = ray.data.read_parquet(out_dir)
+            if os.path.isdir(out_dir):
+                ds = ray.data.read_parquet(out_dir)
+            else:
+                # an empty dataset writes no files at all; keep the
+                # (empty) in-memory result and let a resume rebuild it
+                ds = ds.materialize()
             rows = ds.count()
             man = self._load_manifest()
             man["stages"][name] = {

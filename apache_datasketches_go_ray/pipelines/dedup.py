@@ -338,3 +338,122 @@ def run_dedup_incremental(
     cfg = config or DedupConfig()
     return IncrementalDedupPipeline(cfg, against, checkpoint_dir) \
         .run(new_transcripts_ds, **kwargs)
+
+
+def delete_convs(
+    against,
+    removed_conv_ids,
+    config: DedupConfig | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Right-to-be-forgotten deletion from a dedup checkpoint (or chain):
+    drop a set of conversations and re-derive cluster labels WITHOUT
+    re-assembling, re-signing or re-verifying the surviving corpus.
+
+    Deletion cannot reuse the checkpointed cluster labels the way an
+    increment can: labels are connectivity-equivalent to the edge set
+    only while every member stays — removing a bridge conversation must
+    SPLIT its cluster, and (member, label) edges would keep the remnant
+    connected through the label node. So deletion re-clusters from the
+    checkpointed VERIFIED edge set (union across the chain: the full
+    run verified every candidate pair; each increment verified every
+    pair touching its batch — together the complete true dup graph over
+    the current corpus), filtered to edges with both endpoints
+    surviving.
+
+    Exactness: equal to a from-scratch dedup of the surviving corpus
+    whenever the band-group / turn-bucket hot caps did not bind in the
+    original runs (pinned by pytest); when caps did bind, candidate
+    pairs suppressed by the removed convs' bucket load are not
+    rediscovered — a conservative under-merge, never a false merge.
+
+    The removal set is the small side by construction (deletion
+    requests vs the corpus): it broadcasts once via ``ray.put`` as an
+    exact Arrow string array (``pc.is_in`` membership — no hashing, so
+    no collision can delete an innocent conversation).
+
+    With ``checkpoint_dir``, writes a CONSOLIDATED checkpoint (filtered
+    assembled / signatures / turn_hashes / verified + new clusters), so
+    future incrementals chain off this single dir instead of the whole
+    prior chain.
+    """
+    import pyarrow.compute as pc
+
+    cfg = config or DedupConfig()
+    ensure_hash_shuffle()
+    t_start = time.time()
+    chain = [against] if isinstance(against, str) else list(against)
+
+    ids = sorted({str(c) for c in removed_conv_ids})
+    removed_ref = ray.put(pa.array(ids, type=pa.string()))
+
+    def _union_surface(name, required=True):
+        parts = [ray.data.read_parquet(os.path.join(d, name))
+                 for d in chain
+                 if required or os.path.isdir(os.path.join(d, name))]
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    def _drop(cols):
+        def fn(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return b
+            rem = ray.get(removed_ref)
+            keep = None
+            for col in cols:
+                m = pc.invert(pc.is_in(
+                    b.column(col).cast(pa.string()), value_set=rem))
+                keep = m if keep is None else pc.and_(keep, m)
+            return b.filter(keep)
+        return fn
+
+    metrics = {"stages": {}, "removed": len(ids), "chain": len(chain)}
+    out = {}
+    for name, cols, required in (
+        ("assembled", ["conv_id"], True),
+        ("signatures", ["conv_id"], True),
+        ("turn_hashes", ["conv_id"], False),
+        ("verified", ["a", "b"], True),
+    ):
+        src = _union_surface(name, required=required)
+        if src is None:
+            continue
+        t0 = time.time()
+        ds = src.map_batches(_drop(cols), batch_format="pyarrow",
+                             zero_copy_batch=True)
+        if checkpoint_dir:
+            d = os.path.join(checkpoint_dir, name)
+            ds.write_parquet(d)
+            # an empty dataset writes no files; keep the in-memory result
+            ds = (ray.data.read_parquet(d) if os.path.isdir(d)
+                  else ds.materialize())
+        else:
+            ds = ds.materialize()
+        metrics["stages"][name] = {"rows": ds.count(),
+                                   "sec": round(time.time() - t0, 3)}
+        out[name] = ds
+
+    t0 = time.time()
+    edges = out["verified"].filter(expr="is_dup == True") \
+        .select_columns(["a", "b"])
+    clusters = cluster_edges(edges, cfg.num_partitions)
+    if checkpoint_dir:
+        d = os.path.join(checkpoint_dir, "clusters")
+        clusters.write_parquet(d)
+        clusters = (ray.data.read_parquet(d) if os.path.isdir(d)
+                    else clusters.materialize())
+    else:
+        clusters = clusters.materialize()
+    metrics["stages"]["clusters"] = {"rows": clusters.count(),
+                                     "sec": round(time.time() - t0, 3)}
+    metrics["total_sec"] = round(time.time() - t_start, 3)
+    if checkpoint_dir:
+        with open(os.path.join(checkpoint_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+    out["clusters"] = clusters
+    out["metrics"] = metrics
+    return out
