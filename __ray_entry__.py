@@ -5081,6 +5081,79 @@ def _q_reply_length_by_depth(sf_dir: str):
     })
 
 
+def _q_sft_context_windows(sf_dir: str):
+    """SFT training-example construction: for every assistant turn with
+    at least one preceding turn, emit (context = up to 4 immediately
+    preceding turn texts newline-joined in turn order, target = the
+    assistant text). The standard bounded-context example extractor —
+    a distributed ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING window. One
+    conv-key shuffle; per block an in-block lexsort, vectorized ragged
+    window gather (repeat/arange index arithmetic — no per-row Python),
+    and one LargeListArray + binary_join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    K = 4
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "role",
+                                        "text"])
+    _empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int32()),
+        "context": pa.array([], type=pa.large_string()),
+        "n_ctx": pa.array([], type=pa.int64()),
+        "target": pa.array([], type=pa.large_string()),
+    })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        conv = as_array(b.column("conv_id")).to_numpy(zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        _, ccodes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, ccodes))
+        texts = as_array(b.column("text")).cast(pa.large_string()).take(
+            pa.array(order, type=pa.int64()))
+        roles = as_array(b.column("role")).to_numpy(
+            zero_copy_only=False)[order]
+        c = ccodes[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        np.not_equal(c[1:], c[:-1], out=first[1:])
+        seg_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(c)), 0))
+        rows = np.arange(len(c))
+        lo = np.maximum(seg_start, rows - K)
+        is_tgt = (roles == "assistant") & (rows > lo)
+        ti, tlo = rows[is_tgt], lo[is_tgt]
+        if not len(ti):
+            return _empty
+        L = (ti - tlo).astype(np.int64)
+        total = int(L.sum())
+        base = np.repeat(tlo, L)
+        within = np.arange(total) - np.repeat(np.cumsum(L) - L, L)
+        flat = texts.take(pa.array(base + within, type=pa.int64()))
+        offsets = np.concatenate(([0], np.cumsum(L)))
+        ctx = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets), flat),
+            pa.scalar("\n", type=pa.large_string()))
+        take_t = pa.array(ti, type=pa.int64())
+        return pa.table({
+            "conv_id": as_array(b.column("conv_id")).take(
+                pa.array(order, type=pa.int64())).take(take_t),
+            "turn_idx": pa.array(tidx[order][ti], type=pa.int32()),
+            "context": ctx,
+            "n_ctx": pa.array(L),
+            "target": texts.take(take_t),
+        })
+
+    return (ds.repartition(8, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_chatml_format(sf_dir: str):
     """SFT serialization: each conversation rendered to a single
     chat-format training string ('<|role|>text' per turn, newline
@@ -7880,6 +7953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_ngram_coverage": _q_eval_ngram_coverage,
         "reply_length_by_depth": _q_reply_length_by_depth,
         "chatml_format": _q_chatml_format,
+        "sft_context_windows": _q_sft_context_windows,
         "sft_pairs": _q_sft_pairs,
         "dup_rate_weekly": _q_dup_rate_weekly,
         "conv_prefix_dups": _q_conv_prefix_dups,
@@ -9393,6 +9467,20 @@ def oracle_sql() -> dict[str, str]:
                    string_agg('<|' || role || '|>' || text, chr(10)
                               ORDER BY turn_idx) AS chatml
             FROM {T} GROUP BY conv_id
+        """,
+        "sft_context_windows": f"""
+            WITH w AS (
+              SELECT conv_id, turn_idx, role, text,
+                     array_to_string(list(text) OVER win, chr(10))
+                       AS context,
+                     count(*) OVER win AS n_ctx
+              FROM {T}
+              WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT conv_id, turn_idx, context,
+                   CAST(n_ctx AS BIGINT) AS n_ctx, text AS target
+            FROM w WHERE role = 'assistant' AND n_ctx > 0
         """,
         "sft_pairs": f"""
             WITH o AS (
