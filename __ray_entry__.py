@@ -327,6 +327,69 @@ def _q_jaccard_join(sf_dir: str):
                                    num_partitions=16)
 
 
+def _q_dup_source_matrix(sf_dir: str):
+    """Mirrored-feed detector at the PAIR level: near-dup document pairs
+    (exact token-set Jaccard >= 0.9, recall-1.0 PPJoin) rolled up to a
+    source x source matrix — which feed pairs re-publish each other.
+    Composition: the exact similarity self-join -> two keyed joins to
+    attach each side's source -> canonical (least, greatest) source
+    pair -> tiny count fold. Value-exact because every stage is."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        jaccard_similarity_join,
+    )
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    pairs = jaccard_similarity_join(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.9,
+        num_partitions=16).select_columns(["doc_a", "doc_b"])
+    srcs = _read(sf_dir, "documents", ["doc_id", "source"])
+    j1 = hash_join(pairs, srcs.rename_columns(["doc_id", "source_x"]),
+                   on=("doc_a", "doc_id"), num_partitions=8)
+    j2 = hash_join(j1, srcs.rename_columns(["doc_id", "source_y"]),
+                   on=("doc_b", "doc_id"), num_partitions=8)
+
+    _empty = pa.table({
+        "source_a": pa.array([], type=pa.string()),
+        "source_b": pa.array([], type=pa.string()),
+        "n_pairs": pa.array([], type=pa.int64()),
+    })
+
+    def canon(b):
+        if len(b) == 0:
+            return _empty
+        sx = b.column("source_x").cast(pa.string())
+        sy = b.column("source_y").cast(pa.string())
+        lo = pc.min_element_wise(sx, sy)
+        hi = pc.max_element_wise(sx, sy)
+        g = pa.table({"source_a": lo, "source_b": hi}).group_by(
+            ["source_a", "source_b"]).aggregate([([], "count_all")])
+        return pa.table({
+            "source_a": g.column("source_a"),
+            "source_b": g.column("source_b"),
+            "n_pairs": g.column("count_all").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        g = b.group_by(["source_a", "source_b"]).aggregate(
+            [("n_pairs", "sum")])
+        return pa.table({
+            "source_a": g.column("source_a"),
+            "source_b": g.column("source_b"),
+            "n_pairs": g.column("n_pairs_sum").cast(pa.int64()),
+        })
+
+    return (j2.map_batches(canon, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def _q_jaccard_join_bigram(sf_dir: str):
     """n-gram variant of the exact similarity self-join: bigram-set
     Jaccard >= 0.75 over all pairs, same prefix-filter recall
@@ -7854,6 +7917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consecutive_jaccard": _q_consecutive_jaccard,
         "jaccard_join_dups": _q_jaccard_join,
         "jaccard_join_bigram_dups": _q_jaccard_join_bigram,
+        "dup_source_matrix": _q_dup_source_matrix,
         "events_hourly": _q_events_hourly,
         "ann_topk": _q_ann_topk,
         "customer_nation_revenue": _q_customer_nation_revenue,
@@ -8272,6 +8336,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = inter.doc_a
             JOIN sz sb ON sb.doc_id = inter.doc_b
             WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.9
+        """,
+        "dup_source_matrix": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                         string_split_regex(trim(text), '\s+'))) AS tk
+              FROM documents
+              WHERE trim(text) <> ''
+            ), sz AS (
+              SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM tok a JOIN tok b
+                ON a.tk = b.tk AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), dup_pairs AS (
+              SELECT inter.doc_a, inter.doc_b
+              FROM inter
+              JOIN sz sa ON sa.doc_id = inter.doc_a
+              JOIN sz sb ON sb.doc_id = inter.doc_b
+              WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.9
+            )
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM dup_pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+            GROUP BY 1, 2
         """,
         "jaccard_join_bigram_dups": r"""
             WITH t AS (
