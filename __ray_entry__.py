@@ -274,6 +274,101 @@ def _q_top_tokens(sf_dir: str):
                             num_partitions=16)
 
 
+def _q_session_path_dups(sf_dir: str):
+    """Behavioral-sequence dedup: gap-sessionize every user's event
+    stream (30-min gap, (ts, event_id) order) and count sessions whose
+    '>'-joined event-type path occurs in >= 2 sessions corpus-wide —
+    bot/replay detection over event streams. One user-keyed shuffle
+    (sessions are sub-runs of one user, so paths build in-block via the
+    ListArray/binary_join pattern), then a path-keyed count fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    GAP_US = np.int64(30 * 60_000_000)
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    _pempty = pa.table({"path": pa.array([], type=pa.large_string()),
+                        "n": pa.array([], type=pa.int64())})
+
+    def paths(b):
+        if len(b) == 0:
+            return _pempty
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        types = as_array(b.column("event_type")).cast(
+            pa.large_string()).take(pa.array(order, type=pa.int64()))
+        new_s = np.empty(len(us), dtype=bool)
+        new_s[0] = True
+        np.not_equal(us[1:], us[:-1], out=new_s[1:])
+        new_s[1:] |= (tss[1:] - tss[:-1]) > GAP_US
+        starts = np.flatnonzero(new_s)
+        offsets = np.append(starts, len(us)).astype(np.int64)
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets), types),
+            pa.scalar(">", type=pa.large_string()))
+        g = pa.table({"path": joined}).group_by("path").aggregate(
+            [([], "count_all")])
+        return pa.table({"path": g.column("path"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "path": pa.array([], type=pa.large_string()),
+                "n_sessions": pa.array([], type=pa.int64())})
+        g = b.group_by("path").aggregate([("n", "sum")])
+        t = pa.table({"path": g.column("path"),
+                      "n_sessions": g.column("n_sum").cast(pa.int64())})
+        return t.filter(pc.greater_equal(t.column("n_sessions"), 2))
+
+    return (ds.repartition(16, keys=["user_id"])
+            .map_batches(paths, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(8, keys=["path"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_cms_token_counts(sf_dir: str):
+    """Count-Min point-frequency estimates for the corpus's exact
+    top-20 tokens: per-block depth x width int64 partials folded by
+    elementwise add (perfectly mergeable, cardinality-independent
+    state — the sketch family the reference's Go port leaves
+    unimplemented, built with the same seed-9001 murmur discipline).
+    Rows-only at the gate (estimates are hash-dependent); exactness in
+    the wide regime, bit-exact mergeability and distributed parity are
+    pinned by tests/test_cms.py."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        exact_top_tokens,
+    )
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        cms_point_counts,
+    )
+    from apache_datasketches_go_ray.stages.textops import (
+        explode_tokens_batch,
+    )
+
+    probe_tbl = exact_top_tokens(
+        _read(sf_dir, "documents", ["text"]), k=20,
+        num_partitions=16).to_pandas()
+    probe = sorted(probe_tbl["token"].tolist())
+
+    toks = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode_tokens_batch, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["tok"])
+    out, _sk = cms_point_counts(toks, "tok", probe,
+                                depth=4, lg_width=18)
+    return out
+
+
 def _q_lang_stats(sf_dir: str):
     import pyarrow as pa
 
@@ -7918,6 +8013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_dups": _q_jaccard_join,
         "jaccard_join_bigram_dups": _q_jaccard_join_bigram,
         "dup_source_matrix": _q_dup_source_matrix,
+        "session_path_dups": _q_session_path_dups,
         "events_hourly": _q_events_hourly,
         "ann_topk": _q_ann_topk,
         "customer_nation_revenue": _q_customer_nation_revenue,
@@ -8101,6 +8197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_nchars": _q_kll_quantiles_nchars,
         "freq_top_tokens": _q_freq_top_tokens,
         "kll_partition_bounds": _q_kll_partition_bounds,
+        "cms_token_counts": _q_cms_token_counts,
         "kll_cdf_nchars": _q_kll_cdf_nchars,
         "hll_users_by_type": _q_hll_users_by_type,
         "top_tokens_by_lang": _q_top_tokens_by_lang,
@@ -8520,6 +8617,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hes >= hfr THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM h
+        """,
+        "session_path_dups": """
+            WITH w AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER win IS NULL
+                               OR ts - lag(ts) OVER win
+                                  > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sno
+              FROM w
+            ), p AS (
+              SELECT user_id, sno,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, sno
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path HAVING count(*) >= 2
         """,
         "events_sessionize": """
             WITH w AS (

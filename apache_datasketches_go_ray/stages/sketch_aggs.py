@@ -414,3 +414,46 @@ def items_quantiles_by(ds, group_col: str, value_col: str, ranks,
         .map_batches(combine, batch_format="pyarrow", batch_size=None,
                      zero_copy_batch=True)
     )
+
+
+def cms_point_counts(ds, column: str, query_items, *, depth: int = 4,
+                     lg_width: int = 12, weights_col: str | None = None):
+    """Count-Min point-frequency estimates for ``query_items`` over a
+    (possibly weighted) item column.
+
+    The CMS partial per block is a depth x width int64 matrix; the fold
+    is an elementwise add (perfectly mergeable, so partials carry NO
+    per-item state — the sketch size is independent of cardinality,
+    exactly the bounded-state discipline of the reference's sketches).
+    Returns a pyarrow Table (item, estimate, upper_bound, lower_bound)
+    plus the merged sketch for reuse.
+    """
+    from ..state.cms import CountMinSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = CountMinSketch(depth=depth, lg_width=lg_width)
+        if len(batch):
+            w = (batch.column(weights_col).to_numpy(zero_copy_only=False)
+                 if weights_col else None)
+            sk.update_many(as_array(batch.column(column)), w)
+        return pa.table({"sk": pa.array([sk.to_bytes()],
+                                        type=pa.large_binary())})
+
+    merged = CountMinSketch(depth=depth, lg_width=lg_width)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        merged.merge(CountMinSketch.from_bytes(row["sk"]))
+
+    items = list(query_items)
+    est = merged.get_estimates(items)
+    ub = est
+    lbs = np.maximum(
+        0, est - int(np.ceil(merged.relative_error
+                             * merged.stream_weight)))
+    tbl = pa.table({
+        "item": pa.array([str(i) for i in items], type=pa.string()),
+        "estimate": pa.array(est),
+        "upper_bound": pa.array(ub),
+        "lower_bound": pa.array(lbs),
+    })
+    return tbl, merged
