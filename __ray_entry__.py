@@ -6591,6 +6591,24 @@ def _q_part_copurchase_hops(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_part_copurchase_kcore(sf_dir: str):
+    """2-core of the co-purchase graph (iterative peeling of degree-<2
+    nodes): the cyclic backbone of the bundle graph, with each
+    survivor's within-core degree. Rows-only at the gate (the peeling
+    fixpoint is iterative, not SQL-expressible in plain CTEs); brute
+    parity across partitionings is pinned by tests/test_graph.py."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.graph import kcore
+
+    out = kcore(_copurchase_edges(sf_dir), "a", "b", k=2,
+                num_partitions=8)
+    return out.map_batches(
+        lambda b: pa.table({"part_key": b.column("node"),
+                            "core_deg": b.column("core_deg")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_leakage_safe_split(sf_dir: str):
     """Train/eval split that cannot leak near-duplicates: every member
     of a flagship near-dup cluster inherits its CLUSTER's murmur
@@ -8152,6 +8170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_triangles": _q_part_copurchase_triangles,
         "part_copurchase_pagerank": _q_part_copurchase_pagerank,
         "part_copurchase_hops": _q_part_copurchase_hops,
+        "part_copurchase_kcore": _q_part_copurchase_kcore,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "purchase_click_attribution": _q_purchase_click_attribution,
         "nation_pair_volume": _q_nation_pair_volume,

@@ -504,3 +504,93 @@ def triangle_counts(edges_ds, src: str = "a", dst: str = "b", *,
             .repartition(max(P // 2, 1), keys=["node"])
             .map_batches(count_fold, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True))
+
+
+_CORE_EMPTY = pa.table({"node": pa.array([], type=pa.int64()),
+                        "core_deg": pa.array([], type=pa.int64())})
+
+
+def kcore(edges_ds, src: str = "a", dst: str = "b", *, k: int = 2,
+          num_partitions: int = 8, max_rounds: int = 64):
+    """Nodes of the k-core (maximal subgraph with minimum degree >= k)
+    plus each survivor's within-core degree. Iterative peeling: per
+    round, degree fold -> the round's sub-k nodes re-enter as a tagged
+    union on each endpoint's key (co-partition filter, no node-sized
+    broadcast) -> incident edges drop. Terminates when a round removes
+    nothing (peeling strictly shrinks the edge set, so rounds are
+    bounded by the degeneracy ordering depth; ``max_rounds`` is a
+    backstop).
+    """
+    import ray
+    import ray.data
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_in = edges_ds.count()
+    P = auto_partitions(max(n_in, 1), 500_000, num_partitions)
+    edges = _canonical_edges(edges_ds, src, dst, P)
+
+    def _filter_endpoint(edges_ds_, bad_nodes_ds, col):
+        """drop edge rows whose ``col`` endpoint appears in bad_nodes:
+        tagged union keyed on the endpoint, in-block membership test."""
+        def tag_edge(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.table({"u": pa.array([], type=pa.int64()),
+                                 "v": pa.array([], type=pa.int64()),
+                                 "key": pa.array([], type=pa.int64()),
+                                 "bad": pa.array([], type=pa.bool_())})
+            return pa.table({
+                "u": b.column("u"), "v": b.column("v"),
+                "key": b.column(col),
+                "bad": pa.array(np.zeros(len(b), dtype=bool)),
+            })
+
+        def tag_bad(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.table({"u": pa.array([], type=pa.int64()),
+                                 "v": pa.array([], type=pa.int64()),
+                                 "key": pa.array([], type=pa.int64()),
+                                 "bad": pa.array([], type=pa.bool_())})
+            n = len(b)
+            z = pa.array(np.zeros(n, dtype=np.int64))
+            return pa.table({"u": z, "v": z, "key": b.column("node"),
+                             "bad": pa.array(np.ones(n, dtype=bool))})
+
+        def drop(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return _EDGE_EMPTY
+            bad = b.column("bad").to_numpy(zero_copy_only=False)
+            keys = b.column("key").to_numpy(zero_copy_only=False)
+            bad_keys = np.unique(keys[bad])
+            keep = ~bad
+            if len(bad_keys):
+                keep &= ~np.isin(keys, bad_keys)
+            t = b.filter(pa.array(keep))
+            return pa.table({"u": t.column("u"), "v": t.column("v")})
+
+        tagged = (edges_ds_.map_batches(tag_edge, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+                  .union(bad_nodes_ds.map_batches(
+                      tag_bad, batch_format="pyarrow",
+                      zero_copy_batch=True)))
+        return (tagged.repartition(P, keys=["key"])
+                .map_batches(drop, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True))
+
+    for _ in range(max_rounds):
+        if edges.count() == 0:
+            return ray.data.from_arrow(_CORE_EMPTY)
+        degrees = _degrees(edges, P).materialize()
+        bad = degrees.filter(expr=f"deg < {k}").select_columns(
+            ["node"]).materialize()
+        if bad.count() == 0:
+            def finish(b: pa.Table) -> pa.Table:
+                if len(b) == 0:
+                    return _CORE_EMPTY
+                return pa.table({"node": b.column("node"),
+                                 "core_deg": b.column("deg")})
+            return degrees.map_batches(finish, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        edges = _filter_endpoint(
+            _filter_endpoint(edges, bad, "u"), bad, "v").materialize()
+    raise RuntimeError("kcore failed to converge within max_rounds")

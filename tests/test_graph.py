@@ -179,6 +179,52 @@ def test_bfs_default_source_and_cap(ray_session):
     assert got == {3: 0, 4: 1, 5: 2}
 
 
+def _brute_kcore(tbl, k):
+    a = tbl.column("a").to_numpy(zero_copy_only=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False)
+    adj = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x != y:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(v) for n, v in adj.items()}
+
+
+@pytest.mark.parametrize("seed,blocks,k", [(1, 1, 2), (1, 4, 3), (9, 3, 2)])
+def test_kcore_brute_parity(ray_session, seed, blocks, k):
+    from apache_datasketches_go_ray.stages.graph import kcore
+
+    tbl = _random_graph(seed, n_nodes=40, n_edges=140)
+    out = kcore(_ds(tbl, blocks), "a", "b", k=k,
+                num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["core_deg"]))
+    assert got == _brute_kcore(tbl, k)
+
+
+def test_kcore_peels_to_empty(ray_session):
+    """A tree has no 2-core at all."""
+    from apache_datasketches_go_ray.stages.graph import kcore
+
+    tbl = pa.table({"a": pa.array([0, 0, 1, 1, 2], type=pa.int64()),
+                    "b": pa.array([1, 2, 3, 4, 5], type=pa.int64())})
+    assert kcore(_ds(tbl, 2), "a", "b", k=2).count() == 0
+    # K4 plus pendant: the 3-core is exactly the K4 at degree 3
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9)]
+    k4 = pa.table({"a": pa.array([x for x, _ in e], type=pa.int64()),
+                   "b": pa.array([y for _, y in e], type=pa.int64())})
+    out = kcore(_ds(k4, 2), "a", "b", k=3).to_pandas()
+    assert dict(zip(out["node"], out["core_deg"])) == {
+        0: 3, 1: 3, 2: 3, 3: 3}
+
+
 def test_graph_ops_empty_and_triangle_free(ray_session):
     from apache_datasketches_go_ray.stages.graph import (
         connected_components, triangle_counts,
