@@ -155,6 +155,29 @@ def _q_incremental_dedup(sf_dir: str):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def _q_windowed_near_dups(sf_dir: str):
+    """Time-windowed near-dup pairs: verified dup conversations whose
+    start times differ by <= 2 days. Candidates come from a
+    (band, time-bucket) shuffle with two-bucket emission, so the
+    candidate space is bounded by the window's own collision volume —
+    the trailing-window dedup an append-only ingest runs. Rows-only at
+    the gate (LSH banding); window semantics, bucket-boundary recall
+    and flagship-equivalence-within-window are pinned by
+    tests/test_windowed_dedup.py."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.windowed_dedup import (
+        windowed_near_dups,
+    )
+
+    ds = ray.data.read_parquet(
+        _transcripts_dir(sf_dir),
+        columns=["conv_id", "turn_idx", "text", "ts"])
+    out = windowed_near_dups(ds, _dedup_config(),
+                             window_us=2 * 24 * 3600 * 1_000_000)
+    return out.sort(["a", "b"]).materialize()
+
+
 def _q_deletion_dedup(sf_dir: str):
     """Right-to-be-forgotten deletion from a dedup checkpoint: run the
     flagship once with a checkpoint, then delete one member of every
@@ -8204,6 +8227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratios": _q_compression_ratios,
         "incremental_dedup_clusters": _q_incremental_dedup,
         "deletion_dedup_clusters": _q_deletion_dedup,
+        "windowed_near_dups": _q_windowed_near_dups,
         "cluster_representatives": _q_cluster_representatives,
         "leakage_safe_split": _q_leakage_safe_split,
         "kmeans_clusters": _q_kmeans_clusters,
