@@ -155,6 +155,109 @@ def _q_incremental_dedup(sf_dir: str):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def _q_assistant_run_lengths(sf_dir: str):
+    """Agent-runaway QA: per conversation, the longest run of
+    CONSECUTIVE assistant turns (a loop of assistant turns with no
+    user/tool interleave is the classic stuck-agent signature). One
+    conv-key shuffle + in-block lexsort + vectorized run-length
+    encoding over (conv, role) change flags."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "role"])
+    _empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "max_assistant_run": pa.array([], type=pa.int64()),
+    })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        conv = as_array(b.column("conv_id")).to_numpy(
+            zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = as_array(b.column("role")).to_numpy(zero_copy_only=False)
+        _, ccodes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, ccodes))
+        c, r = ccodes[order], role[order]
+        new_run = np.empty(len(c), dtype=bool)
+        new_run[0] = True
+        np.not_equal(c[1:], c[:-1], out=new_run[1:])
+        new_run[1:] |= r[1:] != r[:-1]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(c)))
+        is_asst = r[starts] == "assistant"
+        run_conv = c[starts][is_asst]
+        run_len = lens[is_asst]
+        mx = np.zeros(int(c.max()) + 1 if len(c) else 0, dtype=np.int64)
+        np.maximum.at(mx, run_conv, run_len)
+        keep = np.unique(run_conv)
+        # conv codes were assigned by np.unique order == sorted order
+        uniq = pa.array(np.unique(conv), type=pa.string())
+        return pa.table({
+            "conv_id": uniq.take(pa.array(keep, type=pa.int64())),
+            "max_assistant_run": pa.array(mx[keep]),
+        })
+
+    return (ds.repartition(8, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_tool_latency_quartiles(sf_dir: str):
+    """Per-tool execution-latency quartiles: for every turn that
+    invokes a tool, the gap to the conversation's next turn (exact
+    epoch-us integers), folded through the exact grouped
+    percentile_disc operator. Conv-key shuffle + in-block lead kernel,
+    then the one-lexsort-per-group quantile fold."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_quantile_disc,
+    )
+
+    ds = ray.data.read_parquet(
+        _transcripts_dir(sf_dir),
+        columns=["conv_id", "turn_idx", "tool", "ts"])
+    _empty = pa.table({"tool": pa.array([], type=pa.string()),
+                       "gap_us": pa.array([], type=pa.int64())})
+
+    def gaps(b):
+        if len(b) == 0:
+            return _empty
+        conv = as_array(b.column("conv_id")).to_numpy(
+            zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tool = as_array(b.column("tool")).to_numpy(zero_copy_only=False)
+        _, ccodes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, ccodes))
+        c, t, tl = ccodes[order], ts[order], tool[order]
+        has_next = np.empty(len(c), dtype=bool)
+        has_next[-1] = False
+        np.equal(c[1:], c[:-1], out=has_next[:-1])
+        gap = np.empty(len(c), dtype=np.int64)
+        gap[:-1] = t[1:] - t[:-1]
+        gap[-1] = 0
+        keep = has_next & (tl != "") & (tl != None)  # noqa: E711
+        if not keep.any():
+            return _empty
+        return pa.table({
+            "tool": pa.array(tl[keep].astype(str), type=pa.string()),
+            "gap_us": pa.array(gap[keep]),
+        })
+
+    pairs = ds.repartition(8, keys=["conv_id"]).map_batches(
+        gaps, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    return grouped_quantile_disc(pairs, "tool", "gap_us",
+                                 (0.25, 0.50, 0.75), num_partitions=4)
+
+
 def _q_windowed_near_dups(sf_dir: str):
     """Time-windowed near-dup pairs: verified dup conversations whose
     start times differ by <= 2 days. Candidates come from a
@@ -8228,6 +8331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_clusters": _q_incremental_dedup,
         "deletion_dedup_clusters": _q_deletion_dedup,
         "windowed_near_dups": _q_windowed_near_dups,
+        "assistant_run_lengths": _q_assistant_run_lengths,
+        "tool_latency_quartiles": _q_tool_latency_quartiles,
         "cluster_representatives": _q_cluster_representatives,
         "leakage_safe_split": _q_leakage_safe_split,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -9724,6 +9829,41 @@ def oracle_sql() -> dict[str, str]:
                    string_agg('<|' || role || '|>' || text, chr(10)
                               ORDER BY turn_idx) AS chatml
             FROM {T} GROUP BY conv_id
+        """,
+        "assistant_run_lengths": f"""
+            WITH t AS (
+              SELECT conv_id, role,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                   - row_number() OVER (PARTITION BY conv_id, role
+                                        ORDER BY turn_idx) AS grp
+              FROM {T}
+            ), runs AS (
+              SELECT conv_id, role, grp, count(*) AS run_len
+              FROM t GROUP BY 1, 2, 3
+            )
+            SELECT conv_id,
+                   CAST(max(run_len) AS BIGINT) AS max_assistant_run
+            FROM runs WHERE role = 'assistant' GROUP BY conv_id
+        """,
+        "tool_latency_quartiles": f"""
+            WITH o AS (
+              SELECT conv_id, tool, ts,
+                     lead(ts) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS next_ts
+              FROM {T}
+            )
+            SELECT tool,
+                   quantile_disc(epoch_us(next_ts) - epoch_us(ts), 0.25)
+                     AS q25,
+                   quantile_disc(epoch_us(next_ts) - epoch_us(ts), 0.50)
+                     AS q50,
+                   quantile_disc(epoch_us(next_ts) - epoch_us(ts), 0.75)
+                     AS q75
+            FROM o
+            WHERE next_ts IS NOT NULL AND tool IS NOT NULL
+              AND tool <> ''
+            GROUP BY tool
         """,
         "sft_context_windows": f"""
             WITH w AS (
