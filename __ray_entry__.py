@@ -155,6 +155,20 @@ def _q_incremental_dedup(sf_dir: str):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def _q_doc_novelty_scores(sf_dir: str):
+    """Selection-based-curation contribution score: per doc, how many
+    of its distinct 3-gram token windows are corpus-FIRST (min doc_id
+    owns the gram) and the integer novelty ppm. Gram-keyed keep-min
+    fold + doc-keyed totals + one keyed left join; single integer
+    division (IEEE-free)."""
+    from apache_datasketches_go_ray.stages.corpusops import (
+        novelty_scores,
+    )
+
+    return novelty_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          n=3, num_partitions=8)
+
+
 def _q_assistant_run_lengths(sf_dir: str):
     """Agent-runaway QA: per conversation, the longest run of
     CONSECUTIVE assistant turns (a loop of assistant turns with no
@@ -8332,6 +8346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deletion_dedup_clusters": _q_deletion_dedup,
         "windowed_near_dups": _q_windowed_near_dups,
         "assistant_run_lengths": _q_assistant_run_lengths,
+        "doc_novelty_scores": _q_doc_novelty_scores,
         "tool_latency_quartiles": _q_tool_latency_quartiles,
         "cluster_representatives": _q_cluster_representatives,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -9829,6 +9844,34 @@ def oracle_sql() -> dict[str, str]:
                    string_agg('<|' || role || '|>' || text, chr(10)
                               ORDER BY turn_idx) AS chatml
             FROM {T} GROUP BY conv_id
+        """,
+        "doc_novelty_scores": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS ts
+              FROM documents WHERE trim(text) <> ''
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i + 1] || ' '
+                              || ts[i + 2]))) AS gm
+              FROM t WHERE len(ts) >= 3
+            ), f AS (
+              SELECT gm, min(doc_id) AS first_doc FROM g GROUP BY gm
+            ), pd AS (
+              SELECT doc_id, count(*) AS n_total FROM g GROUP BY doc_id
+            ), nn AS (
+              SELECT g.doc_id, count(*) AS n_new
+              FROM g JOIN f ON f.gm = g.gm AND f.first_doc = g.doc_id
+              GROUP BY g.doc_id
+            )
+            SELECT pd.doc_id,
+                   CAST(pd.n_total AS BIGINT) AS n_total,
+                   CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+                   CAST(coalesce(nn.n_new, 0) * 1000000 // pd.n_total
+                        AS BIGINT) AS novelty_ppm
+            FROM pd LEFT JOIN nn ON nn.doc_id = pd.doc_id
         """,
         "assistant_run_lengths": f"""
             WITH t AS (

@@ -1794,3 +1794,117 @@ def top_ngrams(ds, text_col: str = "text", *, n: int = 5, k: int = 50,
                            batch_size=None, zero_copy_batch=True))
     return top_k(counts, [("n_occurrences", "descending"),
                           ("ngram", "ascending")], k=k)
+
+
+def novelty_scores(ds, id_col: str = "doc_id", text_col: str = "text",
+                   *, n: int = 3, num_partitions: int = 8):
+    """Per-document novelty: of the doc's DISTINCT order-n token
+    windows, how many are corpus-FIRST (the minimum doc id holding the
+    gram is this doc) — the contribution score selection-based curation
+    ranks by (a doc whose grams all appeared earlier adds nothing).
+    Returns (doc_id, n_total, n_new, novelty_ppm) with novelty_ppm =
+    n_new * 1e6 // n_total (int64, IEEE-free).
+
+    Shape: per-block doc-distinct (gram-hash, doc) rows -> gram-keyed
+    shuffle with keep-min-doc fold (emits one (first_doc, 1) partial
+    per gram) -> doc-keyed sum; totals fold from the same distinct rows
+    on the doc key; one keyed join + single integer division. Gram
+    identity is the 64-bit murmur of the ' '-joined window (the same
+    collision-negligible discipline as dup_span_rewrite).
+    """
+    from .context import auto_partitions
+    from .join import hash_join
+
+    _ROWS = pa.schema([("gh", pa.uint64()), ("doc", pa.int64())])
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _ROWS.empty_table()
+        flat, offsets = _tokens_of(b.column(text_col))
+        lens = np.diff(offsets)
+        n_g = np.maximum(lens - n + 1, 0)
+        total = int(n_g.sum())
+        if total == 0:
+            return _ROWS.empty_table()
+        ends = np.cumsum(n_g)
+        starts = np.repeat(offsets[:-1], n_g) \
+            + (np.arange(total, dtype=np.int64)
+               - np.repeat(ends - n_g, n_g))
+        parts = [flat.take(pa.array(starts + j)) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ").cast(pa.string())
+        doc_of = np.repeat(
+            b.column(id_col).to_numpy(zero_copy_only=False), n_g)
+        h1, _ = hash_strings(grams)
+        t = pa.table({"gh": pa.array(h1, type=pa.uint64()),
+                      "doc": pa.array(doc_of)})
+        return t.group_by(["gh", "doc"]).aggregate([])
+
+    P = auto_partitions(ds.count(), 500_000, num_partitions)
+    rows = (ds.map_batches(gram_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .materialize())
+
+    _TOT = pa.schema([("doc_id", pa.int64()), ("n_total", pa.int64())])
+
+    def tot_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _TOT.empty_table()
+        # global doc-distinct grams arrive co-located on the doc key;
+        # in-block (gh, doc) dedup finishes the cross-block distinct
+        d = b.group_by(["gh", "doc"]).aggregate([])
+        g = d.group_by("doc").aggregate([([], "count_all")])
+        return pa.table({"doc_id": g.column("doc"),
+                         "n_total": g.column("count_all").cast(pa.int64())})
+
+    totals = (rows.repartition(P, keys=["doc"])
+              .map_batches(tot_fold, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True))
+
+    _NEW = pa.schema([("doc", pa.int64()), ("k", pa.int64())])
+
+    def first_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _NEW.empty_table()
+        g = b.group_by("gh").aggregate([("doc", "min")])
+        f = g.column("doc_min")
+        t = pa.table({"doc": f}).group_by("doc").aggregate(
+            [([], "count_all")])
+        return pa.table({"doc": t.column("doc"),
+                         "k": t.column("count_all").cast(pa.int64())})
+
+    def new_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_new": pa.array([], type=pa.int64())})
+        g = b.group_by("doc").aggregate([("k", "sum")])
+        return pa.table({"doc_id": g.column("doc"),
+                         "n_new": g.column("k_sum").cast(pa.int64())})
+
+    news = (rows.repartition(P, keys=["gh"])
+            .map_batches(first_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(max(P // 2, 1), keys=["doc"])
+            .map_batches(new_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+    joined = hash_join(totals, news, on=("doc_id", "doc_id"),
+                       num_partitions=P, join_type="left outer")
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("n_total", pa.int64()),
+                      ("n_new", pa.int64()), ("novelty_ppm", pa.int64())])
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _OUT.empty_table()
+        tot = b.column("n_total").to_numpy(zero_copy_only=False)
+        nn = pc.fill_null(b.column("n_new"), 0).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_total": pa.array(tot),
+            "n_new": pa.array(nn),
+            "novelty_ppm": pa.array(nn * 1_000_000 // tot),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

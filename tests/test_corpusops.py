@@ -334,3 +334,50 @@ def test_source_vocab_overlap_matches_brute(ray_session):
             (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
             for r in out2.to_pylist()}
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# novelty_scores
+# ---------------------------------------------------------------------------
+
+def _brute_novelty(texts, n=3):
+    grams = {}
+    per_doc = {}
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        g = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        per_doc[doc_id] = g
+        for gm in g:
+            grams.setdefault(gm, doc_id)
+            grams[gm] = min(grams[gm], doc_id)
+    out = {}
+    for doc_id, g in per_doc.items():
+        if not g:
+            continue
+        n_new = sum(1 for gm in g if grams[gm] == doc_id)
+        out[doc_id] = (len(g), n_new, n_new * 1_000_000 // len(g))
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_novelty_scores_brute_parity(ray_session, blocks):
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.corpusops import novelty_scores
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(0, 25))))
+             for _ in range(60)]
+    texts[10] = texts[3]          # full copy: zero novelty
+    texts[11] = ""                # empty doc: no output row
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                       type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    out = novelty_scores(ds, num_partitions=4).to_pandas()
+    got = {int(r.doc_id): (int(r.n_total), int(r.n_new),
+                           int(r.novelty_ppm))
+           for r in out.itertuples()}
+    assert got == _brute_novelty(texts)
+    assert got[10][1] == 0 or texts[10] != texts[3]
