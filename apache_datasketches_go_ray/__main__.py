@@ -37,6 +37,23 @@ def main(argv=None):
     d.add_argument("--shingle-k", type=int, default=None)
     d.add_argument("--threshold", type=float, default=None)
 
+    x = sub.add_parser(
+        "delete",
+        help="right-to-be-forgotten removal from a dedup checkpoint")
+    x.add_argument("--against", required=True, action="append",
+                   help="prior checkpoint dir; repeat for a chain "
+                        "(full run + each increment, in order)")
+    x.add_argument("--ids", default=None,
+                   help="comma-separated conv ids to remove")
+    x.add_argument("--ids-file", default=None,
+                   help="file with one conv id per line")
+    x.add_argument("--output", required=True,
+                   help="where the new cluster table is written")
+    x.add_argument("--checkpoint", default=None,
+                   help="write a consolidated post-deletion checkpoint "
+                        "here (chainable by future increments)")
+    x.add_argument("--partitions", type=int, default=64)
+
     c = sub.add_parser("curate", help="document curation funnel")
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
@@ -67,6 +84,27 @@ def main(argv=None):
         res = run_dedup(ds, cfg, checkpoint_dir=args.checkpoint)
         res["clusters"].write_parquet(args.output)
         print(json.dumps({"clusters": res["clusters"].count(),
+                          "stages": {k: v.get("sec")
+                                     for k, v in
+                                     res["metrics"]["stages"].items()}}))
+    elif args.cmd == "delete":
+        from .config import DedupConfig
+        from .pipelines.dedup import delete_convs
+
+        ids: list[str] = []
+        if args.ids:
+            ids += [s for s in args.ids.split(",") if s]
+        if args.ids_file:
+            with open(args.ids_file) as f:
+                ids += [ln.strip() for ln in f if ln.strip()]
+        if not ids:
+            ap.error("delete: provide --ids and/or --ids-file")
+        cfg = DedupConfig(num_partitions=args.partitions)
+        res = delete_convs(args.against, ids, cfg,
+                           checkpoint_dir=args.checkpoint)
+        res["clusters"].write_parquet(args.output)
+        print(json.dumps({"removed": len(set(ids)),
+                          "clusters": res["clusters"].count(),
                           "stages": {k: v.get("sec")
                                      for k, v in
                                      res["metrics"]["stages"].items()}}))

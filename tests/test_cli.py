@@ -57,3 +57,34 @@ def test_cli_curate_parquet(ray_session, tmp_path, capsys):
     assert rep["rows_in"] == 21
     assert rep["rows_out"] == 20      # the exact dup dropped
     assert len(pq.read_table(out)) == 20
+
+
+def test_cli_delete(ray_session, tmp_path, capsys):
+    convs = generate_conversations(40, seed=7)
+    convs, _groups = inject_duplicates(convs, seed=8)
+    tbl = conversations_to_table(convs)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, src)
+    ck = str(tmp_path / "ck")
+    rc = main(["dedup", "--input", src, "--output",
+               str(tmp_path / "clusters0"), "--partitions", "4",
+               "--checkpoint", ck])
+    assert rc == 0
+    rep0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep0["clusters"] > 0
+    clusters0 = pq.read_table(str(tmp_path / "clusters0"))
+    victim = clusters0.column("conv_id")[0].as_py()
+
+    ids_file = str(tmp_path / "ids.txt")
+    with open(ids_file, "w") as f:
+        f.write(victim + "\n")
+    out = str(tmp_path / "clusters1")
+    rc = main(["delete", "--against", ck, "--ids-file", ids_file,
+               "--output", out, "--partitions", "4",
+               "--checkpoint", str(tmp_path / "ck_del")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["removed"] == 1
+    after = pq.read_table(out)
+    assert victim not in set(after.column("conv_id").to_pylist())
+    assert os.path.isdir(str(tmp_path / "ck_del" / "verified"))
