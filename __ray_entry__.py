@@ -8676,6 +8676,64 @@ def _q_source_tfidf_terms(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_dedup_cluster_survivors(sf_dir: str):
+    """Keep-best retention policy over the flagship's near-dup clusters:
+    the longest member survives (ties: min conv_id) — what curation
+    applies when duplicate copies differ in completeness. Slim
+    (conv, n_chars) join + one cluster-keyed argmax fold
+    (stages/dedup_extras.cluster_survivors); rows-only (clusters come
+    from MinHash/LSH), determinism pinned by the pipeline-parity
+    pytests plus a pandas-exact survivors test."""
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        cluster_survivors,
+    )
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    res = run_dedup(ds, _dedup_config())
+    return cluster_survivors(res["clusters"], res["assembled"],
+                             num_partitions=8).sort(["cluster_id"])
+
+
+def _q_dup_pair_jaccard_histogram(sf_dir: str):
+    """Duplicate-severity profile: 5%-wide histogram of exact Jaccard
+    over the flagship's verified duplicate pairs — verbatim mirrors
+    pile into the top bucket, containment dups land low. Rows-only
+    (pairs are MinHash/LSH candidates); the binning is a pure function
+    of the verified table, itself partition-independent."""
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        pair_jaccard_histogram,
+    )
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    res = run_dedup(ds, _dedup_config())
+    return pair_jaccard_histogram(res["verified"]).sort(["bin_lo_pct"])
+
+
+def _q_bpe_encode_counts(sf_dir: str):
+    """Tokenizer application at corpus scale: learn 40 BPE merges
+    (the existing distributed trainer), then encode every document
+    with them — per-doc word and BPE-token counts, the fertility /
+    sequence-length planning numbers every tokenizer change re-runs.
+    Merge table broadcast once; per-actor distinct-word encode cache
+    (stages/corpusops.BpeEncodeStage); rows-only (iterative BPE has no
+    SQL equivalent), parity vs a direct single-process encode pinned
+    by pytest."""
+    from apache_datasketches_go_ray.stages.corpusops import (
+        bpe_encode_stats, bpe_learn_merges,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_learn_merges(docs, n_merges=40, vocab_size=20000)
+    return bpe_encode_stats(docs, merges)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -8943,6 +9001,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift_nchars": _q_ks_drift_nchars,
         "events_time_funnel": _q_events_time_funnel,
         "source_tfidf_terms": _q_source_tfidf_terms,
+        # rows-only continuation tail (flagship-derived analytics +
+        # tokenizer application; each pinned by pytest)
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "dup_pair_jaccard_histogram": _q_dup_pair_jaccard_histogram,
+        "bpe_encode_counts": _q_bpe_encode_counts,
     }
 
 

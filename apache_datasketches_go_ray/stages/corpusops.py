@@ -1908,3 +1908,105 @@ def novelty_scores(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def bpe_apply_word(word: str, merges) -> int:
+    """Number of BPE symbols the learned merge list leaves in ``word``
+    — merges applied in rank order, left-to-right non-overlapping,
+    exactly mirroring the trainer's ``_bpe_merge_loop`` semantics."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+class BpeEncodeStage:
+    """Actor-pool tokenizer application: count the BPE tokens each doc
+    encodes to under a learned merge table (the fertility /
+    sequence-length planning pass every tokenizer change re-runs over
+    the corpus).
+
+    The merge list ships once via ``ray.put`` and is fetched in
+    ``__init__`` (once per actor, never per batch). Each batch
+    dictionary-encodes its token stream, so the (Python, but
+    merge-bounded) encoder runs once per DISTINCT word and the per-doc
+    counts come from one vectorized bincount over the code stream —
+    the distinct-word cache persists across batches for the actor's
+    lifetime, so a Zipf-shaped corpus pays the encode cost roughly
+    once per vocabulary word per actor.
+    """
+
+    def __init__(self, merges_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.merges = [tuple(m) for m in ray.get(merges_ref)]
+        self.id_col = id_col
+        self.text_col = text_col
+        self.cache: dict[str, int] = {}
+        self._out = pa.schema([
+            (id_col, pa.int64()), ("n_words", pa.int64()),
+            ("n_bpe_tokens", pa.int64())])
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return self._out.empty_table()
+        flat, offsets = _tokens_of(b.column(self.text_col))
+        n_docs = len(offsets) - 1
+        n_words = np.diff(offsets)
+        if len(flat) == 0:
+            zero = np.zeros(n_docs, dtype=np.int64)
+            return pa.table({
+                self.id_col: b.column(self.id_col).cast(pa.int64()),
+                "n_words": pa.array(zero),
+                "n_bpe_tokens": pa.array(zero)})
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        vocab = d.dictionary.to_pylist()
+        cache = self.cache
+        merges = self.merges
+        n_sub = np.fromiter(
+            (cache.get(w) or cache.setdefault(w, bpe_apply_word(w, merges))
+             for w in vocab),
+            dtype=np.int64, count=len(vocab))
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+        totals = np.bincount(doc_of, weights=n_sub[codes].astype(np.float64),
+                             minlength=n_docs).astype(np.int64)
+        return pa.table({
+            self.id_col: b.column(self.id_col).cast(pa.int64()),
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "n_bpe_tokens": pa.array(totals)})
+
+
+def bpe_encode_stats(ds, merges_tbl: pa.Table, *, id_col: str = "doc_id",
+                     text_col: str = "text", concurrency=None,
+                     batch_size: int = 2048):
+    """Apply a learned BPE merge table to the corpus and return
+    (id, n_words, n_bpe_tokens) per document. ``merges_tbl`` is the
+    output of ``bpe_learn_merges`` (rank-ordered)."""
+    import ray
+
+    merges = list(zip(merges_tbl.column("left").to_pylist(),
+                      merges_tbl.column("right").to_pylist()))
+    ref = ray.put(merges)
+    if concurrency is None:
+        n_cpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, n_cpu))
+    return ds.select_columns([id_col, text_col]).map_batches(
+        BpeEncodeStage, fn_constructor_args=(ref, id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)

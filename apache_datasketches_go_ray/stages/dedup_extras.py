@@ -1302,3 +1302,113 @@ def edit_distance_join(ds, id_col: str, str_col: str, *, max_ed: int = 1,
             .repartition(max(2, P // 2), keys=["a", "b"])
             .map_batches(verify, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def cluster_survivors(clusters_ds, assembled_ds, *,
+                      conv_col: str = "conv_id",
+                      cluster_col: str = "cluster_id",
+                      text_col: str = "text",
+                      num_partitions: int = 8):
+    """Keep-best survivor per near-dup cluster: the longest member wins
+    (ties: lexicographically smallest conv id) — the retention policy
+    curation applies after clustering when copies differ in
+    completeness (truncated mirrors lose to the full conversation).
+
+    Plan: a slim (conv, n_chars) projection of the assembled surface —
+    text never leaves its block — co-partition-joined to the cluster
+    labels, then one cluster-keyed shuffle with an in-block
+    sort-and-first fold. Output: (cluster_id, survivor_conv_id,
+    n_members, survivor_chars), deterministic at any parallelism.
+    """
+    from .context import auto_partitions
+    from .join import hash_join
+
+    _LEN = pa.schema([(conv_col, pa.string()), ("n_chars", pa.int64())])
+
+    def lengths(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _LEN.empty_table()
+        return pa.table({
+            conv_col: b.column(conv_col).cast(pa.string()),
+            "n_chars": pc.utf8_length(
+                as_array(b.column(text_col)).cast(pa.large_string())
+            ).cast(pa.int64()),
+        })
+
+    lens = assembled_ds.map_batches(lengths, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    joined = hash_join(clusters_ds, lens, on=(conv_col, conv_col))
+
+    _OUT = pa.schema([
+        ("cluster_id", pa.string()), ("survivor_conv_id", pa.string()),
+        ("n_members", pa.int64()), ("survivor_chars", pa.int64())])
+
+    def best_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _OUT.empty_table()
+        cl = b.column(cluster_col).to_numpy(zero_copy_only=False)
+        conv = b.column(conv_col).to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        # (cluster asc, n_chars desc, conv asc): first row per cluster
+        # is the survivor
+        order = np.lexsort((conv, -nch, cl))
+        cl_s = cl[order]
+        first = np.empty(len(cl_s), dtype=bool)
+        first[0] = True
+        first[1:] = cl_s[1:] != cl_s[:-1]
+        starts = np.flatnonzero(first)
+        members = np.diff(np.append(starts, len(cl_s)))
+        sel = order[first]
+        return pa.table({
+            "cluster_id": pa.array(cl[sel], type=pa.string()),
+            "survivor_conv_id": pa.array(conv[sel], type=pa.string()),
+            "n_members": pa.array(members, type=pa.int64()),
+            "survivor_chars": pa.array(nch[sel], type=pa.int64()),
+        })
+
+    P = auto_partitions(clusters_ds.count(), 250_000, num_partitions)
+    return (joined.repartition(P, keys=[cluster_col])
+            .map_batches(best_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+def pair_jaccard_histogram(verified_ds, *, bins: int = 20):
+    """Duplicate-severity profile: histogram of the exact Jaccard of
+    verified duplicate pairs in ``bins`` equal-width buckets — the
+    one-screen answer to 'are our dups verbatim mirrors or paraphrase-
+    grade?'. KB-sized per-block count partials; one tiny fold.
+    Containment-path dups (jaccard below threshold but substring-
+    verified) land in their true low-Jaccard bucket, so the histogram
+    shows both dup regimes.
+    """
+    nb = pa.scalar(bins, pa.int64())
+
+    _H = pa.schema([("bin", pa.int64()), ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("is_dup"), pa.scalar(True)))
+        if len(t) == 0:
+            return _H.empty_table()
+        j = t.column("jaccard").to_numpy(zero_copy_only=False)
+        bi = np.clip((j * bins).astype(np.int64), 0, bins - 1)
+        g = pa.table({"bin": pa.array(bi, type=pa.int64())}) \
+            .group_by("bin").aggregate([([], "count_all")])
+        return pa.table({"bin": g.column("bin"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"bin_lo_pct": pa.array([], type=pa.int64()),
+                             "n_pairs": pa.array([], type=pa.int64())})
+        g = b.group_by("bin").aggregate([("n", "sum")])
+        lo = pc.divide(pc.multiply(g.column("bin"), pa.scalar(100,
+                                                              pa.int64())),
+                       nb)
+        return pa.table({"bin_lo_pct": lo,
+                         "n_pairs": g.column("n_sum").cast(pa.int64())})
+
+    return (verified_ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

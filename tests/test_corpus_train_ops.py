@@ -227,3 +227,40 @@ def test_ngram_diversity_matches_brute(ray_session, parts):
     want = {s: (t, len(d), len(d) * 1.0 / t)
             for s, (t, d) in want.items() if t > 0}
     assert got == want
+
+
+def test_bpe_encode_matches_direct_apply(ray_session):
+    """Distributed encode (actor-pool, distinct-word cache) equals a
+    direct per-doc merge application, and is insensitive to batch
+    boundaries."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.corpusops import (
+        bpe_apply_word, bpe_encode_stats, bpe_learn_merges,
+    )
+
+    docs = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a b c d e the the the",
+        "thematic theme anthem",
+        "",
+        "onetoken",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs)})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    merges_tbl = bpe_learn_merges(ds, n_merges=12, vocab_size=100,
+                                  num_partitions=2)
+    merges = list(zip(merges_tbl.column("left").to_pylist(),
+                      merges_tbl.column("right").to_pylist()))
+
+    got = (bpe_encode_stats(ds, merges_tbl, batch_size=2)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    for i, text in enumerate(docs):
+        words = text.split()
+        want_tok = sum(bpe_apply_word(w, merges) for w in words)
+        assert int(got.n_words[i]) == len(words)
+        assert int(got.n_bpe_tokens[i]) == want_tok
+    # merges actually compress: total tokens < total chars for real text
+    assert int(got.n_bpe_tokens[0]) < len(docs[0].replace(" ", ""))

@@ -231,3 +231,54 @@ def test_hash_join_both_strategies(ray_session):
     expected = [(1, "a", 10), (2, "b", 20), (2, "c", 20), (3, "d", 30)]
     assert rows(bc) == expected
     assert rows(cp) == expected
+
+
+def test_cluster_survivors_keep_best(pipeline_result):
+    """Survivor per cluster = longest member (ties: min conv_id),
+    verified against a pandas recomputation of the same surfaces."""
+    import pandas as pd
+
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        cluster_survivors,
+    )
+
+    got = cluster_survivors(pipeline_result["clusters"],
+                            pipeline_result["assembled"],
+                            num_partitions=3).to_pandas()
+    cl = pipeline_result["clusters"].to_pandas()
+    txt = pipeline_result["assembled"].to_pandas()[["conv_id", "text"]]
+    df = cl.merge(txt, on="conv_id")
+    df["n_chars"] = df.text.str.len()
+    want = (df.sort_values(["cluster_id", "n_chars", "conv_id"],
+                           ascending=[True, False, True])
+            .groupby("cluster_id")
+            .agg(survivor_conv_id=("conv_id", "first"),
+                 n_members=("conv_id", "size"),
+                 survivor_chars=("n_chars", "first"))
+            .reset_index())
+    got = got.sort_values("cluster_id", ignore_index=True)
+    want = want.sort_values("cluster_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["cluster_id", "survivor_conv_id", "n_members",
+             "survivor_chars"]],
+        want.astype({"n_members": "int64", "survivor_chars": "int64"}))
+    # every survivor is at least as long as any member of its cluster
+    mx = df.groupby("cluster_id").n_chars.max()
+    assert (got.set_index("cluster_id").survivor_chars == mx).all()
+
+
+def test_pair_jaccard_histogram_counts(pipeline_result):
+    """Histogram == brute binning of the verified dup pairs."""
+    from apache_datasketches_go_ray.stages.dedup_extras import (
+        pair_jaccard_histogram,
+    )
+
+    got = pair_jaccard_histogram(pipeline_result["verified"]).to_pandas()
+    v = pipeline_result["verified"].to_pandas()
+    v = v[v.is_dup]
+    bins = np.clip((v.jaccard.to_numpy() * 20).astype(np.int64), 0, 19)
+    want = {int(b) * 5: int(n)
+            for b, n in zip(*np.unique(bins, return_counts=True))}
+    assert {int(r.bin_lo_pct): int(r.n_pairs)
+            for r in got.itertuples()} == want
+    assert int(got.n_pairs.sum()) == len(v)
