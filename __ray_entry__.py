@@ -8734,6 +8734,43 @@ def _q_bpe_encode_counts(sf_dir: str):
 
 
 
+def _q_transcript_decontaminate(sf_dir: str):
+    """Eval-set decontamination applied to CONVERSATIONS: assembled
+    transcripts whose text shares a verbatim 13-gram with the held-out
+    eval split (numeric conv suffix % 5 == 0) — the cross-axis
+    composition (assembly -> gram hashing -> broadcast probe) a
+    transcript-corpus user runs before training on agent logs. The
+    eval gram-hash set ships once via ray.put; the train side is a
+    pure map, no corpus shuffle. Planted near-dup conversations that
+    straddle the split are exactly what it catches."""
+    import pyarrow as pa
+    import ray.data
+    from apache_datasketches_go_ray.stages.assemble import assemble
+    from apache_datasketches_go_ray.stages.decontaminate import (
+        eval_ngram_hashes, flag_contaminated)
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    conv = assemble(ds, num_partitions=8).materialize()
+
+    def _split(b, want_eval):
+        import pyarrow.compute as pc
+        cid = pc.cast(pc.utf8_slice_codeunits(
+            b.column("conv_id").cast(pa.string()), 5, 99), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = (cid % 5) == 0
+        return b.filter(pa.array(m if want_eval else ~m))
+
+    ev_ds = conv.map_batches(lambda b: _split(b, True),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    tr_ds = conv.map_batches(lambda b: _split(b, False),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    ev = eval_ngram_hashes(ev_ds, n=13)
+    flagged = flag_contaminated(tr_ds, ev, n=13, id_col="conv_id")
+    return flagged.select_columns(["conv_id", "n_grams", "n_hits"]) \
+        .sort("conv_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -9006,6 +9043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
         "dup_pair_jaccard_histogram": _q_dup_pair_jaccard_histogram,
         "bpe_encode_counts": _q_bpe_encode_counts,
+        "transcript_decontaminate": _q_transcript_decontaminate,
     }
 
 
@@ -9130,6 +9168,32 @@ def oracle_sql() -> dict[str, str]:
             HAVING n_hits > 0
             ORDER BY doc_id
         """,
+        "transcript_decontaminate": f'''
+            WITH conv AS (
+              SELECT conv_id,
+                     string_agg(text, chr(10) ORDER BY turn_idx) AS text
+              FROM {T} GROUP BY conv_id),
+            t AS (SELECT conv_id,
+                         CAST(substr(conv_id, 6) AS BIGINT) AS cid,
+                         string_split_regex(trim(text), '\\s+') AS toks
+                  FROM conv),
+            g AS (SELECT conv_id, cid,
+                         array_to_string(toks[i:i+12], ' ') AS gram
+                  FROM t, LATERAL (
+                    SELECT unnest(generate_series(1, len(toks) - 12)) AS i) s
+                  WHERE len(toks) >= 13),
+            ev AS (SELECT DISTINCT gram FROM g WHERE cid % 5 = 0)
+            SELECT g.conv_id AS conv_id,
+                   CAST(count(DISTINCT g.gram) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT CASE WHEN ev.gram IS NOT NULL
+                                            THEN g.gram END) AS BIGINT)
+                     AS n_hits
+            FROM g LEFT JOIN ev USING (gram)
+            WHERE g.cid % 5 <> 0
+            GROUP BY g.conv_id
+            HAVING n_hits > 0
+            ORDER BY conv_id
+        ''',
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
