@@ -39,14 +39,24 @@ def _without(ds, removed):
     return ds.map_batches(drop, batch_format="pyarrow")
 
 
-def test_delete_equals_fresh_dedup(fixture, tmp_path):
+@pytest.fixture(scope="module")
+def full_ckpt(fixture, tmp_path_factory):
+    """Full-corpus dedup checkpoint + labels, shared by the tests that
+    only READ the checkpoint (delete_convs never mutates `against`)."""
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+
+    cfg = DedupConfig(num_partitions=4)
+    ck = str(tmp_path_factory.mktemp("delete_full") / "full")
+    labels = _labels(run_dedup(_read(fixture), cfg, checkpoint_dir=ck))
+    return ck, labels
+
+
+def test_delete_equals_fresh_dedup(fixture, full_ckpt, tmp_path):
     from apache_datasketches_go_ray.pipelines.dedup import (
         delete_convs, run_dedup)
 
     cfg = DedupConfig(num_partitions=4)
-    ck = str(tmp_path / "full")
-    full = run_dedup(_read(fixture), cfg, checkpoint_dir=ck)
-    labels = _labels(full)
+    ck, labels = full_ckpt
     assert labels, "fixture produced no clusters"
 
     # remove one member from each of two clusters (non-label members so
@@ -106,7 +116,7 @@ def test_delete_splits_bridge(ray_session, tmp_path):
         assert got.get("conv-a") != got.get("conv-c")
 
 
-def test_delete_across_incremental_chain(fixture, tmp_path):
+def test_delete_across_incremental_chain(fixture, full_ckpt, tmp_path):
     from apache_datasketches_go_ray.pipelines.dedup import (
         IncrementalDedupPipeline, delete_convs, run_dedup)
 
@@ -128,7 +138,7 @@ def test_delete_across_incremental_chain(fixture, tmp_path):
     ck_b = str(tmp_path / "b")
     IncrementalDedupPipeline(cfg, ck_a, ck_b).run(ds_b)
 
-    labels = _labels(run_dedup(_read(fixture), cfg))
+    labels = full_ckpt[1]
     multi = {}
     for cid, lab in labels.items():
         multi.setdefault(lab, []).append(cid)

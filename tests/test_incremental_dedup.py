@@ -27,15 +27,27 @@ def _labels(res):
             for r in res["clusters"].take_all()}
 
 
-def test_incremental_equals_full(split_fixture, tmp_path):
+@pytest.fixture(scope="module")
+def full_labels(split_fixture):
+    """Cluster labels of a full-corpus dedup, shared by every test in
+    this module that compares an incremental result against "dedup of
+    everything" (the expensive side of each equivalence)."""
+    import ray.data
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+
+    cfg = DedupConfig(num_partitions=4)
+    return _labels(run_dedup(
+        ray.data.read_parquet(split_fixture["dir"]), cfg))
+
+
+def test_incremental_equals_full(split_fixture, full_labels, tmp_path):
     import pyarrow as pa
     import ray.data
     from apache_datasketches_go_ray.pipelines.dedup import (
         run_dedup, run_dedup_incremental)
 
     cfg = DedupConfig(num_partitions=4)
-    full_ds = ray.data.read_parquet(split_fixture["dir"])
-    full = _labels(run_dedup(full_ds, cfg))
+    full = full_labels
 
     # split by conv number parity so dup groups span A and B: the
     # incremental run must discover new-new AND new-old edges, and
@@ -99,7 +111,8 @@ def test_incremental_with_own_checkpoint_resumes(split_fixture, tmp_path):
         assert ent["resumed"], f"stage {name} should have resumed"
 
 
-def test_chained_increments_equal_full(split_fixture, tmp_path):
+def test_chained_increments_equal_full(split_fixture, full_labels,
+                                       tmp_path):
     """Three-batch chained ingestion: dedup(A) + inc(B) + inc(C) ==
     dedup(A ∪ B ∪ C), with `against` a CHAIN of checkpoints (the full
     run plus each prior increment's) — the daily-ingest loop."""
@@ -109,8 +122,7 @@ def test_chained_increments_equal_full(split_fixture, tmp_path):
         run_dedup, run_dedup_incremental)
 
     cfg = DedupConfig(num_partitions=4)
-    full = _labels(run_dedup(
-        ray.data.read_parquet(split_fixture["dir"]), cfg))
+    full = full_labels
 
     def _part(b, r):
         nums = np.array([int(c.rsplit("-", 1)[1]) for c in
