@@ -8771,6 +8771,491 @@ def _q_transcript_decontaminate(sf_dir: str):
         .sort("conv_id")
 
 
+def _q_nation_market_share(sf_dir: str):
+    """TPC-H Q8-style market share: per order-year revenue (exact
+    cents) of each supplier nation within ASIA customers' PROMO-part
+    market, plus each nation's share of the year total in ppm. Plan:
+    broadcast the three dimension lookups (part keys of the type,
+    supplier->nation name, nation->region membership — all bounded
+    dimension tables), hash_join lineitem->orders->customer on the two
+    fact keys, then a per-block partial (year, nation) fold and a tiny
+    final fold that computes the year totals."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    part = gather_table(_read(sf_dir, "part", ["p_partkey", "p_type"]))
+    promo_keys = np.sort(np.asarray(
+        part.filter(pc.equal(part.column("p_type"), "PROMO"))
+        .column("p_partkey").to_numpy(zero_copy_only=False),
+        dtype=np.int64))
+
+    sup = gather_table(_read(sf_dir, "supplier",
+                             ["s_suppkey", "s_nationkey"]))
+    nat = gather_table(_read(sf_dir, "nation",
+                             ["n_nationkey", "n_name", "n_regionkey"]))
+    reg = gather_table(_read(sf_dir, "region",
+                             ["r_regionkey", "r_name"]))
+    asia_key = {int(k) for k, n in zip(
+        reg.column("r_regionkey").to_pylist(),
+        reg.column("r_name").to_pylist()) if n == "ASIA"}
+    nat_name = {int(k): n for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}
+    asia_nations = np.sort(np.array(
+        [int(k) for k, r in zip(nat.column("n_nationkey").to_pylist(),
+                                nat.column("n_regionkey").to_pylist())
+         if int(r) in asia_key], dtype=np.int64))
+    # supplier -> nation name, as a dense array indexed by suppkey rank
+    sup_keys = np.asarray(sup.column("s_suppkey")
+                          .to_numpy(zero_copy_only=False), dtype=np.int64)
+    sup_order = np.argsort(sup_keys)
+    sup_keys_sorted = sup_keys[sup_order]
+    sup_nat_sorted = np.asarray(sup.column("s_nationkey")
+                                .to_numpy(zero_copy_only=False),
+                                dtype=np.int64)[sup_order]
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def prep_line(b):
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = np.searchsorted(promo_keys, pk)
+        i[i == len(promo_keys)] = 0
+        m = len(promo_keys) > 0 and promo_keys[i] == pk
+        t = b.filter(pa.array(m if isinstance(m, np.ndarray)
+                              else np.zeros(len(b), dtype=bool)))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        snk = sup_nat_sorted[np.searchsorted(sup_keys_sorted, sk)]
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "supp_nation": pa.array(snk, type=pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    def prep_orders(b):
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        t = b.filter(m)
+        yr = pc.year(t.column("o_orderdate")).cast(pa.int64())
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+            "o_year": yr,
+        })
+
+    def prep_cust(b):
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = np.searchsorted(asia_nations, nk)
+        i[i == len(asia_nations)] = 0
+        m = asia_nations[i] == nk if len(asia_nations) else \
+            np.zeros(len(b), dtype=bool)
+        t = b.filter(pa.array(m))
+        return pa.table({"c_custkey": t.column("c_custkey")
+                         .cast(pa.int64())})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"]) \
+        .map_batches(prep_line, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(prep_orders, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(prep_cust, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    j = hash_join(line, orders, on=("l_orderkey", "o_orderkey"))
+    j = hash_join(j, cust, on=("o_custkey", "c_custkey"))
+
+    def partial(b):
+        g = b.group_by(["o_year", "supp_nation"]) \
+            .aggregate([("cents", "sum")])
+        return pa.table({
+            "o_year": g.column("o_year").cast(pa.int64()),
+            "supp_nation": g.column("supp_nation").cast(pa.int64()),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "o_year": pa.array([], type=pa.int64()),
+                "n_name": pa.array([], type=pa.string()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+                "share_ppm": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["o_year", "supp_nation"]) \
+            .aggregate([("cents", "sum")])
+        yr = g.column("o_year").to_numpy(zero_copy_only=False)
+        cents = g.column("cents_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uy, inv = np.unique(yr, return_inverse=True)
+        tot = np.zeros(len(uy), dtype=np.int64)
+        np.add.at(tot, inv, cents)
+        ppm = np.floor(cents.astype(np.float64) * 1_000_000.0
+                       / tot[inv].astype(np.float64) + 0.5) \
+            .astype(np.int64)
+        nn = [nat_name[int(x)] for x in
+              g.column("supp_nation").to_pylist()]
+        return pa.table({
+            "o_year": pa.array(yr, type=pa.int64()),
+            "n_name": pa.array(nn, type=pa.string()),
+            "revenue_cents": pa.array(cents),
+            "share_ppm": pa.array(ppm),
+        })
+
+    return (j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort(["o_year", "n_name"]))
+
+
+def _q_top_supplier_quarter(sf_dir: str):
+    """TPC-H Q15-style top supplier: per-supplier revenue (exact cents)
+    over 1996-Q1 shipments, returning the supplier(s) achieving the
+    global maximum — per-block partial sums keyed by suppkey, a
+    bounded-cardinality final fold (one row per supplier), a driver-side
+    max over that small table, and a broadcast name lookup."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+
+    sup = gather_table(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    names = {int(k): n for k, n in zip(
+        sup.column("s_suppkey").to_pylist(),
+        sup.column("s_name").to_pylist())}
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1), type=pa.timestamp("us"))
+
+    def partial(b):
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi))
+        t = b.filter(m)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        tt = pa.table({
+            "s_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+        g = tt.group_by(["s_suppkey"]).aggregate([("cents", "sum")])
+        return pa.table({
+            "s_suppkey": g.column("s_suppkey"),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "total_revenue_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["s_suppkey"]).aggregate([("cents", "sum")])
+        cents = g.column("cents_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = cents == cents.max()
+        sk = g.column("s_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        return pa.table({
+            "s_suppkey": pa.array(sk),
+            "s_name": pa.array([names[int(k)] for k in sk],
+                               type=pa.string()),
+            "total_revenue_cents": pa.array(cents[keep]),
+        })
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_shipdate", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("s_suppkey"))
+
+
+def _q_brand_low_qty_revenue(sf_dir: str):
+    """TPC-H Q17-style small-quantity-order revenue for Brand#19 parts:
+    lineitems whose quantity is below 20% of their part's average
+    quantity, summed as exact cents with the yearly average derived by
+    integer floor(total/7 + 0.5). Two passes over the pruned fact
+    columns: pass 1 folds per-part (sum_qty, cnt) — bounded by the
+    brand's part count, broadcast back — and the threshold test is the
+    integer cross-multiplication 5*qty*cnt < sum_qty, so no float
+    division can diverge between engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+
+    part = gather_table(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
+    keys = np.sort(np.asarray(
+        part.filter(pc.equal(part.column("p_brand"), "Brand#19"))
+        .column("p_partkey").to_numpy(zero_copy_only=False),
+        dtype=np.int64))
+
+    def _brand_filter(b):
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(keys) == 0:
+            return b.filter(pa.array(np.zeros(len(b), dtype=bool)))
+        i = np.searchsorted(keys, pk)
+        i[i == len(keys)] = 0
+        return b.filter(pa.array(keys[i] == pk))
+
+    def qty_partial(b):
+        t = _brand_filter(b)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tt = pa.table({
+            "l_partkey": t.column("l_partkey").cast(pa.int64()),
+            "q": pa.array(qty),
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        g = tt.group_by(["l_partkey"]).aggregate(
+            [("q", "sum"), ("one", "sum")])
+        return pa.table({
+            "l_partkey": g.column("l_partkey"),
+            "sum_qty": g.column("q_sum").cast(pa.int64()),
+            "cnt": g.column("one_sum").cast(pa.int64()),
+        })
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = (_read(sf_dir, "lineitem", cols[:2])
+             .map_batches(qty_partial, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    stats_tbl = gather_table(stats)
+    if stats_tbl.num_rows:
+        g = stats_tbl.group_by(["l_partkey"]).aggregate(
+            [("sum_qty", "sum"), ("cnt", "sum")])
+        pkeys = np.asarray(g.column("l_partkey")
+                           .to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(pkeys)
+        pkeys = pkeys[order]
+        sum_q = np.asarray(g.column("sum_qty_sum")
+                           .to_numpy(zero_copy_only=False),
+                           dtype=np.int64)[order]
+        cnt = np.asarray(g.column("cnt_sum")
+                         .to_numpy(zero_copy_only=False),
+                         dtype=np.int64)[order]
+    else:
+        pkeys = np.empty(0, dtype=np.int64)
+        sum_q = cnt = pkeys
+
+    def low_qty_partial(b):
+        t = _brand_filter(b)
+        if len(t) == 0 or len(pkeys) == 0:
+            return pa.table({"cents": pa.array([], type=pa.int64()),
+                             "one": pa.array([], type=pa.int64())})
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = np.searchsorted(pkeys, pk)
+        low = 5 * qty * cnt[i] < sum_q[i]
+        ep = t.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)[low]
+        cents = np.floor(ep * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "cents": pa.array([int(cents.sum())], type=pa.int64()),
+            "one": pa.array([int(low.sum())], type=pa.int64()),
+        })
+
+    def fold(b):
+        tot = int(pc.sum(b.column("cents")).as_py() or 0) \
+            if b.num_rows else 0
+        n = int(pc.sum(b.column("one")).as_py() or 0) if b.num_rows else 0
+        yearly = int(np.floor(tot / 7.0 + 0.5))
+        return pa.table({
+            "total_cents": pa.array([tot], type=pa.int64()),
+            "yearly_cents": pa.array([yearly], type=pa.int64()),
+            "n_lineitems": pa.array([n], type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "lineitem", cols)
+            .map_batches(low_qty_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_preference_pairs(sf_dir: str):
+    """Preference-pair mining for RLHF-style training: user prompts
+    that drew >= 2 distinct assistant responses across the corpus emit
+    one (prompt, chosen, rejected) row — chosen = the longest response
+    (ties to lexicographically greatest), rejected = the shortest (ties
+    to least). Stage 1 is the sft adjacency fold inside each conv-keyed
+    block; stage 2 shuffles by prompt so each group folds locally."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    ds = ray.data.read_parquet(_transcripts_dir(sf_dir),
+                               columns=["conv_id", "turn_idx", "role",
+                                        "text"])
+
+    def pair_fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "prompt": pa.array([], type=pa.large_string()),
+                "response": pa.array([], type=pa.large_string()),
+            })
+        conv = as_array(b.column("conv_id")) \
+            .to_numpy(zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        _, ccodes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, ccodes))
+        role = as_array(b.column("role")).take(
+            pa.array(order, type=pa.int64()))
+        is_user = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+        is_asst = pc.equal(role, "assistant") \
+            .to_numpy(zero_copy_only=False)
+        c = ccodes[order]
+        same_conv = np.concatenate([c[1:] == c[:-1], [False]])
+        nxt_asst = np.concatenate([is_asst[1:], [False]])
+        take = np.flatnonzero(is_user & same_conv & nxt_asst)
+        text = as_array(b.column("text")).cast(pa.large_string())
+        o = np.asarray(order)
+        return pa.table({
+            "prompt": text.take(pa.array(o[take], type=pa.int64())),
+            "response": text.take(pa.array(o[take + 1],
+                                           type=pa.int64())),
+        })
+
+    _empty = pa.table({
+        "prompt": pa.array([], type=pa.large_string()),
+        "n_candidates": pa.array([], type=pa.int64()),
+        "chosen": pa.array([], type=pa.large_string()),
+        "rejected": pa.array([], type=pa.large_string()),
+    })
+
+    def group_fold(b):
+        if len(b) == 0:
+            return _empty
+        # distinct (prompt, response) then rank responses per prompt by
+        # (len, response) — all vectorized over dictionary codes
+        p = as_array(b.column("prompt"))
+        r = as_array(b.column("response"))
+        pn = p.to_numpy(zero_copy_only=False)
+        rn = r.to_numpy(zero_copy_only=False)
+        uniq = {}
+        pair_seen = set()
+        for i in range(len(pn)):
+            key = (pn[i], rn[i])
+            if key not in pair_seen:
+                pair_seen.add(key)
+                uniq.setdefault(pn[i], []).append(rn[i])
+        prompts, ncand, chosen, rejected = [], [], [], []
+        for prompt in sorted(uniq):
+            resp = uniq[prompt]
+            if len(resp) < 2:
+                continue
+            ranked = sorted(resp, key=lambda s: (len(s), s))
+            prompts.append(prompt)
+            ncand.append(len(resp))
+            chosen.append(ranked[-1])
+            rejected.append(ranked[0])
+        return pa.table({
+            "prompt": pa.array(prompts, type=pa.large_string()),
+            "n_candidates": pa.array(ncand, type=pa.int64()),
+            "chosen": pa.array(chosen, type=pa.large_string()),
+            "rejected": pa.array(rejected, type=pa.large_string()),
+        })
+
+    pairs = (ds.repartition(16, keys=["conv_id"])
+             .map_batches(pair_fold, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True))
+    return (pairs.repartition(16, keys=["prompt"])
+            .map_batches(group_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+def _q_user_state_scd2(sf_dir: str):
+    """SCD2 dimension build from an event stream: collapse each user's
+    consecutive runs of equal event_type (ordered by ts, event_id) into
+    versioned validity intervals (valid_from, valid_to; -1 = open).
+    One user-keyed shuffle + in-block lexsort + run-boundary masks —
+    the standard change-data-capture compaction, fully vectorized."""
+    import pyarrow as pa
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    _empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "version": pa.array([], type=pa.int64()),
+        "event_type": pa.array([], type=pa.string()),
+        "valid_from_us": pa.array([], type=pa.int64()),
+        "valid_to_us": pa.array([], type=pa.int64()),
+    })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        uid = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = as_array(b.column("event_type"))
+        d = et.dictionary_encode()
+        codes = np.asarray(d.indices.to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, t, c = uid[order], ts[order], codes[order]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        start = new_user | np.concatenate([[True], c[1:] != c[:-1]])
+        s_idx = np.flatnonzero(start)
+        # version = run ordinal within its user
+        run_user = u[s_idx]
+        run_new_user = np.concatenate([[True],
+                                       run_user[1:] != run_user[:-1]])
+        grp_start = np.zeros(len(s_idx), dtype=np.int64)
+        grp_start[run_new_user] = np.arange(len(s_idx))[run_new_user]
+        np.maximum.accumulate(grp_start, out=grp_start)
+        version = np.arange(len(s_idx)) - grp_start + 1
+        valid_from = t[s_idx]
+        nxt_from = np.concatenate([valid_from[1:], [np.int64(-1)]])
+        valid_to = np.where(np.concatenate([run_new_user[1:], [True]]),
+                            np.int64(-1), nxt_from)
+        et_vals = d.dictionary.cast(pa.string()).take(
+            pa.array(c[s_idx], type=pa.int64()))
+        return pa.table({
+            "user_id": pa.array(run_user),
+            "version": pa.array(version),
+            "event_type": et_vals,
+            "valid_from_us": pa.array(valid_from),
+            "valid_to_us": pa.array(valid_to),
+        })
+
+    return (_read(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "event_type"])
+            .repartition(16, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -8967,6 +9452,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_crosstab": _q_source_lang_crosstab,
         "supplier_nation_rollup": _q_supplier_nation_rollup,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "nation_market_share": _q_nation_market_share,
+        "top_supplier_quarter": _q_top_supplier_quarter,
+        "brand_low_qty_revenue": _q_brand_low_qty_revenue,
+        "preference_pairs": _q_preference_pairs,
+        "user_state_scd2": _q_user_state_scd2,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -12306,6 +12796,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                    CAST(score_ppm AS BIGINT) AS score_ppm, CAST(rk AS BIGINT) AS rk
             FROM s WHERE rk <= 5
+        """,
+        "nation_market_share": """
+            WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+            asia AS (SELECT n_nationkey FROM nation
+                     JOIN region ON n_regionkey = r_regionkey
+                     WHERE r_name = 'ASIA'),
+            f AS (
+              SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                     n.n_name,
+                     CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                          * 100 + 0.5) AS BIGINT) AS cents
+              FROM lineitem l
+              JOIN promo p ON p.p_partkey = l.l_partkey
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer cu ON cu.c_custkey = o.o_custkey
+              JOIN asia a ON a.n_nationkey = cu.c_nationkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01'),
+            g AS (SELECT o_year, n_name, sum(cents) AS revenue_cents
+                  FROM f GROUP BY 1, 2)
+            SELECT o_year, n_name,
+                   CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST(floor(CAST(revenue_cents AS DOUBLE) * 1000000.0
+                        / CAST(sum(revenue_cents) OVER
+                               (PARTITION BY o_year) AS DOUBLE)
+                        + 0.5) AS BIGINT) AS share_ppm
+            FROM g
+        """,
+        "top_supplier_quarter": """
+            WITH r AS (
+              SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+                     sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                         * 100 + 0.5) AS BIGINT)) AS total_revenue_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT r.s_suppkey, s.s_name,
+                   CAST(r.total_revenue_cents AS BIGINT)
+                     AS total_revenue_cents
+            FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_revenue_cents =
+              (SELECT max(total_revenue_cents) FROM r)
+        """,
+        "brand_low_qty_revenue": """
+            WITH bl AS (
+              SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                     l_extendedprice
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#19'),
+            a AS (SELECT l_partkey, sum(q) AS sum_qty, count(*) AS cnt
+                  FROM bl GROUP BY 1),
+            low AS (
+              SELECT CAST(floor(bl.l_extendedprice * 100 + 0.5)
+                     AS BIGINT) AS cents
+              FROM bl JOIN a USING (l_partkey)
+              WHERE 5 * bl.q * a.cnt < a.sum_qty)
+            SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents,
+                   CAST(floor(CAST(coalesce(sum(cents), 0) AS DOUBLE)
+                        / 7.0 + 0.5) AS BIGINT) AS yearly_cents,
+                   count(*) AS n_lineitems
+            FROM low
+        """,
+        "preference_pairs": f"""
+            WITH o AS (
+              SELECT conv_id, role, text,
+                     lead(role) OVER w AS nrole,
+                     lead(text) OVER w AS ntext
+              FROM {T}
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            p AS (SELECT text AS prompt, ntext AS response FROM o
+                  WHERE role = 'user' AND nrole = 'assistant'),
+            d AS (SELECT DISTINCT prompt, response FROM p),
+            rk AS (SELECT prompt, response,
+                     row_number() OVER (PARTITION BY prompt
+                       ORDER BY length(response) DESC, response DESC)
+                       AS rd,
+                     row_number() OVER (PARTITION BY prompt
+                       ORDER BY length(response) ASC, response ASC)
+                       AS ra,
+                     count(*) OVER (PARTITION BY prompt)
+                       AS n_candidates
+                   FROM d)
+            SELECT prompt,
+                   CAST(max(n_candidates) AS BIGINT) AS n_candidates,
+                   max(CASE WHEN rd = 1 THEN response END) AS chosen,
+                   max(CASE WHEN ra = 1 THEN response END) AS rejected
+            FROM rk GROUP BY prompt
+            HAVING max(n_candidates) >= 2
+        """,
+        "user_state_scd2": """
+            WITH o AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t,
+                     row_number() OVER w AS rn,
+                     lag(event_type) OVER w AS pt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            c AS (SELECT *, CASE WHEN pt IS NULL OR pt <> event_type
+                            THEN 1 ELSE 0 END AS chg FROM o),
+            r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                           ORDER BY rn) AS version
+                  FROM c),
+            runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+                            min(event_type) AS event_type,
+                            min(t) AS valid_from_us
+                     FROM r GROUP BY user_id, version)
+            SELECT CAST(user_id AS BIGINT) AS user_id, version,
+                   event_type,
+                   CAST(valid_from_us AS BIGINT) AS valid_from_us,
+                   CAST(coalesce(lead(valid_from_us) OVER
+                        (PARTITION BY user_id ORDER BY version), -1)
+                        AS BIGINT) AS valid_to_us
+            FROM runs
         """,
     }
 
