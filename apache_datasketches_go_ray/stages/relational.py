@@ -1338,3 +1338,146 @@ def flag_group_outliers(ds, key: str, val_col: str, *, z: int = 3,
             .repartition(P, keys=[key])
             .map_batches(fold, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def pareto_skyline_2d(ds, max_col: str, min_col: str, *,
+                      carry: list[str] | None = None):
+    """Exact 2-D Pareto skyline: rows not dominated under (maximize
+    ``max_col``, minimize ``min_col``), both int64. A row is dominated
+    if some other row is >= on ``max_col`` and <= on ``min_col`` with
+    at least one strict; ties on BOTH axes are mutually non-dominating,
+    so duplicates of a skyline point all survive.
+
+    Distributed shape: the skyline operator admits a perfect combiner
+    (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))), so each block
+    folds to its local skyline — typically a few rows — and one tiny
+    final fold finishes. No shuffle, no sort of the full data; this is
+    the same partial/final contract the reference's sketch unions
+    promise (hll/union.go:151-158), applied to dominance instead of
+    distinct counting.
+    """
+    carry = carry or []
+
+    def _skyline_mask(mx: np.ndarray, mn: np.ndarray) -> np.ndarray:
+        # unique (max,min) pairs sorted by max desc, min asc; within an
+        # equal-max run only the min survives, and it must be strictly
+        # below every higher-max run's best min
+        order = np.lexsort((mn, -mx))
+        smx, smn = mx[order], mn[order]
+        keep_pair = np.zeros(len(order), dtype=bool)
+        run_start = np.concatenate(
+            [[True], smx[1:] != smx[:-1]]) if len(smx) else \
+            np.zeros(0, dtype=bool)
+        best = np.int64(np.iinfo(np.int64).max)
+        i = 0
+        starts = np.flatnonzero(run_start)
+        ends = np.append(starts[1:], len(smx))
+        for s, e in zip(starts, ends):
+            cand = smn[s]  # min of this price run (sorted asc)
+            if cand < best:
+                # every duplicate of the surviving pair survives
+                j = s
+                while j < e and smn[j] == cand:
+                    keep_pair[j] = True
+                    j += 1
+                best = cand
+        mask = np.zeros(len(order), dtype=bool)
+        mask[order] = keep_pair
+        return mask
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        mx = b.column(max_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mn = b.column(min_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(_skyline_mask(mx, mn)))
+
+    return (ds.select_columns([max_col, min_col] + carry)
+            .map_batches(fold, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def exact_global_kth(ds, col: str, k: int, *,
+                     num_buckets: int = 1 << 16,
+                     gather_threshold: int = 1 << 20) -> dict:
+    """Exact k-th smallest (1-based) of an int64 column WITHOUT a
+    global sort: iterative bucketed selection. Each round is one
+    streaming pass that histograms the current [lo, hi] candidate range
+    into ``num_buckets`` uniform integer buckets (per-block partials,
+    elementwise-add merge); the bucket containing rank k becomes the
+    next range. The range shrinks ~num_buckets× per round, so even a
+    2^63 domain needs 4 passes; when the candidate count drops under
+    ``gather_threshold`` the survivors are gathered and selected
+    exactly with np.partition.
+
+    This is the scale path for exact global quantiles at 10^12 rows —
+    rank-error-free where KLL gives bounded error, at the cost of a few
+    extra passes. Returns {"value": kth, "n": total_rows, "rounds": r}.
+    """
+    import pyarrow.compute as pc
+
+    base = ds.select_columns([col]).materialize()
+    n = base.count()
+    if not 1 <= k <= n:
+        raise ValueError(f"k={k} out of range for n={n}")
+
+    def histogram(lo: int, hi: int):
+        span = hi - lo + 1
+        nb = int(min(num_buckets, span))
+        # ceil width so idx < nb and (v-lo)//w never overflows (division,
+        # not multiplication, so a full-int64 span is safe)
+        w = -(-span // nb)
+
+        def partial(b):
+            v = b.column(col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            v = v[(v >= lo) & (v <= hi)]
+            idx = (v - lo) // np.int64(w)
+            counts = np.bincount(idx, minlength=nb).astype(np.int64)
+            return pa.table({"counts": pa.array([counts.tobytes()],
+                                                type=pa.large_binary())})
+
+        parts = base.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+        total = np.zeros(nb, dtype=np.int64)
+        for row in parts:
+            total += np.frombuffer(row["counts"], dtype=np.int64)[:nb]
+        return total, nb, w
+
+    # round 0 range from global min/max (one aggregate pass)
+    lo = base.min(col)
+    hi = base.max(col)
+    rank = k  # rank within the current candidate range
+    rounds = 0
+    while True:
+        span = hi - lo + 1
+        if span <= gather_threshold:
+            break
+        counts, nb, w = histogram(lo, hi)
+        rounds += 1
+        csum = np.cumsum(counts)
+        bi = int(np.searchsorted(csum, rank))
+        rank -= int(csum[bi - 1]) if bi else 0
+        lo_new = lo + bi * w
+        hi_new = lo + (bi + 1) * w - 1
+        lo, hi = int(lo_new), int(min(hi_new, hi))
+        # count within range can be below gather_threshold even when
+        # the SPAN is wide; check actual survivors
+        in_range = int(csum[bi] - (csum[bi - 1] if bi else 0))
+        if in_range <= gather_threshold:
+            break
+    flo = pa.scalar(lo, type=pa.int64())
+    fhi = pa.scalar(hi, type=pa.int64())
+    vals = base.map_batches(
+        lambda b: pa.table({col: b.column(col).cast(pa.int64()).filter(
+            pc.and_(pc.greater_equal(b.column(col).cast(pa.int64()), flo),
+                    pc.less_equal(b.column(col).cast(pa.int64()), fhi)))}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    arr = np.array([r[col] for r in vals], dtype=np.int64)
+    kth = int(np.partition(arr, rank - 1)[rank - 1])
+    return {"value": kth, "n": n, "rounds": rounds}

@@ -308,3 +308,83 @@ def test_sliding_window_sum_matches_duckdb(events_tbl, ray_session):
     """).df()
     for col in ("event_id", "win_n", "win_cents"):
         assert (out[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+def _brute_skyline(mx, mn):
+    keep = []
+    for i in range(len(mx)):
+        dominated = any(
+            (mx[j] >= mx[i] and mn[j] <= mn[i])
+            and (mx[j] > mx[i] or mn[j] < mn[i])
+            for j in range(len(mx)))
+        keep.append(not dominated)
+    return keep
+
+
+def test_pareto_skyline_brute_parity(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.relational import (
+        pareto_skyline_2d)
+
+    rng = np.random.default_rng(7)
+    n = 400
+    mx = rng.integers(0, 50, n).astype(np.int64)
+    mn = rng.integers(0, 50, n).astype(np.int64)
+    # inject exact duplicates of one extreme point: all must survive
+    mx[:3] = mx.max() + 5
+    mn[:3] = mn.min() - 5
+    tbl = pa.table({"rid": pa.array(np.arange(n), type=pa.int64()),
+                    "mx": pa.array(mx), "mn": pa.array(mn)})
+    want = {int(r) for r, k in
+            zip(range(n), _brute_skyline(mx, mn)) if k}
+    for parts in (1, 7):
+        out = pareto_skyline_2d(
+            ray.data.from_arrow(tbl).repartition(parts),
+            "mx", "mn", carry=["rid"]).take_all()
+        got = {int(r["rid"]) for r in out}
+        assert got == want, parts
+    assert {0, 1, 2} <= want  # the duplicated extreme survives x3
+
+
+def test_exact_global_kth_matches_sort(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.relational import (
+        exact_global_kth)
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(-10**12, 10**12, 5000).astype(np.int64)
+    v[:10] = v[0]  # heavy duplicate run
+    s = np.sort(v)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v)})) \
+        .repartition(6)
+    for k in (1, 2, len(v) // 2, len(v) - 1, len(v)):
+        res = exact_global_kth(ds, "v", k, num_buckets=16,
+                               gather_threshold=64)
+        assert res["value"] == int(s[k - 1]), k
+        assert res["n"] == len(v)
+        assert res["rounds"] >= 2  # forced the multi-round path
+
+
+def test_exact_global_kth_bounds(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.relational import (
+        exact_global_kth)
+
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array(np.array([3, 1, 2], dtype=np.int64))}))
+    assert exact_global_kth(ds, "v", 1)["value"] == 1
+    assert exact_global_kth(ds, "v", 3)["value"] == 3
+    with pytest.raises(ValueError):
+        exact_global_kth(ds, "v", 0)
+    with pytest.raises(ValueError):
+        exact_global_kth(ds, "v", 4)
