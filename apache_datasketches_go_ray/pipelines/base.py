@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import time
 
 import ray.data
@@ -23,6 +24,10 @@ class CheckpointedPipeline:
         self._config_dict = config_dict
         self.ckpt = checkpoint_dir
         self.metrics: dict = {"stages": {}, "config": config_dict}
+        # independent stages may materialize from concurrent driver
+        # threads (see DedupPipeline.run); manifest read-modify-write
+        # must not lose updates
+        self._manifest_lock = threading.Lock()
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -61,8 +66,9 @@ class CheckpointedPipeline:
         fp = self._fingerprint(name, upstream_fp)
         t0 = time.time()
         if self.ckpt:
-            man = self._load_manifest()
-            ent = man["stages"].get(name)
+            with self._manifest_lock:
+                man = self._load_manifest()
+                ent = man["stages"].get(name)
             out_dir = os.path.join(self.ckpt, name)
             if ent and ent.get("complete") and ent.get("fingerprint") == fp \
                     and os.path.isdir(out_dir):
@@ -80,12 +86,13 @@ class CheckpointedPipeline:
                 # (empty) in-memory result and let a resume rebuild it
                 ds = ds.materialize()
             rows = ds.count()
-            man = self._load_manifest()
-            man["stages"][name] = {
-                "complete": True, "fingerprint": fp, "rows": rows,
-                "sec": round(time.time() - t0, 3),
-            }
-            self._save_manifest(man)
+            with self._manifest_lock:
+                man = self._load_manifest()
+                man["stages"][name] = {
+                    "complete": True, "fingerprint": fp, "rows": rows,
+                    "sec": round(time.time() - t0, 3),
+                }
+                self._save_manifest(man)
         elif materialize:
             ds = build().materialize()
             rows = ds.count()
