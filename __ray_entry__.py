@@ -9315,6 +9315,63 @@ def _q_global_median_value(sf_dir: str):
     })
 
 
+def _q_user_active_time(sf_dir: str):
+    """Interval-union coverage (gaps-and-islands): each event opens a
+    10-minute activity window; per user, merge overlapping/touching
+    windows into islands and report the island count and total covered
+    microseconds. One user-keyed shuffle, then a fully segmented
+    in-block kernel (lexsort + grouped running max) — the classic
+    'total active time from overlapping sessions' operator."""
+    import pandas as pd
+    import pyarrow as pa
+
+    SPAN_US = 600_000_000  # 10 min
+
+    _empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "n_islands": pa.array([], type=pa.int64()),
+        "active_us": pa.array([], type=pa.int64()),
+    })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        e = s + SPAN_US
+        order = np.lexsort((e, s, u))
+        u, s, e = u[order], s[order], e[order]
+        df = pd.DataFrame({"u": u, "e": e})
+        cme = df.groupby("u", sort=False)["e"].cummax()
+        pmax = cme.groupby(df["u"], sort=False).shift(1).to_numpy()
+        start = np.isnan(pmax) | (s > np.nan_to_num(pmax,
+                                                    nan=-np.inf))
+        island = np.cumsum(start) - 1
+        # per-island bounds: first row is the island's min s (sorted),
+        # island end is the max e = cummax at the island's last row
+        isl_start_s = s[start]
+        last_of_island = np.concatenate([start[1:], [True]])
+        isl_end_e = cme.to_numpy()[last_of_island]
+        isl_user = u[start]
+        cover = isl_end_e - isl_start_s
+        uu, inv = np.unique(isl_user, return_inverse=True)
+        tot = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(tot, inv, cover.astype(np.int64))
+        cnt = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_islands": pa.array(cnt),
+            "active_us": pa.array(tot),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .repartition(16, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -9518,6 +9575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_state_scd2": _q_user_state_scd2,
         "order_skyline": _q_order_skyline,
         "global_median_value": _q_global_median_value,
+        "user_active_time": _q_user_active_time,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -13001,6 +13059,30 @@ def oracle_sql() -> dict[str, str]:
                     LIMIT 1 OFFSET ((SELECT n_rows FROM n) + 1) // 2 - 1)
                      AS median_cents
             FROM n
+        """,
+        "user_active_time": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 600000000 AS e
+              FROM events),
+            o AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pmax
+              FROM iv),
+            f AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+                            THEN 1 ELSE 0 END AS st FROM o),
+            g AS (SELECT *, sum(st) OVER (PARTITION BY user_id
+                    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+                  FROM f),
+            isl AS (SELECT user_id, island, min(s) AS st_s,
+                           max(e) AS en_e
+                    FROM g GROUP BY 1, 2)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   count(*) AS n_islands,
+                   CAST(sum(en_e - st_s) AS BIGINT) AS active_us
+            FROM isl GROUP BY 1
         """,
     }
 

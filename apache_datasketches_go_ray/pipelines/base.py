@@ -19,6 +19,49 @@ import time
 import ray.data
 
 
+def _stabilize_fsspec_http_import() -> None:
+    """Make ``from fsspec.implementations.http import HTTPFileSystem``
+    deterministic under concurrent driver threads.
+
+    Ray's path resolution probes that import on EVERY read/write
+    (ray/data/datasource/path_util._is_http_filesystem) and handles
+    ``ModuleNotFoundError``. When aiohttp is absent the probe fails on
+    every call, and two driver threads resolving paths concurrently can
+    race CPython's partially-initialized-module state, turning the
+    error into ``ImportError: cannot import name 'HTTPFileSystem'`` —
+    which escapes Ray's except clause and kills one branch. Install a
+    minimal stub module once so the import always succeeds; the stub
+    class is never an fsspec filesystem instance, so the probe still
+    returns False for every real filesystem. No-op when the real
+    import works (aiohttp installed)."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ImportError:
+        pass
+    except Exception:
+        return
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # placeholder only; never instantiated
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    try:
+        import fsspec.implementations as _fi
+
+        _fi.http = mod
+    except Exception:
+        pass
+
+
+_stabilize_fsspec_http_import()
+
+
 class CheckpointedPipeline:
     def __init__(self, config_dict: dict, checkpoint_dir: str | None = None):
         self._config_dict = config_dict
