@@ -9372,6 +9372,104 @@ def _q_user_active_time(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_lang_length_gini(sf_dir: str):
+    """Inequality statistics: per-language Gini coefficient of document
+    lengths, exactly, via the sorted-prefix-sum identity
+    G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) — the numerator
+    and denominator are exact int64, the ppm ratio is one deterministic
+    double division. One lang-keyed shuffle + in-block sort; the rank
+    weights make this a genuinely order-dependent grouped statistic
+    (unlike sums/moments) yet it still folds per group locally."""
+    import pyarrow as pa
+
+    _empty = pa.table({
+        "lang": pa.array([], type=pa.string()),
+        "n_docs": pa.array([], type=pa.int64()),
+        "gini_ppm": pa.array([], type=pa.int64()),
+    })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        lang = b.column("lang").to_pylist()
+        x = b.column("n_chars").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(np.asarray(lang), return_inverse=True)
+        order = np.lexsort((x, inv))
+        xi, gi = x[order], inv[order]
+        # per-group 1-based rank of the sorted values
+        first = np.concatenate([[True], gi[1:] != gi[:-1]])
+        idx = np.arange(len(gi), dtype=np.int64)
+        gstart = np.zeros(len(gi), dtype=np.int64)
+        gstart[first] = idx[first]
+        np.maximum.accumulate(gstart, out=gstart)
+        rank = idx - gstart + 1
+        n = np.bincount(gi, minlength=len(uk)).astype(np.int64)
+        sx = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sx, gi, xi)
+        srx = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(srx, gi, rank * xi)
+        num = 2 * srx - (n + 1) * sx
+        den = n * sx
+        ppm = np.floor(num.astype(np.float64) * 1_000_000.0
+                       / den.astype(np.float64) + 0.5).astype(np.int64)
+        return pa.table({
+            "lang": pa.array([str(k) for k in uk], type=pa.string()),
+            "n_docs": pa.array(n),
+            "gini_ppm": pa.array(ppm),
+        })
+
+    return (_read(sf_dir, "documents", ["lang", "n_chars"])
+            .repartition(8, keys=["lang"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_totalprice_first_digit(sf_dir: str):
+    """Benford screen: distribution of the leading digit of order total
+    prices (in cents), with each digit's observed share in ppm — the
+    standard fraud/synthetic-data smoke test. Digit extraction is an
+    exact integer loop on magnitudes (no float log), combined per block
+    and folded once."""
+    import pyarrow as pa
+
+    def partial(b):
+        ep = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        v = np.floor(ep * 100 + 0.5).astype(np.int64)
+        v = np.abs(v)
+        # strip trailing magnitudes: at most 19 halvings of magnitude
+        while True:
+            big = v >= 10
+            if not big.any():
+                break
+            v[big] //= 10
+        counts = np.bincount(v, minlength=10).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()],
+                                            type=pa.large_binary())})
+
+    def fold(b):
+        tot = np.zeros(10, dtype=np.int64)
+        for row in b.column("counts").to_pylist():
+            tot += np.frombuffer(row, dtype=np.int64)[:10]
+        digits = np.arange(1, 10, dtype=np.int64)
+        n = tot.sum()
+        share = np.floor(tot[1:].astype(np.float64) * 1_000_000.0
+                         / float(n) + 0.5).astype(np.int64)
+        keep = tot[1:] > 0  # mirror SQL GROUP BY: absent digits absent
+        return pa.table({
+            "digit": pa.array(digits[keep]),
+            "n_orders": pa.array(tot[1:][keep]),
+            "share_ppm": pa.array(share[keep]),
+        })
+
+    return (_read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -9576,6 +9674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": _q_order_skyline,
         "global_median_value": _q_global_median_value,
         "user_active_time": _q_user_active_time,
+        "lang_length_gini": _q_lang_length_gini,
+        "totalprice_first_digit": _q_totalprice_first_digit,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -13083,6 +13183,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_islands,
                    CAST(sum(en_e - st_s) AS BIGINT) AS active_us
             FROM isl GROUP BY 1
+        """,
+        "lang_length_gini": """
+            WITH r AS (
+              SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rk
+              FROM documents),
+            g AS (SELECT lang, count(*) AS n_docs, sum(x) AS sx,
+                         sum(rk * x) AS srx
+                  FROM r GROUP BY lang)
+            SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(floor(CAST(2 * srx - (n_docs + 1) * sx AS DOUBLE)
+                        * 1000000.0 / CAST(n_docs * sx AS DOUBLE) + 0.5)
+                        AS BIGINT) AS gini_ppm
+            FROM g
+        """,
+        "totalprice_first_digit": """
+            WITH d AS (
+              SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100
+                       + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit
+              FROM orders),
+            n AS (SELECT count(*) AS n_total FROM d)
+            SELECT digit, count(*) AS n_orders,
+                   CAST(floor(CAST(count(*) AS DOUBLE) * 1000000.0
+                        / (SELECT CAST(n_total AS DOUBLE) FROM n) + 0.5)
+                        AS BIGINT) AS share_ppm
+            FROM d GROUP BY digit
         """,
     }
 
