@@ -9470,6 +9470,68 @@ def _q_totalprice_first_digit(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_supplier_abc_classes(sf_dir: str):
+    """ABC (Pareto 80/20) inventory analysis: rank suppliers by exact
+    revenue cents, take cumulative share of the grand total, and class
+    them A (first 70%), B (to 90%), C (rest) — ties broken by suppkey
+    so the classing is deterministic. Per-block suppkey partials fold
+    to one bounded row-per-supplier table; the cumulative pass is a
+    sort + cumsum over that small fold, never over the fact table."""
+    import pyarrow as pa
+
+    def partial(b):
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        t = pa.table({
+            "s_suppkey": b.column("l_suppkey").cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+        g = t.group_by(["s_suppkey"]).aggregate([("cents", "sum")])
+        return pa.table({
+            "s_suppkey": g.column("s_suppkey"),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    _empty = pa.table({
+        "s_suppkey": pa.array([], type=pa.int64()),
+        "revenue_cents": pa.array([], type=pa.int64()),
+        "cum_share_ppm": pa.array([], type=pa.int64()),
+        "abc_class": pa.array([], type=pa.string()),
+    })
+
+    def fold(b):
+        if len(b) == 0:
+            return _empty
+        g = b.group_by(["s_suppkey"]).aggregate([("cents", "sum")])
+        sk = g.column("s_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = g.column("cents_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((sk, -cents))
+        sk, cents = sk[order], cents[order]
+        tot = cents.sum()
+        cum = np.cumsum(cents)
+        ppm = np.floor(cum.astype(np.float64) * 1_000_000.0
+                       / float(tot) + 0.5).astype(np.int64)
+        cls = np.where(ppm <= 700_000, "A",
+                       np.where(ppm <= 900_000, "B", "C"))
+        return pa.table({
+            "s_suppkey": pa.array(sk),
+            "revenue_cents": pa.array(cents),
+            "cum_share_ppm": pa.array(ppm),
+            "abc_class": pa.array(cls.tolist(), type=pa.string()),
+        })
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_extendedprice", "l_discount"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -9676,6 +9738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_time": _q_user_active_time,
         "lang_length_gini": _q_lang_length_gini,
         "totalprice_first_digit": _q_totalprice_first_digit,
+        "supplier_abc_classes": _q_supplier_abc_classes,
         # rows-only operators: murmur-substrate / approximate /
         # synthetic-payload queries (no SQL equivalent); the flagship
         # transcript_dedup_clusters is registered up top inside the gate
@@ -13211,6 +13274,32 @@ def oracle_sql() -> dict[str, str]:
                         / (SELECT CAST(n_total AS DOUBLE) FROM n) + 0.5)
                         AS BIGINT) AS share_ppm
             FROM d GROUP BY digit
+        """,
+        "supplier_abc_classes": """
+            WITH r AS (
+              SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+                     sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                         * 100 + 0.5) AS BIGINT)) AS revenue_cents
+              FROM lineitem GROUP BY 1),
+            c AS (
+              SELECT s_suppkey, revenue_cents,
+                     sum(revenue_cents) OVER (
+                       ORDER BY revenue_cents DESC, s_suppkey
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(revenue_cents) OVER () AS tot
+              FROM r)
+            SELECT s_suppkey, CAST(revenue_cents AS BIGINT)
+                     AS revenue_cents,
+                   CAST(floor(CAST(cum AS DOUBLE) * 1000000.0
+                        / CAST(tot AS DOUBLE) + 0.5) AS BIGINT)
+                     AS cum_share_ppm,
+                   CASE WHEN floor(CAST(cum AS DOUBLE) * 1000000.0
+                          / CAST(tot AS DOUBLE) + 0.5) <= 700000
+                        THEN 'A'
+                        WHEN floor(CAST(cum AS DOUBLE) * 1000000.0
+                          / CAST(tot AS DOUBLE) + 0.5) <= 900000
+                        THEN 'B' ELSE 'C' END AS abc_class
+            FROM c
         """,
     }
 
