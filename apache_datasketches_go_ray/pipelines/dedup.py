@@ -72,15 +72,22 @@ class DedupPipeline(CheckpointedPipeline):
         )
         # pairs stay band-deduped only; the (a, b) dedup happens for free
         # inside verify's first co-partition join (saves one all-to-all)
-        if cfg.turn_block:
-            # the band-pair branch (from signatures) and the exact
-            # turn-collision branch (from the raw transcripts,
-            # stages/turnblock.py) are independent; materialize them
-            # from two driver threads so their shuffles overlap —
-            # neither saturates the cluster alone (measured 11.7s
-            # sequential -> ~7s overlapped at sf0.1/32 CPUs). Each
-            # thread owns its own stages; the manifest lock in
-            # CheckpointedPipeline serializes bookkeeping.
+        # the band-pair branch (from signatures) and the exact
+        # turn-collision branch (from the raw transcripts,
+        # stages/turnblock.py) are independent; on a session with
+        # enough CPUs, materialize them from two driver threads so
+        # their shuffles overlap — neither saturates the cluster alone
+        # (measured 11.7s sequential -> ~7s overlapped at sf0.1/32
+        # CPUs). On SMALL sessions (< 8 CPUs) two concurrent
+        # hash-shuffle executions starve each other's shuffle
+        # aggregators (measured: the 4-CPU scaling leg crawled at load
+        # 0.85), so fall back to sequential there. Each thread owns its
+        # own stages; the manifest lock serializes bookkeeping.
+        try:
+            _ncpu = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            _ncpu = 0
+        if cfg.turn_block and _ncpu >= 8:
             import concurrent.futures as _fut
 
             fp_sig = fp
@@ -112,6 +119,24 @@ class DedupPipeline(CheckpointedPipeline):
                 turn_pairs, fp_turn = f_turn.result()
             pairs = pairs.union(turn_pairs)
             fp = fp_pairs + fp_turn  # downstream depends on BOTH branches
+        elif cfg.turn_block:
+            # sequential small-session path: SAME stage names and
+            # fingerprint chain as the threaded path so checkpoints
+            # written at one parallelism resume at any other
+            fp_sig = fp
+            pairs, fp_pairs = self._stage(
+                "pairs", fp_sig,
+                lambda: candidate_pairs(signatures, cfg, dedup=False))
+            turn_hashes, fp_th = self._stage(
+                "turn_hashes", fp_sig,
+                lambda: turn_hash_dataset(transcripts_ds, cfg),
+                materialize=False,
+            )
+            turn_pairs, fp_turn = self._stage(
+                "turn_pairs", fp_th,
+                lambda: pairs_from_hashes(turn_hashes, cfg))
+            pairs = pairs.union(turn_pairs)
+            fp = fp_pairs + fp_turn
         else:
             pairs, fp = self._stage(
                 "pairs", fp,
