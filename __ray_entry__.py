@@ -9615,6 +9615,495 @@ def _q_source_simpson_diversity(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_part_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-shaped min-cost supplier per part (no partsupp table in
+    the driver schema, so "cost" is the supplier's account balance and
+    eligibility is "has shipped the part"): for every part with
+    p_size >= 45, pick the supplier with the minimum s_acctbal (ties:
+    min s_suppkey) among suppliers appearing on the part's lineitems.
+    Distributed shape: broadcast the filtered part dim, distinct
+    (partkey, suppkey) per block, partkey-keyed shuffle, per-part argmin
+    fold against the broadcast supplier dim."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import (auto_partitions,
+                                                           gather_table)
+
+    part = gather_table(_read(sf_dir, "part",
+                              ["p_partkey", "p_name", "p_size"]))
+    part = part.filter(pc.greater_equal(part.column("p_size"), 45))
+    pnames = {int(k): n for k, n in zip(
+        part.column("p_partkey").to_pylist(),
+        part.column("p_name").to_pylist())}
+
+    sup = gather_table(_read(sf_dir, "supplier",
+                             ["s_suppkey", "s_name", "s_acctbal"]))
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    sbal = np.floor(sup.column("s_acctbal").to_numpy(zero_copy_only=False)
+                    * 100 + 0.5).astype(np.int64)
+    smax = int(skeys.max()) + 1 if len(skeys) else 1
+    bal_lut = np.zeros(smax, dtype=np.int64)
+    bal_lut[skeys] = sbal
+    name_lut = {int(k): n for k, n in zip(
+        skeys, sup.column("s_name").to_pylist())}
+    keep = frozenset(pnames)
+
+    def pairs(b):
+        pk = b.column("l_partkey").cast(pa.int64())
+        sk = b.column("l_suppkey").cast(pa.int64())
+        t = pa.table({"p_partkey": pk, "s_suppkey": sk})
+        mask = pc.is_in(pk, value_set=pa.array(sorted(keep),
+                                               type=pa.int64()))
+        t = t.filter(mask)
+        # in-block distinct kills the fan-in before the shuffle
+        return t.group_by(["p_partkey", "s_suppkey"]).aggregate([])
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "p_partkey": pa.array([], type=pa.int64()),
+                "p_name": pa.array([], type=pa.string()),
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "acctbal_cents": pa.array([], type=pa.int64()),
+            })
+        t = b.group_by(["p_partkey", "s_suppkey"]).aggregate([])
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = t.column("s_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bal = bal_lut[sk]
+        # argmin per part on (acctbal_cents, s_suppkey)
+        order = np.lexsort((sk, bal, pk))
+        pk, sk, bal = pk[order], sk[order], bal[order]
+        first = np.ones(len(pk), dtype=bool)
+        first[1:] = pk[1:] != pk[:-1]
+        pk, sk, bal = pk[first], sk[first], bal[first]
+        return pa.table({
+            "p_partkey": pa.array(pk),
+            "p_name": pa.array([pnames[int(k)] for k in pk],
+                               type=pa.string()),
+            "s_suppkey": pa.array(sk),
+            "s_name": pa.array([name_lut[int(k)] for k in sk],
+                               type=pa.string()),
+            "acctbal_cents": pa.array(bal),
+        })
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    P = auto_partitions(len(keep), 10_000, 16)
+    return (line.map_batches(pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .repartition(P, keys=["p_partkey"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("p_partkey"))
+
+
+def _q_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9-shaped profit report (no partsupp/supplycost in the
+    driver schema, so profit is plain discounted revenue): exact cents
+    of sum(l_extendedprice*(1-l_discount)) for parts whose name
+    contains 'gear', grouped by the supplier's nation and the ORDER
+    year. Part + supplier + nation dims broadcast; the one genuinely
+    wide step (attaching o_orderdate) is the engine hash_join on
+    orderkey."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    part = gather_table(_read(sf_dir, "part", ["p_partkey", "p_name"]))
+    gear = part.filter(pc.match_substring(part.column("p_name"), "gear"))
+    gkeys = pa.array(sorted(gear.column("p_partkey").to_pylist()),
+                     type=pa.int64())
+
+    sup = gather_table(_read(sf_dir, "supplier",
+                             ["s_suppkey", "s_nationkey"]))
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nat_lut = np.zeros(int(sk.max()) + 1 if len(sk) else 1, dtype=np.int64)
+    nat_lut[sk] = snat
+    nat = gather_table(_read(sf_dir, "nation", None))
+    nnames = {int(k): n for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}
+
+    def prep_line(b):
+        m = pc.is_in(b.column("l_partkey").cast(pa.int64()),
+                     value_set=gkeys)
+        t = b.filter(m)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        skey = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "nationkey": pa.array(nat_lut[skey]),
+            "cents": pa.array(cents),
+        })
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"]) \
+        .map_batches(prep_line, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(line, orders, on=("l_orderkey", "o_orderkey"))
+
+    def partial(b):
+        g = b.group_by(["nationkey", "o_year"]).aggregate([("cents",
+                                                            "sum")])
+        return pa.table({
+            "nationkey": g.column("nationkey").cast(pa.int64()),
+            "o_year": g.column("o_year").cast(pa.int64()),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "nation": pa.array([], type=pa.string()),
+                "o_year": pa.array([], type=pa.int64()),
+                "profit_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["nationkey", "o_year"]).aggregate([("cents",
+                                                            "sum")])
+        nk = g.column("nationkey").to_pylist()
+        return pa.table({
+            "nation": pa.array([nnames[int(k)] for k in nk],
+                               type=pa.string()),
+            "o_year": g.column("o_year").cast(pa.int64()),
+            "profit_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    return (j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort(["nation", "o_year"]))
+
+
+def _q_important_parts(sf_dir: str):
+    """TPC-H Q11-shaped "important stock" scan (value = shipped
+    extended price instead of partsupp supplycost*availqty): per-part
+    revenue cents, keeping parts whose value exceeds 150% of the mean
+    per-part value — the HAVING threshold applied as the exact integer
+    cross-multiplication 2 * value_cents * n_parts > 3 * total_cents
+    (scale-free, unlike an absolute share cutoff), so no float
+    division can diverge between engines. Per-block partials bound the
+    shuffle to #parts rows; the final fold sees the (bounded) per-part
+    table in one block and applies the global threshold there."""
+    import pyarrow as pa
+
+    def partial(b):
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * 100 + 0.5).astype(np.int64)
+        t = pa.table({
+            "p_partkey": b.column("l_partkey").cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+        g = t.group_by(["p_partkey"]).aggregate([("cents", "sum")])
+        return pa.table({
+            "p_partkey": g.column("p_partkey"),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "p_partkey": pa.array([], type=pa.int64()),
+                "value_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["p_partkey"]).aggregate([("cents", "sum")])
+        v = g.column("cents_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        total = int(v.sum())
+        keep = 2 * v * len(v) > 3 * total
+        return pa.table({
+            "p_partkey": pa.array(
+                g.column("p_partkey").to_numpy(zero_copy_only=False)
+                .astype(np.int64)[keep]),
+            "value_cents": pa.array(v[keep]),
+        })
+
+    return (_read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("p_partkey"))
+
+
+def _q_priority_by_quantity_band(sf_dir: str):
+    """TPC-H Q12-shaped priority split (no l_shipmode in the driver
+    schema, so the banding column is a quantity band): lineitems
+    shipped in 1996-1997 are banded HIGH-QTY (>= 25) / LOW-QTY, and per
+    band we count lines whose order priority is urgent/high vs the
+    rest. The order-priority flag rides the engine hash_join on
+    orderkey; counts are exact int64."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.join import hash_join
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def prep_line(b):
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi))
+        t = b.filter(m)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        band = np.where(qty >= 25.0, "HIGH-QTY", "LOW-QTY")
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "band": pa.array(band, type=pa.string()),
+        })
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(prep_line, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "is_high": pc.is_in(
+                b.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"])).cast(
+                    pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(line, orders, on=("l_orderkey", "o_orderkey"))
+
+    def partial(b):
+        hi_ = b.column("is_high")
+        lo_ = pc.subtract(pa.scalar(1, type=pa.int64()), hi_)
+        t = pa.table({"band": b.column("band"), "h": hi_, "l": lo_})
+        g = t.group_by(["band"]).aggregate([("h", "sum"), ("l", "sum")])
+        return pa.table({
+            "band": g.column("band"),
+            "h": g.column("h_sum").cast(pa.int64()),
+            "l": g.column("l_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "band": pa.array([], type=pa.string()),
+                "high_line_count": pa.array([], type=pa.int64()),
+                "low_line_count": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["band"]).aggregate([("h", "sum"), ("l", "sum")])
+        return pa.table({
+            "band": g.column("band"),
+            "high_line_count": g.column("h_sum").cast(pa.int64()),
+            "low_line_count": g.column("l_sum").cast(pa.int64()),
+        })
+
+    return (j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("band"))
+
+
+def _q_brand_excess_suppliers(sf_dir: str):
+    """TPC-H Q20-shaped excess-supplier scan (no partsupp availqty, so
+    "excess" is shipped volume): suppliers whose 1996 shipped quantity
+    of Brand#21 parts exceeds 150% of that brand-year's average
+    per-supplier quantity. The threshold is the exact integer
+    cross-multiplication 2 * qty_i * n_suppliers > 3 * total_qty.
+    Brand part set broadcast; per-supplier partials bound the shuffle
+    to #suppliers rows."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+
+    part = gather_table(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
+    bk = part.filter(pc.equal(part.column("p_brand"), "Brand#21"))
+    bkeys = pa.array(sorted(bk.column("p_partkey").to_pylist()),
+                     type=pa.int64())
+    sup = gather_table(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    names = {int(k): n for k, n in zip(
+        sup.column("s_suppkey").to_pylist(),
+        sup.column("s_name").to_pylist())}
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def partial(b):
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi)),
+            pc.is_in(b.column("l_partkey").cast(pa.int64()),
+                     value_set=bkeys))
+        t = b.filter(m)
+        qty = np.floor(t.column("l_quantity")
+                       .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        tt = pa.table({
+            "s_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "qty": pa.array(qty),
+        })
+        g = tt.group_by(["s_suppkey"]).aggregate([("qty", "sum")])
+        return pa.table({
+            "s_suppkey": g.column("s_suppkey"),
+            "qty": g.column("qty_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "shipped_qty": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["s_suppkey"]).aggregate([("qty", "sum")])
+        q = g.column("qty_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        total = int(q.sum())
+        n = len(q)
+        keep = 2 * q * n > 3 * total
+        sk = g.column("s_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        return pa.table({
+            "s_suppkey": pa.array(sk),
+            "s_name": pa.array([names[int(k)] for k in sk],
+                               type=pa.string()),
+            "shipped_qty": pa.array(q[keep]),
+        })
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("s_suppkey"))
+
+
+def _q_late_sole_suppliers(sf_dir: str):
+    """TPC-H Q21-shaped "sole late supplier" count (no commit/receipt
+    dates in the driver schema, so lateness = being the unique last
+    shipper): for every order with >= 2 distinct suppliers where
+    exactly one supplier shipped on the order's max shipdate, charge
+    that supplier one wait. Orderkey-keyed shuffle co-locates each
+    order's lines; the per-block fold is pure vectorized numpy
+    (lexsort + run boundaries); supplier names broadcast at the end."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.context import (auto_partitions,
+                                                           gather_table)
+
+    sup = gather_table(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    names = {int(k): n for k, n in zip(
+        sup.column("s_suppkey").to_pylist(),
+        sup.column("s_name").to_pylist())}
+
+    def prep(b):
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+            "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+            "ship_us": b.column("l_shipdate").cast(pa.int64()),
+        })
+
+    def per_order(b):
+        if len(b) == 0:
+            return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                             "waits": pa.array([], type=pa.int64())})
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        ts = b.column("ship_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ts, ok))
+        ok, sk, ts = ok[order], sk[order], ts[order]
+        n = len(ok)
+        start = np.ones(n, dtype=bool)
+        start[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(start)
+        ends = np.append(starts[1:], n)
+        # per order: max ts (last row of the sorted run), distinct
+        # suppliers overall, distinct suppliers at the max ts
+        mx = ts[ends - 1]
+        # distinct suppliers per order: count supplier changes within runs
+        supp_sorted = np.lexsort((ts, sk, ok))
+        ok2, sk2 = ok[supp_sorted], sk[supp_sorted]
+        new_pair = np.ones(n, dtype=bool)
+        new_pair[1:] = (ok2[1:] != ok2[:-1]) | (sk2[1:] != sk2[:-1])
+        nsupp = np.add.reduceat(new_pair.astype(np.int64), starts)
+        # rows at the order max ts
+        mx_per_row = np.repeat(mx, ends - starts)
+        at_max = ts == mx_per_row
+        okm, skm = ok[at_max], sk[at_max]
+        # distinct suppliers among max rows, per order
+        om = np.lexsort((skm, okm))
+        okm, skm = okm[om], skm[om]
+        newm = np.ones(len(okm), dtype=bool)
+        newm[1:] = (okm[1:] != okm[:-1]) | (skm[1:] != skm[:-1])
+        okm_d, skm_d = okm[newm], skm[newm]
+        startm = np.ones(len(okm_d), dtype=bool)
+        startm[1:] = okm_d[1:] != okm_d[:-1]
+        startsm = np.flatnonzero(startm)
+        endsm = np.append(startsm[1:], len(okm_d))
+        nmax = endsm - startsm
+        # orders qualifying: >=2 suppliers total, exactly 1 at the max
+        qual = (nsupp >= 2) & (nmax == 1)
+        winners = skm_d[startsm[qual]]
+        if len(winners) == 0:
+            return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                             "waits": pa.array([], type=pa.int64())})
+        uk, cnt = np.unique(winners, return_counts=True)
+        return pa.table({"s_suppkey": pa.array(uk.astype(np.int64)),
+                         "waits": pa.array(cnt.astype(np.int64))})
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "numwait": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["s_suppkey"]).aggregate([("waits", "sum")])
+        sk = g.column("s_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "s_suppkey": pa.array(sk),
+            "s_name": pa.array([names[int(k)] for k in sk],
+                               type=pa.string()),
+            "numwait": g.column("waits_sum").cast(pa.int64()),
+        })
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    n_rows = line.count()
+    P = auto_partitions(n_rows, 200_000, 32)
+    return (line.repartition(P, keys=["l_orderkey"])
+            .map_batches(per_order, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("s_suppkey"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -9900,6 +10389,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_pair_jaccard_histogram": _q_dup_pair_jaccard_histogram,
         "bpe_encode_counts": _q_bpe_encode_counts,
         "transcript_decontaminate": _q_transcript_decontaminate,
+        # round-4: the TPC-H shape completion tail (Q2/Q9/Q11/Q12/Q20/
+        # Q21 variants over the driver's partsupp-less schema), all
+        # SQL-oracled
+        "part_min_cost_supplier": _q_part_min_cost_supplier,
+        "profit_by_nation_year": _q_profit_by_nation_year,
+        "important_parts": _q_important_parts,
+        "priority_by_quantity_band": _q_priority_by_quantity_band,
+        "brand_excess_suppliers": _q_brand_excess_suppliers,
+        "late_sole_suppliers": _q_late_sole_suppliers,
     }
 
 
@@ -13400,6 +13898,94 @@ def oracle_sql() -> dict[str, str]:
                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
                         + 0.5) AS BIGINT) AS simpson_ppm
             FROM s
+        """,
+        "part_min_cost_supplier": """
+            WITH p AS (SELECT p_partkey, p_name FROM part
+                       WHERE p_size >= 45),
+            ps AS (SELECT DISTINCT l_partkey AS p_partkey,
+                          CAST(l_suppkey AS BIGINT) AS s_suppkey
+                   FROM lineitem JOIN p ON p_partkey = l_partkey),
+            j AS (SELECT ps.p_partkey, ps.s_suppkey, s.s_name,
+                         CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+                           AS acctbal_cents
+                  FROM ps JOIN supplier s ON s.s_suppkey = ps.s_suppkey),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY p_partkey
+                    ORDER BY acctbal_cents, s_suppkey) AS rn FROM j)
+            SELECT CAST(r.p_partkey AS BIGINT) AS p_partkey, p.p_name,
+                   r.s_suppkey, r.s_name, r.acctbal_cents
+            FROM r JOIN p USING (p_partkey) WHERE rn = 1
+        """,
+        "profit_by_nation_year": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                       * 100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "important_parts": """
+            WITH v AS (
+              SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+                     sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                         AS BIGINT)) AS value_cents
+              FROM lineitem GROUP BY 1)
+            SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents
+            FROM v
+            WHERE 2 * value_cents * (SELECT count(*) FROM v)
+                  > 3 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM v)
+        """,
+        "priority_by_quantity_band": """
+            SELECT CASE WHEN l_quantity >= 25 THEN 'HIGH-QTY'
+                        ELSE 'LOW-QTY' END AS band,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                       AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                       AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "brand_excess_suppliers": """
+            WITH q AS (
+              SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+                     CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                          AS BIGINT) AS qty
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#21'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1),
+            tot AS (SELECT sum(qty) AS total, count(*) AS n FROM q)
+            SELECT q.s_suppkey, s.s_name, q.qty AS shipped_qty
+            FROM q JOIN supplier s ON s.s_suppkey = q.s_suppkey, tot
+            WHERE 2 * q.qty * tot.n > 3 * tot.total
+        """,
+        "late_sole_suppliers": """
+            WITH l AS (SELECT l_orderkey,
+                              CAST(l_suppkey AS BIGINT) AS s_suppkey,
+                              l_shipdate
+                       FROM lineitem),
+            o AS (SELECT l_orderkey, max(l_shipdate) AS mx,
+                         count(DISTINCT s_suppkey) AS ns
+                  FROM l GROUP BY 1),
+            m AS (SELECT DISTINCT l.l_orderkey, l.s_suppkey
+                  FROM l JOIN o USING (l_orderkey)
+                  WHERE l.l_shipdate = o.mx AND o.ns >= 2),
+            sole AS (SELECT l_orderkey, min(s_suppkey) AS s_suppkey
+                     FROM m GROUP BY 1 HAVING count(*) = 1)
+            SELECT sole.s_suppkey, s.s_name,
+                   count(*) AS numwait
+            FROM sole JOIN supplier s ON s.s_suppkey = sole.s_suppkey
+            GROUP BY 1, 2
         """,
     }
 
