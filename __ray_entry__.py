@@ -10104,6 +10104,116 @@ def _q_late_sole_suppliers(sf_dir: str):
             .sort("s_suppkey"))
 
 
+def _q_skew_join_segment_value(sf_dir: str):
+    """Skew-aware join showcase: events ⋈ customer on user_id, hot user
+    keys detected by the distributed frequent-items pass and routed
+    around the shuffle (broadcast of the matching customer rows), cold
+    keys through the standard co-partition join — then per-mktsegment
+    event counts and exact value cents. min_hot_frac is set low enough
+    that the hot path genuinely engages on the driver tables (top users
+    hold ~0.9% of events), so both routes are exercised and the result
+    must still equal the plain SQL join."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.join import skew_join
+
+    def prep_events(b):
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    ev = _read(sf_dir, "events", ["user_id", "value"]) \
+        .map_batches(prep_events, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: pa.table({
+            "c_custkey": b.column("c_custkey").cast(pa.int64()),
+            "c_mktsegment": b.column("c_mktsegment"),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    j = skew_join(ev, cust, on=("user_id", "c_custkey"),
+                  min_hot_frac=0.005)
+
+    def partial(b):
+        t = pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "cents": b.column("cents"),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("cents", "sum"), ("one", "sum")])
+        return pa.table({
+            "c_mktsegment": g.column("c_mktsegment"),
+            "cents": g.column("cents_sum").cast(pa.int64()),
+            "n": g.column("one_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "c_mktsegment": pa.array([], type=pa.string()),
+                "n_events": pa.array([], type=pa.int64()),
+                "value_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["c_mktsegment"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        return pa.table({
+            "c_mktsegment": g.column("c_mktsegment"),
+            "n_events": g.column("n_sum").cast(pa.int64()),
+            "value_cents": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    return (j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("c_mktsegment"))
+
+
+def _q_sketch_blob_langs_by_source(sf_dir: str):
+    """Sketch-column persistence round-trip — the DataSketches
+    data-mart pattern the reference's wire format exists for: per-source
+    HLL sketches of the lang column are built distributed, serialized
+    in the reference wire format (serde_compat.write_hll — bit-exact vs
+    the Go/Java/C++ goldens), WRITTEN TO PARQUET, read back in a second
+    pipeline, merged per key at the wire level, and finalized. Exact
+    here because per-source language cardinality keeps every sketch in
+    coupon (LIST/SET) mode; SQL-checked vs count(DISTINCT lang)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        hll_wire_estimate, hll_wire_sketch_column_by)
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/adgr_sketchcol/{tier}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    col = hll_wire_sketch_column_by(docs, "source", "lang", lg_k=12)
+    col.write_parquet(out_dir)
+
+    back = ray.data.read_parquet(out_dir)
+    est = hll_wire_estimate(back, "source", out_col="est")
+
+    def fin(b):
+        e = b.column("est").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b.column("source"),
+            "n_langs": pa.array(np.floor(e + 0.5).astype(np.int64)),
+        })
+
+    return (est.map_batches(fin, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort("source"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -10398,6 +10508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_by_quantity_band": _q_priority_by_quantity_band,
         "brand_excess_suppliers": _q_brand_excess_suppliers,
         "late_sole_suppliers": _q_late_sole_suppliers,
+        "skew_join_segment_value": _q_skew_join_segment_value,
+        "sketch_blob_langs_by_source": _q_sketch_blob_langs_by_source,
     }
 
 
@@ -13986,6 +14098,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS numwait
             FROM sole JOIN supplier s ON s.s_suppkey = sole.s_suppkey
             GROUP BY 1, 2
+        """,
+        "skew_join_segment_value": """
+            SELECT c_mktsegment,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events JOIN customer ON c_custkey = user_id
+            GROUP BY 1
+        """,
+        "sketch_blob_langs_by_source": """
+            SELECT source, count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY 1
         """,
     }
 

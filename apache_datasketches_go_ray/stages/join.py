@@ -127,3 +127,128 @@ def hash_join(left_ds, right_ds, on: tuple[str, str], *,
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         )
     )
+
+
+def _freq_partial(batch: pa.Table, key: str, lg_max_map_size: int) -> pa.Table:
+    """Per-block frequent-items partial over the join key: the block's
+    Misra-Gries summary flattened to (item, lower_bound) rows plus the
+    block's purge offset and row count (one summary row, null item)."""
+    from ..state.frequencies import FrequentItemsSketch
+
+    sk = FrequentItemsSketch(lg_max_map_size)
+    vals = batch.column(key).to_numpy(zero_copy_only=False)
+    uk, cnt = np.unique(vals, return_counts=True)
+    sk.update_many(uk.tolist(), cnt.tolist())
+    items, counts = sk.to_items()
+    return pa.table({
+        "item": pa.array(list(items) + [None], type=pa.int64()),
+        "lb": pa.array(list(counts) + [0], type=pa.int64()),
+        "offset": pa.array([0] * len(items) + [sk.get_maximum_error()],
+                           type=pa.int64()),
+        "rows": pa.array([0] * len(items) + [len(batch)],
+                         type=pa.int64()),
+    })
+
+
+def detect_hot_keys(ds, key: str, *, lg_max_map_size: int = 12,
+                    min_frac: float = 0.01, top_k: int = 64) -> list:
+    """Heavy-hitter join keys via a distributed frequent-items pass
+    (the reference's Misra-Gries discipline: per-block sketches, merged
+    bounds). Returns keys whose UPPER-bound frequency exceeds
+    ``min_frac`` of the total rows — conservative in the safe
+    direction: a false positive merely broadcasts one more key, a miss
+    just stays on the shuffle path, so the join result is identical
+    either way."""
+    import functools as _ft
+
+    parts = ds.map_batches(
+        _ft.partial(_freq_partial, key=key,
+                    lg_max_map_size=lg_max_map_size),
+        batch_format="pyarrow", zero_copy_batch=True)
+    from .context import gather_table
+
+    t = gather_table(parts)
+    total_rows = int(pc.sum(t.column("rows")).as_py() or 0)
+    total_offset = int(pc.sum(t.column("offset")).as_py() or 0)
+    if total_rows == 0:
+        return []
+    items = t.filter(pc.is_valid(t.column("item")))
+    g = items.group_by(["item"]).aggregate([("lb", "sum")])
+    lb = g.column("lb_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    ub = lb + total_offset
+    keys = g.column("item").to_numpy(zero_copy_only=False).astype(np.int64)
+    thresh = max(1, int(min_frac * total_rows))
+    keep = ub >= thresh
+    keys, ub = keys[keep], ub[keep]
+    order = np.lexsort((keys, -ub))[:top_k]
+    return [int(k) for k in keys[order]]
+
+
+def skew_join(left_ds, right_ds, on: tuple[str, str], *,
+              num_partitions: int = 32, min_hot_frac: float = 0.01,
+              top_k: int = 64, lg_max_map_size: int = 12):
+    """Skew-aware inner equi-join: heavy-hitter keys detected by the
+    frequent-items pass bypass the all-to-all shuffle entirely — the
+    right side's hot-key rows ship once via ``ray.put`` and the left
+    side's hot rows join map-side — while the cold remainder runs the
+    standard co-partition join. On a 100 TB join a single mega-key (a
+    bot user, a default id) would otherwise pin one shuffle partition;
+    here it costs one broadcast of the (small) matching right rows.
+    Result set is identical to ``hash_join`` by construction (hot/cold
+    is a partition of the key space)."""
+    lk, rk = on
+    hot = detect_hot_keys(left_ds, lk, lg_max_map_size=lg_max_map_size,
+                          min_frac=min_hot_frac, top_k=top_k)
+
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    left_cols = [n for n in lschema.names if n != lk]
+    right_cols = [n for n in rschema.names if n != rk]
+    out_names = [lk] + left_cols + right_cols
+
+    if not hot:
+        return hash_join(left_ds, right_ds, on=on,
+                         num_partitions=num_partitions,
+                         broadcast_threshold=0)
+
+    hot_arr = pa.array(sorted(hot),
+                       type=lschema.types[lschema.names.index(lk)])
+
+    def _split(batch: pa.Table, key: str, keep_hot: bool) -> pa.Table:
+        m = pc.is_in(batch.column(key), value_set=hot_arr)
+        return batch.filter(m if keep_hot else pc.invert(m))
+
+    import functools as _ft
+
+    from .context import gather_table
+
+    right_mat = right_ds.materialize()
+    right_hot_tbl = gather_table(right_mat.map_batches(
+        _ft.partial(_split, key=rk, keep_hot=True),
+        batch_format="pyarrow", zero_copy_batch=True))
+    right_hot_ref = ray.put(right_hot_tbl)
+    right_cold = right_mat.map_batches(
+        _ft.partial(_split, key=rk, keep_hot=False),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    left_mat = left_ds.materialize()
+    hot_part = left_mat.map_batches(
+        _ft.partial(_split, key=lk, keep_hot=True),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        _ft.partial(_bcast_join_batch, right_ref=right_hot_ref, lk=lk,
+                    rk=rk, join_type="inner"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cold_part = hash_join(
+        left_mat.map_batches(_ft.partial(_split, key=lk, keep_hot=False),
+                             batch_format="pyarrow", zero_copy_batch=True),
+        right_cold, on=on, num_partitions=num_partitions,
+        broadcast_threshold=0)
+
+    def _fix(batch: pa.Table) -> pa.Table:
+        return batch.select(out_names)
+
+    return (hot_part.map_batches(_fix, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .union(cold_part.map_batches(_fix, batch_format="pyarrow",
+                                         zero_copy_batch=True)))

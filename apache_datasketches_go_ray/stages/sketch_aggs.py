@@ -457,3 +457,82 @@ def cms_point_counts(ds, column: str, query_items, *, depth: int = 4,
         "lower_bound": pa.array(lbs),
     })
     return tbl, merged
+
+
+def hll_wire_sketch_column_by(ds, key: str, column: str, lg_k: int = 12,
+                              num_partitions: int = 16):
+    """Grouped HLL sketch COLUMN in the reference wire format — the
+    DataSketches "sketch column in a data mart" pattern (the library's
+    raison d'être: hll/hll_sketch.go serialization is consumed by
+    Go/Java/C++ alike). One (key, sketch) row per group, where
+    ``sketch`` is ``serde_compat.write_hll`` bytes: write the result to
+    parquet and ANY DataSketches-compatible reader — including a later
+    run of this engine via :func:`hll_wire_estimate` — can merge
+    further without touching the raw data. Per-block partials, keyed
+    shuffle, per-key wire-level merge."""
+    from ..state.serde_compat import read_hll, write_hll
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = as_array(batch.column(key)).to_pylist()
+        cs = _col_coupons(as_array(batch.column(column)))
+        keys_np = np.asarray(keys, dtype=object)
+        order = np.argsort(keys_np, kind="stable")
+        ks, cs = keys_np[order], cs[order]
+        newgrp = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            newgrp[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(newgrp)
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        out_k, out_s = [], []
+        for s, e in zip(starts, ends):
+            sk = HllSketch(lg_k)
+            sk.update_coupons_bulk(cs[s:e])
+            out_k.append(ks[s])
+            out_s.append(write_hll(sk))
+        return pa.table({key: pa.array(out_k, type=pa.string()),
+                         "sketch": pa.array(out_s,
+                                            type=pa.large_binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(as_array(batch.column(key)).to_pylist(),
+                        dtype=object)
+        sks = as_array(batch.column("sketch")).to_pylist()
+        order = np.argsort(ks, kind="stable")
+        out_k, out_s = [], []
+        i = 0
+        while i < len(order):
+            j = i
+            sk = read_hll(sks[order[i]])
+            while j + 1 < len(order) and ks[order[j + 1]] == ks[order[i]]:
+                j += 1
+                sk.merge(read_hll(sks[order[j]]))
+            out_k.append(ks[order[i]])
+            out_s.append(write_hll(sk))
+            i = j + 1
+        return pa.table({key: pa.array(out_k, type=pa.string()),
+                         "sketch": pa.array(out_s,
+                                            type=pa.large_binary())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(num_partitions, keys=[key])
+            .map_batches(combine, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def hll_wire_estimate(ds, key: str, out_col: str = "estimate"):
+    """Finalize a persisted wire-format HLL sketch column: parse each
+    blob (``serde_compat.read_hll``) and emit (key, estimate). Exact
+    whenever the sketches are still in coupon (LIST/SET) mode — i.e.
+    low per-group cardinality — approximate with the reference's
+    published bounds beyond."""
+    def fin(batch: pa.Table) -> pa.Table:
+        from ..state.serde_compat import read_hll
+
+        sks = as_array(batch.column("sketch")).to_pylist()
+        est = [read_hll(b).get_estimate() for b in sks]
+        return pa.table({key: as_array(batch.column(key)),
+                         out_col: pa.array(est, type=pa.float64())})
+
+    return ds.map_batches(fin, batch_format="pyarrow",
+                          zero_copy_batch=True)

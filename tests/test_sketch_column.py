@@ -1,0 +1,82 @@
+"""Wire-format HLL sketch column: parquet persistence round-trip,
+partition-independence of the merged estimates, and bounds in the
+approximate regime. (Bit-level wire parity vs the reference goldens is
+pinned by tests/test_serde_compat.py; the SQL gate is
+sketch_blob_langs_by_source.)"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl, blocks):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _tbl(n=3000, keys=6, card=40, seed=4):
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, keys, n)
+    v = rng.integers(0, card, n)
+    return pa.table({
+        "k": pa.array([f"k{int(x)}" for x in k], type=pa.string()),
+        "v": pa.array(v.astype(np.int64)),
+    })
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_exact_regime_roundtrip(ray_session, tmp_path, blocks):
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        hll_wire_estimate, hll_wire_sketch_column_by)
+
+    tbl = _tbl()
+    col = hll_wire_sketch_column_by(_ds(tbl, blocks), "k", "v", lg_k=12)
+    out = os.path.join(str(tmp_path), f"blobs{blocks}")
+    col.write_parquet(out)
+    back = ray.data.read_parquet(out)
+    got = hll_wire_estimate(back, "k").to_pandas()
+    got["estimate"] = np.floor(got["estimate"] + 0.5).astype(np.int64)
+    got = got.sort_values("k", ignore_index=True)
+
+    df = tbl.to_pandas()
+    exp = df.groupby("k")["v"].nunique().reset_index(name="estimate")
+    assert list(got["k"]) == list(exp["k"])
+    # card=40 per key keeps every sketch in coupon mode => exact
+    assert list(got["estimate"]) == list(exp["estimate"])
+
+
+def test_blobs_are_reference_wire_format(ray_session):
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        hll_wire_sketch_column_by)
+
+    rows = hll_wire_sketch_column_by(_ds(_tbl(), 3), "k", "v",
+                                     lg_k=12).take_all()
+    for r in rows:
+        buf = r["sketch"]
+        assert buf[1] == 1    # HLL ser_ver
+        assert buf[2] == 7    # Family.HLL id (hll preamble)
+        assert buf[3] == 12   # lgK
+
+
+def test_approx_regime_within_bounds(ray_session):
+    from apache_datasketches_go_ray.state.serde_compat import read_hll
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        hll_wire_sketch_column_by)
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    tbl = pa.table({
+        "k": pa.array(["all"] * n, type=pa.string()),
+        "v": pa.array(rng.integers(0, 1 << 62, n).astype(np.int64)),
+    })
+    rows = hll_wire_sketch_column_by(_ds(tbl, 5), "k", "v",
+                                     lg_k=12).take_all()
+    assert len(rows) == 1
+    sk = read_hll(rows[0]["sketch"])
+    true = len(np.unique(tbl.column("v").to_numpy()))
+    assert sk.get_lower_bound(3) <= true <= sk.get_upper_bound(3)
