@@ -77,7 +77,10 @@ class DedupConfig:
     # input layout: "shuffled" (always correct) or "conv_grouped" — the
     # data-at-rest fast path when transcript files are sorted by
     # (conv_id, turn_idx): assembly shuffles one fragment row per
-    # (conv, block) instead of every turn row (stages/assemble.py)
+    # (conv, block) instead of every turn row (stages/assemble.py).
+    # "auto" runs the exact layout probe (sources.readers.
+    # detect_input_layout, reads only conv_id+turn_idx) and takes the
+    # fast path only when proven safe
     input_layout: str = "shuffled"
 
     def __post_init__(self):

@@ -42,6 +42,29 @@ class DedupPipeline(CheckpointedPipeline):
         self.cfg = config
         ensure_hash_shuffle()
 
+    def _resolve_layout(self, transcripts_ds) -> str:
+        """``input_layout="auto"``: run the exact distributed layout
+        probe (sources.readers.detect_input_layout — reads only
+        (conv_id, turn_idx)) against the dataset's input files and take
+        the conv_grouped assembly fast path only when the probe PROVES
+        it safe. Non-file-backed datasets fall back to the
+        always-correct shuffled path."""
+        layout = self.cfg.input_layout
+        if layout != "auto":
+            return layout
+        try:
+            files = transcripts_ds.input_files()
+        except Exception:
+            files = []
+        if not files:
+            self.metrics["input_layout_resolved"] = "shuffled (no files)"
+            return "shuffled"
+        from ..sources.readers import detect_input_layout
+
+        resolved = detect_input_layout(files)
+        self.metrics["input_layout_resolved"] = resolved
+        return resolved
+
     # ---- pipeline ---------------------------------------------------------
     def run(self, transcripts_ds, *, input_fingerprint: str = "",
             signer_concurrency=None):
@@ -55,13 +78,15 @@ class DedupPipeline(CheckpointedPipeline):
         self.metrics["block_cap_applied"] = apply_block_cap(
             cfg.target_block_bytes, transcripts_ds.count())
 
+        layout = self._resolve_layout(transcripts_ds)
+
         # assembled IS materialized: fusing read -> repartition -> assemble
         # -> sign into one streaming chain measured ~2x slower than
         # stage-wise execution (same pathology as fusing the verify joins)
         assembled, fp = self._stage(
             "assembled", input_fingerprint,
             lambda: assemble(transcripts_ds, cfg.num_partitions,
-                             input_layout=cfg.input_layout),
+                             input_layout=layout),
         )
         # keep_text=False: texts stay in the assembled table only; the
         # containment pass pulls just the texts it needs from there
@@ -259,10 +284,11 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
         old_clusters = ray.data.read_parquet(
             os.path.join(chain[-1], "clusters"))
 
+        layout = DedupPipeline._resolve_layout(self, new_transcripts_ds)
         assembled_new, fp = self._stage(
             "assembled", input_fingerprint,
             lambda: assemble(new_transcripts_ds, cfg.num_partitions,
-                             input_layout=cfg.input_layout),
+                             input_layout=layout),
         )
         sigs_new, fp = self._stage(
             "signatures", fp,
