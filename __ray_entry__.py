@@ -10214,6 +10214,39 @@ def _q_sketch_blob_langs_by_source(sf_dir: str):
             .sort("source"))
 
 
+def _q_semantic_decontaminate(sf_dir: str):
+    """Embedding-space eval-set decontamination: training vectors whose
+    cosine similarity to any held-out eval vector (vec_id % 11 == 0)
+    reaches 0.4, with the count of contaminating eval neighbors. The
+    eval matrix broadcasts once; each training block is one matmul —
+    no shuffle (stages/decontaminate.semantic_decontaminate)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    def _split(b, keep_eval):
+        vid = b.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = pa.array(vid % 11 == 0)
+        t = b.filter(m if keep_eval else pc.invert(m))
+        return pa.table({
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "embedding": t.column("embedding"),
+        })
+
+    import functools
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ev = emb.map_batches(functools.partial(_split, keep_eval=True),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    tr = emb.map_batches(functools.partial(_split, keep_eval=False),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return semantic_decontaminate(tr, ev, threshold=0.4).sort("vec_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -10510,6 +10543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_sole_suppliers": _q_late_sole_suppliers,
         "skew_join_segment_value": _q_skew_join_segment_value,
         "sketch_blob_langs_by_source": _q_sketch_blob_langs_by_source,
+        "semantic_decontaminate": _q_semantic_decontaminate,
     }
 
 
@@ -14110,6 +14144,16 @@ def oracle_sql() -> dict[str, str]:
         "sketch_blob_langs_by_source": """
             SELECT source, count(DISTINCT lang) AS n_langs
             FROM documents GROUP BY 1
+        """,
+        "semantic_decontaminate": """
+            WITH q AS (SELECT embedding FROM embeddings
+                       WHERE vec_id % 11 = 0)
+            SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+                   count(*) AS n_contaminating
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id % 11 <> 0
+              AND list_cosine_similarity(q.embedding, e.embedding) >= 0.4
+            GROUP BY 1
         """,
     }
 

@@ -262,3 +262,48 @@ def contamination_pairs(docs_ds, *, n: int = 13, id_col: str = "doc_id",
             .repartition(P, keys=["train_doc", "eval_doc"])
             .map_batches(fold, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
+
+
+def semantic_decontaminate(train_ds, eval_ds, *, threshold: float = 0.4,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding"):
+    """Embedding-space eval-set decontamination (the semantic sibling of
+    the 13-gram pass above): flag every training vector whose cosine
+    similarity to ANY eval vector reaches ``threshold``. The eval
+    matrix is L2-normalized once on the driver and broadcast via
+    ``ray.put`` (read zero-copy per task); each training block is one
+    vectorized matmul — no shuffle at all, so the op streams at read
+    bandwidth at any corpus size (eval sets are small by definition).
+    Returns (id, n_contaminating) for flagged rows only, counts exact
+    int64."""
+    from .ann import _embeddings_matrix
+    from .arrow_util import as_array
+    from .context import gather_table
+
+    ev = gather_table(eval_ds)
+    em = _embeddings_matrix(ev, emb_col).astype(np.float64)
+    norms = np.linalg.norm(em, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    eval_ref = ray.put(np.ascontiguousarray((em / norms).T))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_contaminating": pa.array([], type=pa.int64()),
+            })
+        ids = as_array(batch.column(id_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = _embeddings_matrix(batch, emb_col).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (m / n) @ ray.get(eval_ref)
+        cnt = (sims >= threshold).sum(axis=1).astype(np.int64)
+        keep = cnt > 0
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "n_contaminating": pa.array(cnt[keep]),
+        })
+
+    return train_ds.map_batches(flag, batch_format="pyarrow",
+                                zero_copy_batch=True)
