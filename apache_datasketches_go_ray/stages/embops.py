@@ -417,3 +417,59 @@ def kmeans_fit(ds, k: int = 8, n_iter: int = 10, *,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, max(2, n_cpus // 2)))
     return assign, C / float(scale)
+
+
+def hard_negative_topk(ds, query_ids, query_matrix, query_labels,
+                       k: int = 3, id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       label_col: str = "label",
+                       round_to: int = 6) -> "pa.Table":
+    """Hard-negative mining for contrastive/embedding training: for each
+    query vector, the top-k most cosine-similar corpus vectors with a
+    DIFFERENT label (the negatives hardest to separate). Query matrix +
+    labels broadcast once via ``ray.put``; every corpus block is one
+    masked matmul emitting per-block partial top-k rows; the driver
+    folds the (bounded, q x k per block) partials — the same
+    scale shape as ann.brute_force_topk, no shuffle."""
+    from .ann import _embeddings_matrix, _fold_topk
+    from .arrow_util import as_array
+
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "qn": qn,
+                   "labels": np.asarray(query_labels, dtype=np.int64)})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        ids = as_array(batch.column(id_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        labels = as_array(batch.column(label_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = _embeddings_matrix(batch, emb_col).astype(np.float64)
+        if m.size == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            })
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = q["qn"] @ (m / n).T                     # (nq, nb)
+        same = q["labels"][:, None] == labels[None, :]
+        sims[same] = -np.inf
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(q["ids"], kk)
+        rows_v = ids[top].ravel()
+        rows_s = np.take_along_axis(sims, top, axis=1).ravel()
+        ok = np.isfinite(rows_s)
+        return pa.table({
+            "query_id": pa.array(rows_q[ok]),
+            "vec_id": pa.array(rows_v[ok]),
+            "score": pa.array(rows_s[ok]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    return _fold_topk(parts, k, round_to)
