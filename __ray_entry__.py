@@ -10381,6 +10381,35 @@ def _q_length_bucket_plan(sf_dir: str):
             .sort("bucket"))
 
 
+def _q_freq_blob_top_tokens_by_lang(sf_dir: str):
+    """Frequent-items sketch-column persistence round-trip (the sibling
+    of sketch_blob_langs_by_source for the second sketch family):
+    per-lang token sketches serialized in the reference
+    ItemsSketch[string] wire format, written to parquet, read back,
+    merged per key at the wire level (longs_sketch.go:451-466 Merge
+    semantics) and finalized to top-5 tokens. Map capacity exceeds the
+    per-lang vocab at oracle scale, so offset stays 0 and estimates are
+    exact counts — SQL-checked."""
+    import shutil
+
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        freq_wire_sketch_column_by, freq_wire_top_items)
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/adgr_freqcol/{tier}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    col = freq_wire_sketch_column_by(docs, "lang", "text",
+                                     max_map_size=1 << 16, tokenize=True,
+                                     num_partitions=8)
+    col.write_parquet(out_dir)
+    back = ray.data.read_parquet(out_dir)
+    return freq_wire_top_items(back, "lang", k=5).sort(["lang", "rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -10681,6 +10710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives_topk": _q_hard_negatives,
         "join_key_multiplicity": _q_join_key_multiplicity,
         "length_bucket_plan": _q_length_bucket_plan,
+        "freq_blob_top_tokens_by_lang": _q_freq_blob_top_tokens_by_lang,
     }
 
 
@@ -14336,6 +14366,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(cap - len) AS BIGINT) AS waste_chars
             FROM a GROUP BY 1
+        """,
+        "freq_blob_top_tokens_by_lang": r"""
+            WITH tok AS (
+              SELECT lang,
+                     unnest(string_split_regex(trim(text), '\s+')) AS item
+              FROM documents
+            ), c AS (
+              SELECT lang, item, count(*) AS cnt
+              FROM tok WHERE item <> '' GROUP BY lang, item
+            ), r AS (
+              SELECT lang, item, cnt,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY cnt DESC, item ASC)
+                       AS rank
+              FROM c
+            )
+            SELECT lang, item, cnt AS estimate, rank
+            FROM r WHERE rank <= 5
         """,
     }
 

@@ -536,3 +536,135 @@ def hll_wire_estimate(ds, key: str, out_col: str = "estimate"):
 
     return ds.map_batches(fin, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def freq_wire_sketch_column_by(ds, group_col: str, item_col: str,
+                               max_map_size: int = 1 << 16,
+                               tokenize: bool = False,
+                               num_partitions: int = 16):
+    """Grouped frequent-items sketch COLUMN in the reference wire
+    format (serde_compat.write_frequencies_items_string — the
+    ItemsSketch[string].ToSlice() layout, golden-tested byte-exact):
+    one (group, sketch) row per group, persistable to parquet and
+    mergeable by any DataSketches-compatible reader or a later run via
+    :func:`freq_wire_merge_column` / :func:`freq_wire_top_items`.
+    Same two-phase shape as approx_top_k_by; the blob replaces the
+    engine-internal JSON partial."""
+    import pyarrow.compute as pc
+
+    from ..state.serde_compat import (FreqCompatSketch,
+                                      write_frequencies_items_string)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = as_array(batch.column(group_col)).cast(pa.string())
+        col = as_array(batch.column(item_col))
+        if tokenize:
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(col.cast(pa.string())), r"\s+")
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False)
+            g = g.take(pa.array(np.repeat(np.arange(len(batch)), lens)))
+            col = pc.list_flatten(toks)
+        t = pa.table({"g": g, "i": col.cast(pa.string())})
+        t = t.filter(pc.not_equal(t.column("i"), ""))
+        vc = t.group_by(["g", "i"]).aggregate([("i", "count")])
+        gs = vc.column("g").to_numpy(zero_copy_only=False)
+        items = vc.column("i").to_numpy(zero_copy_only=False)
+        cnts = vc.column("i_count").to_numpy(zero_copy_only=False)
+        order = np.argsort(gs, kind="stable")
+        out_g, out_blob = [], []
+        i = 0
+        while i < len(order):
+            j = i
+            sk = FreqCompatSketch(max_map_size, kind="string")
+            while j < len(order) and gs[order[j]] == gs[order[i]]:
+                sk.update(str(items[order[j]]), int(cnts[order[j]]))
+                j += 1
+            out_g.append(str(gs[order[i]]))
+            out_blob.append(write_frequencies_items_string(sk))
+            i = j
+        return pa.table({group_col: pa.array(out_g, type=pa.string()),
+                         "sketch": pa.array(out_blob,
+                                            type=pa.large_binary())})
+
+    return (ds.select_columns([group_col, item_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(num_partitions, keys=[group_col])
+            .map_batches(
+                lambda b: _freq_wire_merge_block(b, group_col,
+                                                 max_map_size),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True))
+
+
+def _freq_wire_merge_block(batch: pa.Table, group_col: str,
+                           max_map_size: int) -> pa.Table:
+    """Per-key wire-level merge, mirroring LongsSketch.Merge
+    (frequencies/longs_sketch.go:451-466): re-enter the other sketch's
+    stored counts via the update path, sum offsets, and restore the
+    captured total stream weight. Items re-enter in sorted order for
+    partition-independent determinism (order only matters once purges
+    begin; the reference makes the same no-promise there)."""
+    from ..state.serde_compat import (FreqCompatSketch,
+                                      read_frequencies_items_string,
+                                      write_frequencies_items_string)
+
+    if len(batch) == 0:
+        return pa.table({group_col: pa.array([], type=pa.string()),
+                         "sketch": pa.array([], type=pa.large_binary())})
+    gs = np.asarray(as_array(batch.column(group_col)).to_pylist(),
+                    dtype=object)
+    blobs = as_array(batch.column("sketch")).to_pylist()
+    order = np.argsort(gs, kind="stable")
+    out_g, out_blob = [], []
+    i = 0
+    while i < len(order):
+        j = i
+        merged = FreqCompatSketch(max_map_size, kind="string")
+        weight = 0
+        while j < len(order) and gs[order[j]] == gs[order[i]]:
+            view = read_frequencies_items_string(blobs[order[j]])
+            weight += view.stream_length
+            for item in sorted(view.counts):
+                merged.update(item, int(view.counts[item]))
+            merged.offset += view.offset
+            j += 1
+        merged.stream_weight = weight
+        out_g.append(str(gs[order[i]]))
+        out_blob.append(write_frequencies_items_string(merged))
+        i = j
+    return pa.table({group_col: pa.array(out_g, type=pa.string()),
+                     "sketch": pa.array(out_blob,
+                                        type=pa.large_binary())})
+
+
+def freq_wire_top_items(ds, group_col: str, k: int = 5):
+    """Finalize a persisted wire-format frequent-items sketch column:
+    per group, the top-k items by estimate (count + offset), rank by
+    (estimate desc, item asc) — exact whenever no purge occurred
+    (offset == 0, lb == ub)."""
+    def fin(batch: pa.Table) -> pa.Table:
+        from ..state.serde_compat import read_frequencies_items_string
+
+        out = {"g": [], "item": [], "estimate": [], "rank": []}
+        gs = as_array(batch.column(group_col)).to_pylist()
+        for g, buf in zip(gs, as_array(batch.column("sketch")).to_pylist()):
+            view = read_frequencies_items_string(buf)
+            rows = sorted(((item, c + view.offset)
+                           for item, c in view.counts.items()),
+                          key=lambda t: (-t[1], t[0]))[:k]
+            for rank, (item, est) in enumerate(rows):
+                out["g"].append(g)
+                out["item"].append(item)
+                out["estimate"].append(est)
+                out["rank"].append(rank + 1)
+        return pa.table({
+            group_col: pa.array(out["g"], type=pa.string()),
+            "item": pa.array(out["item"], type=pa.string()),
+            "estimate": pa.array(out["estimate"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+        })
+
+    return ds.map_batches(fin, batch_format="pyarrow",
+                          zero_copy_batch=True)

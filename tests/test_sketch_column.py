@@ -80,3 +80,55 @@ def test_approx_regime_within_bounds(ray_session):
     sk = read_hll(rows[0]["sketch"])
     true = len(np.unique(tbl.column("v").to_numpy()))
     assert sk.get_lower_bound(3) <= true <= sk.get_upper_bound(3)
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_freq_wire_column_roundtrip(ray_session, tmp_path, blocks):
+    """Frequent-items wire-format column: parquet round-trip + wire-level
+    merge reproduce exact per-group top-k in the no-purge regime."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        freq_wire_sketch_column_by, freq_wire_top_items)
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    groups = [f"g{int(x)}" for x in rng.integers(0, 4, n)]
+    items = [f"w{int(x)}" for x in rng.zipf(1.6, n) % 50]
+    tbl = pa.table({"g": pa.array(groups, type=pa.string()),
+                    "i": pa.array(items, type=pa.string())})
+    col = freq_wire_sketch_column_by(_ds(tbl, blocks), "g", "i",
+                                     max_map_size=1 << 10,
+                                     num_partitions=3)
+    out = os.path.join(str(tmp_path), f"freq{blocks}")
+    col.write_parquet(out)
+    got = freq_wire_top_items(
+        ray.data.read_parquet(out), "g", k=5).to_pandas().sort_values(
+            ["g", "rank"], ignore_index=True)
+
+    df = tbl.to_pandas()
+    exp_rows = []
+    for g, sub in df.groupby("g"):
+        vc = sub["i"].value_counts()
+        rows = sorted(((it, int(c)) for it, c in vc.items()),
+                      key=lambda t: (-t[1], t[0]))[:5]
+        for rank, (it, c) in enumerate(rows):
+            exp_rows.append((g, it, c, rank + 1))
+    got_rows = [(r.g, r.item, int(r.estimate), int(r.rank))
+                for r in got.itertuples()]
+    assert got_rows == sorted(exp_rows)
+
+
+def test_freq_wire_blob_is_reference_format(ray_session):
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        freq_wire_sketch_column_by)
+
+    tbl = pa.table({"g": pa.array(["a"] * 50, type=pa.string()),
+                    "i": pa.array([f"w{i % 7}" for i in range(50)],
+                                  type=pa.string())})
+    rows = freq_wire_sketch_column_by(_ds(tbl, 2), "g", "i",
+                                      max_map_size=1 << 10).take_all()
+    for r in rows:
+        buf = r["sketch"]
+        assert buf[1] == 1    # SER_VER
+        assert buf[2] == 10   # Family.FREQUENCY id
