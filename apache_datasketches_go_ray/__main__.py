@@ -36,6 +36,18 @@ def main(argv=None):
     d.add_argument("--partitions", type=int, default=64)
     d.add_argument("--shingle-k", type=int, default=None)
     d.add_argument("--threshold", type=float, default=None)
+    d.add_argument("--layout", default="shuffled",
+                   choices=["shuffled", "conv_grouped", "auto"],
+                   help="input layout; 'auto' runs the exact probe and "
+                        "takes the conv-grouped fast path only when "
+                        "proven safe")
+
+    p = sub.add_parser(
+        "probe-layout",
+        help="exact layout probe: is a transcript corpus safe for the "
+             "conv-grouped assembly fast path? (reads only conv_id + "
+             "turn_idx)")
+    p.add_argument("--input", required=True)
 
     x = sub.add_parser(
         "delete",
@@ -74,7 +86,8 @@ def main(argv=None):
         from .pipelines.dedup import run_dedup
         from .sources.readers import read_transcripts
 
-        kw = {"num_partitions": args.partitions}
+        kw = {"num_partitions": args.partitions,
+              "input_layout": args.layout}
         if args.shingle_k is not None:
             kw["shingle_k"] = args.shingle_k
         if args.threshold is not None:
@@ -87,6 +100,11 @@ def main(argv=None):
                           "stages": {k: v.get("sec")
                                      for k, v in
                                      res["metrics"]["stages"].items()}}))
+    elif args.cmd == "probe-layout":
+        from .sources.readers import detect_input_layout
+
+        verdict = detect_input_layout(args.input)
+        print(json.dumps({"input": args.input, "layout": verdict}))
     elif args.cmd == "delete":
         from .config import DedupConfig
         from .pipelines.dedup import delete_convs

@@ -88,3 +88,30 @@ def test_cli_delete(ray_session, tmp_path, capsys):
     after = pq.read_table(out)
     assert victim not in set(after.column("conv_id").to_pylist())
     assert os.path.isdir(str(tmp_path / "ck_del" / "verified"))
+
+
+def test_cli_probe_layout(ray_session, tmp_path, capsys):
+    from apache_datasketches_go_ray.sources.transcripts import (
+        write_transcripts,
+    )
+
+    base = str(tmp_path / "t")
+    write_transcripts(base, 40, seed=5, shards=2)  # rows shuffled
+    rc = main(["probe-layout", "--input",
+               os.path.join(base, "transcripts")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["layout"] == "shuffled"
+
+    # sort-at-rest and re-probe
+    tbl = pq.read_table(os.path.join(base, "transcripts"))
+    idx = tbl.to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="stable").index.to_numpy()
+    sdir = tmp_path / "sorted"
+    sdir.mkdir()
+    pq.write_table(tbl.take(pa.array(idx)),
+                   str(sdir / "part-0.parquet"))
+    rc = main(["probe-layout", "--input", str(sdir)])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["layout"] == "conv_grouped"
