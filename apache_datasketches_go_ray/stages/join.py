@@ -197,6 +197,9 @@ def skew_join(left_ds, right_ds, on: tuple[str, str], *,
     Result set is identical to ``hash_join`` by construction (hot/cold
     is a partition of the key space)."""
     lk, rk = on
+    # pin the left side once: the detection pass and the hot/cold splits
+    # below all read it, so without this the upstream executes 3x
+    left_ds = left_ds.materialize()
     hot = detect_hot_keys(left_ds, lk, lg_max_map_size=lg_max_map_size,
                           min_frac=min_hot_frac, top_k=top_k)
 
@@ -231,7 +234,7 @@ def skew_join(left_ds, right_ds, on: tuple[str, str], *,
         _ft.partial(_split, key=rk, keep_hot=False),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    left_mat = left_ds.materialize()
+    left_mat = left_ds  # already pinned above
     hot_part = left_mat.map_batches(
         _ft.partial(_split, key=lk, keep_hot=True),
         batch_format="pyarrow", zero_copy_batch=True,
