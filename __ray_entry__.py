@@ -10410,6 +10410,86 @@ def _q_freq_blob_top_tokens_by_lang(sf_dir: str):
     return freq_wire_top_items(back, "lang", k=5).sort(["lang", "rank"])
 
 
+def _q_char_budget_subset(sf_dir: str):
+    """Budget-capped corpus subsetting — "take the longest documents
+    until 20% of the corpus's characters are spent" (the token-budget
+    data-mixing primitive, char-weighted so both engines share an exact
+    integer weight). NO global sort: doc lengths have bounded value
+    cardinality, so one per-value (count, char-sum) histogram fold
+    yields the exact cut value; only the boundary-value docs (usually a
+    handful) are fetched and tie-broken by doc_id. Same selection as
+    the SQL cumulative-window oracle, at any corpus size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .map_batches(lambda b: pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "nc": b.column("n_chars").cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def hist_partial(b):
+        g = b.group_by(["nc"]).aggregate([("doc_id", "count"),
+                                          ("nc", "sum")])
+        return pa.table({
+            "nc": g.column("nc"),
+            "cnt": g.column("doc_id_count").cast(pa.int64()),
+            "chars": g.column("nc_sum").cast(pa.int64()),
+        })
+
+    hist = gather_table(docs.map_batches(hist_partial,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True))
+    g = hist.group_by(["nc"]).aggregate([("cnt", "sum"), ("chars", "sum")])
+    v = g.column("nc").to_numpy(zero_copy_only=False).astype(np.int64)
+    chars = g.column("chars_sum").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(-v)
+    v, chars = v[order], chars[order]
+    budget = int(chars.sum()) // 5
+    cum = np.cumsum(chars)
+    # values fully inside the budget
+    full = cum <= budget
+    n_full = int(full.sum())
+    spent = int(cum[n_full - 1]) if n_full else 0
+    cut = int(v[n_full - 1]) if n_full else None
+    boundary_val = int(v[n_full]) if n_full < len(v) else None
+
+    sel = docs.filter(expr=f"nc >= {cut}") if cut is not None else None
+
+    if boundary_val is not None and spent < budget:
+        # docs at the boundary value enter by doc_id until the budget
+        bt = gather_table(docs.filter(expr=f"nc == {boundary_val}"))
+        bid = np.sort(bt.column("doc_id").to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        k = (budget - spent) // boundary_val
+        take = bid[:k]
+        if len(take):
+            btbl = pa.table({
+                "doc_id": pa.array(take),
+                "nc": pa.array(np.full(len(take), boundary_val,
+                                       dtype=np.int64)),
+            })
+            import ray.data as rd
+
+            extra = rd.from_arrow(btbl)
+            sel = extra if sel is None else sel.union(extra)
+
+    if sel is None:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_chars": pa.array([], type=pa.int64())})
+
+    def fin(b):
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars": b.column("nc")})
+
+    return (sel.map_batches(fin, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort("doc_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -10711,6 +10791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_key_multiplicity": _q_join_key_multiplicity,
         "length_bucket_plan": _q_length_bucket_plan,
         "freq_blob_top_tokens_by_lang": _q_freq_blob_top_tokens_by_lang,
+        "char_budget_subset": _q_char_budget_subset,
     }
 
 
@@ -14384,6 +14465,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, item, cnt AS estimate, rank
             FROM r WHERE rank <= 5
+        """,
+        "char_budget_subset": """
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                              CAST(n_chars AS BIGINT) AS nc
+                       FROM documents),
+            w AS (SELECT doc_id, nc,
+                         sum(nc) OVER (ORDER BY nc DESC, doc_id ASC
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM d)
+            SELECT doc_id, nc AS n_chars
+            FROM w WHERE cum <= (SELECT CAST(sum(nc) / 5 AS BIGINT)
+                                 FROM d)
         """,
     }
 
