@@ -10490,6 +10490,64 @@ def _q_char_budget_subset(sf_dir: str):
             .sort("doc_id"))
 
 
+def _q_exact_dup_size_histogram(sf_dir: str):
+    """Exact-duplicate group-size histogram over transcript TURN texts
+    (the SQL-oracled sibling of the flagship's rows-only
+    cluster_size_histogram — boilerplate system prompts and tool
+    acknowledgements repeat heavily): group turns by verbatim text,
+    count group sizes, histogram the sizes. Text never shuffles —
+    per-block (text-hash, count) partials, hash-keyed fold, tiny
+    histogram fold."""
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.functions.murmur3 import hash_strings
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def partial(b):
+        h1, _ = hash_strings(as_array(b.column("text")))
+        t = pa.table({"h": pa.array(h1.astype(np.int64)),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        g = t.group_by(["h"]).aggregate([("one", "sum")])
+        return pa.table({"h": g.column("h"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    def key_fold(b):
+        if len(b) == 0:
+            return pa.table({"size": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        g = b.group_by(["h"]).aggregate([("c", "sum")])
+        sz = g.column("c_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, cnt = np.unique(sz, return_counts=True)
+        return pa.table({"size": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def final(b):
+        if len(b) == 0:
+            return pa.table({
+                "group_size": pa.array([], type=pa.int64()),
+                "n_groups": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["size"]).aggregate([("n", "sum")])
+        return pa.table({
+            "group_size": g.column("size").cast(pa.int64()),
+            "n_groups": g.column("n_sum").cast(pa.int64()),
+        })
+
+    return (ray.data.read_parquet(_transcripts_dir(sf_dir),
+                                  columns=["text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(16, keys=["h"])
+            .map_batches(key_fold, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("group_size"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -10792,6 +10850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_bucket_plan": _q_length_bucket_plan,
         "freq_blob_top_tokens_by_lang": _q_freq_blob_top_tokens_by_lang,
         "char_budget_subset": _q_char_budget_subset,
+        "exact_dup_size_histogram": _q_exact_dup_size_histogram,
     }
 
 
@@ -14477,6 +14536,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, nc AS n_chars
             FROM w WHERE cum <= (SELECT CAST(sum(nc) / 5 AS BIGINT)
                                  FROM d)
+        """,
+        "exact_dup_size_histogram": f"""
+            WITH g AS (SELECT text, count(*) AS size FROM {T}
+                       GROUP BY text)
+            SELECT CAST(size AS BIGINT) AS group_size,
+                   count(*) AS n_groups
+            FROM g GROUP BY 1
         """,
     }
 
