@@ -10548,6 +10548,36 @@ def _q_exact_dup_size_histogram(sf_dir: str):
             .sort("group_size"))
 
 
+def _q_kll_blob_quantiles_by_source(sf_dir: str):
+    """KLL sketch-column persistence round-trip — the THIRD persisted
+    family: per-source KLL string-item sketches of doc length (values
+    fixed-width-encoded so lexicographic == numeric, the reference's
+    own int_to_fixed_length_string trick), serialized with the
+    golden-tested ItemsSketch[string].ToSlice() writer, WRITTEN TO
+    PARQUET, read back, merged per key with the reference's Merge
+    algorithm (kll/items_sketch.go:555-693 replicated at
+    serde_compat.kll_string_merge), finalized to percentile_disc
+    quartiles. k=8192 > per-source corpus at oracle tiers keeps every
+    sketch un-compacted, so the result is exact — SQL-checked."""
+    import shutil
+
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        kll_wire_quantiles, kll_wire_sketch_column_by)
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/adgr_kllcol/{tier}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    col = kll_wire_sketch_column_by(docs, "source", "n_chars", k=8192,
+                                    num_partitions=8)
+    col.write_parquet(out_dir)
+    back = ray.data.read_parquet(out_dir)
+    return kll_wire_quantiles(back, "source").sort("source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -10851,6 +10881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_blob_top_tokens_by_lang": _q_freq_blob_top_tokens_by_lang,
         "char_budget_subset": _q_char_budget_subset,
         "exact_dup_size_histogram": _q_exact_dup_size_histogram,
+        "kll_blob_quantiles_by_source": _q_kll_blob_quantiles_by_source,
     }
 
 
@@ -14543,6 +14574,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(size AS BIGINT) AS group_size,
                    count(*) AS n_groups
             FROM g GROUP BY 1
+        """,
+        "kll_blob_quantiles_by_source": """
+            SELECT source, count(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50,
+                   CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75
+            FROM documents GROUP BY source
         """,
     }
 

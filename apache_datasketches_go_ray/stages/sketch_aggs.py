@@ -668,3 +668,118 @@ def freq_wire_top_items(ds, group_col: str, k: int = 5):
 
     return ds.map_batches(fin, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def kll_wire_sketch_column_by(ds, key: str, value_col: str, k: int = 200,
+                              width: int = 12,
+                              num_partitions: int = 16):
+    """Grouped KLL sketch COLUMN in the reference wire format — the
+    third persisted family. Values are encoded with the reference's own
+    fixed-width trick (``int_to_fixed_length_string``,
+    kll/utils.go:101-104) so lexicographic item order == numeric order;
+    blobs are ``serde_compat.write_kll_string`` bytes
+    (ItemsSketch[string].ToSlice(), golden-tested) and merge downstream
+    at the wire level with the reference's Merge algorithm
+    (kll/items_sketch.go:555-693, serde_compat.kll_string_merge)."""
+    from ..state.serde_compat import (KllStringCompatSketch,
+                                      int_to_fixed_length_string,
+                                      kll_string_compat_from_view,
+                                      kll_string_merge,
+                                      read_kll_string, write_kll_string)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(as_array(batch.column(key)).to_pylist(),
+                        dtype=object)
+        vals = as_array(batch.column(value_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ks, kind="stable")
+        ks, vals = ks[order], vals[order]
+        newgrp = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            newgrp[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(newgrp)
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        out_k, out_b = [], []
+        for s, e in zip(starts, ends):
+            sk = KllStringCompatSketch(k)
+            sk.update_many([int_to_fixed_length_string(int(v), width)
+                            for v in vals[s:e]])
+            out_k.append(ks[s])
+            out_b.append(write_kll_string(sk))
+        return pa.table({key: pa.array(out_k, type=pa.string()),
+                         "sketch": pa.array(out_b,
+                                            type=pa.large_binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({key: pa.array([], type=pa.string()),
+                             "sketch": pa.array([],
+                                                type=pa.large_binary())})
+        ks = np.asarray(as_array(batch.column(key)).to_pylist(),
+                        dtype=object)
+        blobs = as_array(batch.column("sketch")).to_pylist()
+        order = np.argsort(ks, kind="stable")
+        out_k, out_b = [], []
+        i = 0
+        while i < len(order):
+            j = i
+            merged = kll_string_compat_from_view(
+                read_kll_string(blobs[order[i]]))
+            while j + 1 < len(order) and ks[order[j + 1]] == ks[order[i]]:
+                j += 1
+                kll_string_merge(merged, kll_string_compat_from_view(
+                    read_kll_string(blobs[order[j]])))
+            out_k.append(ks[order[i]])
+            out_b.append(write_kll_string(merged))
+            i = j + 1
+        return pa.table({key: pa.array(out_k, type=pa.string()),
+                         "sketch": pa.array(out_b,
+                                            type=pa.large_binary())})
+
+    return (ds.select_columns([key, value_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(num_partitions, keys=[key])
+            .map_batches(combine, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def kll_wire_quantiles(ds, key: str, ranks=(0.25, 0.5, 0.75)):
+    """Finalize a persisted wire-format KLL sketch column to integer
+    quantiles (percentile_disc semantics: 1-based index ceil(q*n) over
+    the weighted sorted view) — exact whenever the sketches never
+    compacted (k > group size), reference-bounded error beyond."""
+    def fin(batch: pa.Table) -> pa.Table:
+        from ..state.serde_compat import read_kll_string
+
+        out = {key: [], "n": []}
+        for r in ranks:
+            out[f"q{int(r * 100)}"] = []
+        ks = as_array(batch.column(key)).to_pylist()
+        for g, buf in zip(ks, as_array(batch.column("sketch")).to_pylist()):
+            v = read_kll_string(buf)
+            items, w = [], []
+            for lvl in range(v.num_levels):
+                lo = v.levels[lvl] - v.levels[0]
+                hi = v.levels[lvl + 1] - v.levels[0]
+                seg = v.items[lo:hi]
+                items += seg
+                w += [1 << lvl] * len(seg)
+            order = np.argsort(np.asarray(items, dtype=object))
+            cw = np.cumsum(np.asarray(w, dtype=np.int64)[order])
+            out[key].append(g)
+            out["n"].append(int(v.n))
+            for r in ranks:
+                target = int(np.ceil(r * v.n))
+                idx = int(np.searchsorted(cw, target))
+                out[f"q{int(r * 100)}"].append(
+                    int(items[order[idx]]))
+        cols = {key: pa.array(out[key], type=pa.string()),
+                "n": pa.array(out["n"], type=pa.int64())}
+        for r in ranks:
+            name = f"q{int(r * 100)}"
+            cols[name] = pa.array(out[name], type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fin, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1067,6 +1067,213 @@ class KllStringCompatSketch:
                 lv[lvl] += half
 
 
+def _kll_total_capacity(k: int, m: int, num_levels: int) -> int:
+    # computeTotalItemCapacity (kll/items_sketch.go:831-837)
+    return sum(_kll_level_capacity(k, num_levels, lvl, m)
+               for lvl in range(num_levels))
+
+
+def _kll_ub_on_num_levels(n: int) -> int:
+    # ubOnNumLevels (kll/utils.go:121-124): 1 + floor(log2(n))
+    return 1 + max(0, int(n).bit_length() - 1)
+
+
+def _kll_merge_sorted(buf_a, start_a, len_a, buf_b, start_b, len_b,
+                      buf_c, start_c) -> None:
+    # mergeSortedItemsArrays (kll/items_sketch.go:886-912)
+    a, b = start_a, start_b
+    lim_a, lim_b = start_a + len_a, start_b + len_b
+    for c in range(start_c, start_c + len_a + len_b):
+        if a == lim_a:
+            buf_c[c] = buf_b[b]
+            b += 1
+        elif b == lim_b:
+            buf_c[c] = buf_a[a]
+            a += 1
+        elif buf_a[a] < buf_b[b]:
+            buf_c[c] = buf_a[a]
+            a += 1
+        else:
+            buf_c[c] = buf_b[b]
+            b += 1
+
+
+def _kll_general_compress(k: int, m: int, num_levels_in: int, in_buf,
+                          in_levels, out_buf, out_levels,
+                          is_level_zero_sorted: bool):
+    """generalItemsCompress (kll/items_sketch.go:950-1045) with the
+    reference's deterministic offset=1 halving — used by merge, where
+    in_buf and out_buf alias (as in the reference)."""
+    num_levels = num_levels_in
+    current = in_levels[num_levels] - in_levels[0]
+    target = _kll_total_capacity(k, m, num_levels)
+    out_levels[0] = 0
+    cur = -1
+    while True:
+        cur += 1
+        if cur == num_levels - 1:
+            in_levels[cur + 2] = in_levels[cur + 1]
+        raw_beg = in_levels[cur]
+        raw_lim = in_levels[cur + 1]
+        raw_pop = raw_lim - raw_beg
+        if current < target or \
+                raw_pop < _kll_level_capacity(k, num_levels, cur, m):
+            out_buf[out_levels[cur]:out_levels[cur] + raw_pop] = \
+                in_buf[raw_beg:raw_lim]
+            out_levels[cur + 1] = out_levels[cur] + raw_pop
+        else:
+            pop_above = in_levels[cur + 2] - raw_lim
+            odd = raw_pop % 2 == 1
+            adj_beg = raw_beg + 1 if odd else raw_beg
+            adj_pop = raw_pop - 1 if odd else raw_pop
+            half = adj_pop // 2
+            if odd:
+                out_buf[out_levels[cur]] = in_buf[raw_beg]
+                out_levels[cur + 1] = out_levels[cur] + 1
+            else:
+                out_levels[cur + 1] = out_levels[cur]
+            if cur == 0 and not is_level_zero_sorted:
+                in_buf[adj_beg:adj_beg + adj_pop] = \
+                    sorted(in_buf[adj_beg:adj_beg + adj_pop])
+            if pop_above == 0:
+                # randomlyHalveUpItems, offset=1 (items_sketch.go:864-874)
+                j = adj_beg + adj_pop - 2
+                for i in range(adj_beg + adj_pop - 1,
+                               adj_beg + half - 1, -1):
+                    in_buf[i] = in_buf[j]
+                    j -= 2
+            else:
+                # randomlyHalveDownItems, offset=1 (875-884), then the
+                # in-place upward merge with the level above
+                j = adj_beg + 1
+                for i in range(adj_beg, adj_beg + half):
+                    in_buf[i] = in_buf[j]
+                    j += 2
+                _kll_merge_sorted(in_buf, adj_beg, half,
+                                  in_buf, raw_lim, pop_above,
+                                  in_buf, adj_beg + half)
+            current -= half
+            in_levels[cur + 1] = in_levels[cur + 1] - half
+            if cur == num_levels - 1:
+                num_levels += 1
+                target += _kll_level_capacity(k, num_levels, 0, m)
+        if cur == num_levels - 1:
+            return num_levels, target, current
+
+
+def kll_string_merge(self_sk: KllStringCompatSketch,
+                     other: KllStringCompatSketch) -> None:
+    """ItemsSketch[string].Merge (kll/items_sketch.go:555-693): the
+    other's level 0 replays through the update path; higher levels merge
+    via work arrays + generalItemsCompress; minK degrades only when the
+    other is in estimation mode; min/max fold at the end."""
+    if other.n == 0:
+        return
+    my_empty = self_sk.n == 0
+    my_min, my_max = self_sk.min_item, self_sk.max_item
+    my_min_k = self_sk.min_k
+    final_n = self_sk.n + other.n
+
+    other_num = other.num_levels
+    other_levels = list(other.levels)
+    other_items = list(other.items)
+
+    lvl0 = other_items[other_levels[0]:other_levels[1]]
+    if lvl0:
+        self_sk.update_many(lvl0)
+
+    my_num = self_sk.num_levels
+    my_levels = list(self_sk.levels)
+    my_items = list(self_sk.items)
+    new_num, new_levels, new_items = my_num, my_levels, my_items
+
+    if other_num > 1:
+        def lvl_size(lvl, n_lvls, levels):
+            # currentLevelSizeItems (kll/utils.go:130-135)
+            return 0 if lvl >= n_lvls else levels[lvl + 1] - levels[lvl]
+
+        retained_self = my_levels[my_num] - my_levels[0]
+        retained_other_above = other_levels[other_num] - other_levels[1]
+        workbuf = [None] * (retained_self + retained_other_above)
+        ub = _kll_ub_on_num_levels(final_n)
+        worklevels = [0] * (ub + 2)
+        outlevels = [0] * (ub + 2)
+        prov = max(my_num, other_num)
+
+        # populateItemWorkArrays (913-948); other's level 0 already
+        # replayed above
+        pop0 = lvl_size(0, my_num, my_levels)
+        workbuf[0:pop0] = my_items[my_levels[0]:my_levels[0] + pop0]
+        worklevels[1] = pop0
+        for lvl in range(1, prov):
+            sp = lvl_size(lvl, my_num, my_levels)
+            op = lvl_size(lvl, other_num, other_levels)
+            worklevels[lvl + 1] = worklevels[lvl] + sp + op
+            if sp > 0 and op == 0:
+                workbuf[worklevels[lvl]:worklevels[lvl] + sp] = \
+                    my_items[my_levels[lvl]:my_levels[lvl] + sp]
+            elif sp == 0 and op > 0:
+                workbuf[worklevels[lvl]:worklevels[lvl] + op] = \
+                    other_items[other_levels[lvl]:other_levels[lvl] + op]
+            elif sp > 0 and op > 0:
+                _kll_merge_sorted(my_items, my_levels[lvl], sp,
+                                  other_items, other_levels[lvl], op,
+                                  workbuf, worklevels[lvl])
+
+        new_num, target_cnt, cur_cnt = _kll_general_compress(
+            self_sk.k, self_sk.m, prov, workbuf, worklevels, workbuf,
+            outlevels, self_sk.is_level_zero_sorted)
+        free_bottom = target_cnt - cur_cnt
+        new_items = [None] * target_cnt
+        new_items[free_bottom:free_bottom + cur_cnt] = \
+            workbuf[outlevels[0]:outlevels[0] + cur_cnt]
+        shift = free_bottom - outlevels[0]
+        final_len = max(len(my_levels), new_num + 1)
+        new_levels = [0] * final_len
+        for lvl in range(new_num + 1):
+            new_levels[lvl] = outlevels[lvl] + shift
+
+    self_sk.n = final_n
+    if other_num > 1:  # other.IsEstimationMode (items_sketch.go:189-191)
+        self_sk.min_k = min(my_min_k, other.min_k)
+    self_sk.num_levels = new_num
+    self_sk.levels = new_levels
+    self_sk.items = new_items
+    if my_empty:
+        self_sk.min_item = other.min_item
+        self_sk.max_item = other.max_item
+    else:
+        self_sk.min_item = min(my_min, other.min_item)
+        self_sk.max_item = max(my_max, other.max_item)
+
+
+def kll_string_compat_from_view(view: KllStringSketchView) \
+        -> KllStringCompatSketch:
+    """Rebuild a live (updatable, mergeable) compat sketch from a parsed
+    wire image, the way NewItemsSketchFromSlice re-expands the compact
+    form into updatable arrays (free space at the bottom,
+    kll/items_sketch.go:406-470)."""
+    sk = KllStringCompatSketch(view.k, view.m)
+    if view.n == 0:
+        return sk
+    sk.n = view.n
+    sk.min_k = view.min_k
+    sk.num_levels = view.num_levels
+    retained = view.levels[view.num_levels] - view.levels[0]
+    cap = _kll_total_capacity(view.k, view.m, view.num_levels)
+    free = cap - retained
+    sk.items = [None] * free + list(
+        view.items[-retained:] if len(view.items) > retained
+        else view.items)
+    base = view.levels[0]
+    sk.levels = [free + (view.levels[i] - base)
+                 for i in range(view.num_levels)] + [cap]
+    sk.min_item = view.min_item
+    sk.max_item = view.max_item
+    sk.is_level_zero_sorted = view.level0_sorted
+    return sk
+
+
 def write_kll_string(sk: KllStringCompatSketch) -> bytes:
     """ItemsSketch[string].ToSlice() (kll/items_sketch.go:332-404):
     COMPACT_EMPTY (8 B) / COMPACT_SINGLE (preamble + one item) /
