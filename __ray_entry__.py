@@ -10578,6 +10578,75 @@ def _q_kll_blob_quantiles_by_source(sf_dir: str):
     return kll_wire_quantiles(back, "source").sort("source")
 
 
+def _q_conv_lang_switches(sf_dir: str):
+    """Code-switching profile per conversation (multilingual curation
+    signal): per-turn language ID (the same vectorized stopword argmax
+    the langid query pins value-exact), then per conv the number of
+    adjacent-turn language changes and distinct languages. One conv
+    keyed shuffle; the fold is a lexsort + two run-boundary masks."""
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+    from apache_datasketches_go_ray.stages.textops import langid_batch
+
+    def pred(b):
+        out = langid_batch(b)
+        return pa.table({
+            "conv_id": out.column("conv_id"),
+            "turn_idx": out.column("turn_idx").cast(pa.int64()),
+            "lang_pred": out.column("lang_pred"),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "n_turns": pa.array([], type=pa.int64()),
+                "n_langs": pa.array([], type=pa.int64()),
+                "n_switches": pa.array([], type=pa.int64()),
+            })
+        import pyarrow.compute as pc
+
+        conv = as_array(b.column("conv_id"))
+        d = as_array(pc.dictionary_encode(conv))
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        lang = np.asarray(as_array(b.column("lang_pred")).to_pylist(),
+                          dtype=object)
+        order = np.lexsort((tidx, codes))
+        c, lg = codes[order], lang[order]
+        n_convs = len(d.dictionary)
+        n_turns = np.bincount(c, minlength=n_convs).astype(np.int64)
+        same = np.zeros(len(c), dtype=bool)
+        same[1:] = c[1:] == c[:-1]
+        switch = same & (lg != np.roll(lg, 1))
+        n_sw = np.zeros(n_convs, dtype=np.int64)
+        np.add.at(n_sw, c[switch], 1)
+        # distinct langs per conv
+        o2 = np.lexsort((lg, c))
+        c2, l2 = c[o2], lg[o2]
+        newpair = np.ones(len(c2), dtype=bool)
+        newpair[1:] = (c2[1:] != c2[:-1]) | (l2[1:] != l2[:-1])
+        n_lang = np.zeros(n_convs, dtype=np.int64)
+        np.add.at(n_lang, c2[newpair], 1)
+        return pa.table({
+            "conv_id": d.dictionary.cast(pa.string()),
+            "n_turns": pa.array(n_turns),
+            "n_langs": pa.array(n_lang),
+            "n_switches": pa.array(n_sw),
+        })
+
+    return (ray.data.read_parquet(_transcripts_dir(sf_dir),
+                                  columns=["conv_id", "turn_idx", "text"])
+            .map_batches(pred, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(8, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("conv_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -10882,6 +10951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_budget_subset": _q_char_budget_subset,
         "exact_dup_size_histogram": _q_exact_dup_size_histogram,
         "kll_blob_quantiles_by_source": _q_kll_blob_quantiles_by_source,
+        "conv_lang_switches": _q_conv_lang_switches,
     }
 
 
@@ -14581,6 +14651,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50,
                    CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75
             FROM documents GROUP BY source
+        """,
+        "conv_lang_switches": rf"""
+            WITH t AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE list_transform(
+                            string_split_regex(trim(text), '\s+'),
+                            x -> trim(lower(x), '.,;:!?"''()'))
+                     END AS toks
+              FROM {T}
+            ), h AS (
+              SELECT conv_id, turn_idx,
+                len(list_filter(toks, x -> x IN
+                  ('der','die','das','und','oder','von','zu','im','ist',
+                   'es','dass','für','auf','mit','als','war','bei','ein')))
+                  AS hde,
+                len(list_filter(toks, x -> x IN
+                  ('the','a','an','and','or','of','to','in','is','it',
+                   'that','for','on','with','as','was','at','by','be')))
+                  AS hen,
+                len(list_filter(toks, x -> x IN
+                  ('el','la','los','las','y','o','de','a','en','es','que',
+                   'para','sobre','con','como','era','por','un'))) AS hes,
+                len(list_filter(toks, x -> x IN
+                  ('le','la','les','et','ou','de','à','en','est','il',
+                   'que','pour','sur','avec','comme','était','par','un')))
+                  AS hfr
+              FROM t
+            ), pred AS (
+              SELECT conv_id, turn_idx,
+                   CASE WHEN greatest(hde, hen, hes, hfr) = 0
+                          THEN 'unknown'
+                        WHEN hde >= hen AND hde >= hes AND hde >= hfr
+                          THEN 'de'
+                        WHEN hen >= hes AND hen >= hfr THEN 'en'
+                        WHEN hes >= hfr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+              FROM h
+            ), w AS (
+              SELECT conv_id, lang_pred,
+                     lag(lang_pred) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) AS prev
+              FROM pred
+            )
+            SELECT conv_id, count(*) AS n_turns,
+                   count(DISTINCT lang_pred) AS n_langs,
+                   CAST(sum(CASE WHEN prev IS NOT NULL
+                                      AND prev <> lang_pred
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+            FROM w GROUP BY 1
         """,
     }
 
