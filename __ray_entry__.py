@@ -9648,15 +9648,13 @@ def _q_part_min_cost_supplier(sf_dir: str):
     bal_lut[skeys] = sbal
     name_lut = {int(k): n for k, n in zip(
         skeys, sup.column("s_name").to_pylist())}
-    keep = frozenset(pnames)
+    keep_arr = pa.array(sorted(pnames), type=pa.int64())
 
     def pairs(b):
         pk = b.column("l_partkey").cast(pa.int64())
         sk = b.column("l_suppkey").cast(pa.int64())
         t = pa.table({"p_partkey": pk, "s_suppkey": sk})
-        mask = pc.is_in(pk, value_set=pa.array(sorted(keep),
-                                               type=pa.int64()))
-        t = t.filter(mask)
+        t = t.filter(pc.is_in(pk, value_set=keep_arr))
         # in-block distinct kills the fan-in before the shuffle
         return t.group_by(["p_partkey", "s_suppkey"]).aggregate([])
 
@@ -9692,7 +9690,7 @@ def _q_part_min_cost_supplier(sf_dir: str):
         })
 
     line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-    P = auto_partitions(len(keep), 10_000, 16)
+    P = auto_partitions(len(pnames), 10_000, 16)
     return (line.map_batches(pairs, batch_format="pyarrow",
                              zero_copy_batch=True)
             .repartition(P, keys=["p_partkey"])
@@ -10257,9 +10255,20 @@ def _q_hard_negatives(sf_dir: str):
     from apache_datasketches_go_ray.stages.context import gather_table
     from apache_datasketches_go_ray.stages.embops import hard_negative_topk
 
+    import pyarrow as pa
+
     emb = _read(sf_dir, "embeddings", None)
-    qt = gather_table(emb).to_pandas()
-    qt = qt[qt["vec_id"] % 37 == 0]
+
+    def _only_queries(b):
+        vid = b.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return b.filter(pa.array(vid % 37 == 0))
+
+    # the query subset (1/37 of rows) is selected DISTRIBUTED; only it
+    # ever reaches the driver
+    qt = gather_table(emb.map_batches(_only_queries,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)).to_pandas()
     qids = qt["vec_id"].to_numpy(dtype=np.int64)
     qmat = np.vstack(qt["embedding"].to_numpy())
     qlabels = qt["label"].to_numpy(dtype=np.int64)
@@ -10359,15 +10368,21 @@ def _q_length_bucket_plan(sf_dir: str):
         caps = [int(v[np.searchsorted(cum, int(np.ceil(p * total)))])
                 for p in (0.25, 0.5, 0.75)] + [int(v[-1])]
         lo = [np.iinfo(np.int64).min] + caps[:-1]
-        buckets, nd, waste = [], [], []
+        buckets, out_caps, nd, waste = [], [], [], []
         for i, (a, c) in enumerate(zip(lo, caps)):
             m = (v > a) & (v <= c)
+            cnt = int(n[m].sum())
+            if cnt == 0:
+                # quartile ties empty a bucket; the SQL GROUP BY emits
+                # no row for it, so neither do we
+                continue
             buckets.append(i + 1)
-            nd.append(int(n[m].sum()))
+            out_caps.append(c)
+            nd.append(cnt)
             waste.append(int(((c - v[m]) * n[m]).sum()))
         return pa.table({
             "bucket": pa.array(buckets, type=pa.int64()),
-            "cap": pa.array(caps, type=pa.int64()),
+            "cap": pa.array(out_caps, type=pa.int64()),
             "n_docs": pa.array(nd, type=pa.int64()),
             "waste_chars": pa.array(waste, type=pa.int64()),
         })

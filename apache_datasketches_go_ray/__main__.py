@@ -94,7 +94,13 @@ def main(argv=None):
             kw["jaccard_threshold"] = args.threshold
         cfg = DedupConfig(**kw)
         ds = read_transcripts(args.input, format=args.format)
-        res = run_dedup(ds, cfg, checkpoint_dir=args.checkpoint)
+        # read_transcripts normalizes through map_batches, which erases
+        # input-file metadata — pass the source path so --layout auto
+        # can actually probe it (parquet only; other formats stay on
+        # the always-correct shuffled path)
+        paths = args.input if args.format == "parquet" else None
+        res = run_dedup(ds, cfg, checkpoint_dir=args.checkpoint,
+                        input_paths=paths)
         res["clusters"].write_parquet(args.output)
         print(json.dumps({"clusters": res["clusters"].count(),
                           "stages": {k: v.get("sec")

@@ -36,38 +36,53 @@ from ..stages.cluster import cluster_edges
 from .base import CheckpointedPipeline
 
 
+def resolve_input_layout(layout: str, transcripts_ds,
+                         input_paths=None) -> str:
+    """``"auto"`` → run the exact distributed layout probe
+    (sources.readers.detect_input_layout — reads only
+    (conv_id, turn_idx)) and take the conv_grouped assembly fast path
+    only when the probe PROVES it safe. ``input_paths`` (a dir or file
+    list) takes precedence over ``transcripts_ds.input_files()`` —
+    readers that normalize through map_batches (sources.readers.
+    read_transcripts) erase input-file metadata, so callers that know
+    the source path must pass it. Non-file-backed datasets fall back to
+    the always-correct shuffled path."""
+    if layout != "auto":
+        return layout
+    files = input_paths
+    if files is None:
+        try:
+            files = transcripts_ds.input_files()
+        except Exception:
+            files = []
+    if not files:
+        return "shuffled"
+    from ..sources.readers import detect_input_layout
+
+    try:
+        return detect_input_layout(files)
+    except Exception:
+        # non-parquet sources (jsonl/csv) can't be probed — stay safe
+        return "shuffled"
+
+
 class DedupPipeline(CheckpointedPipeline):
     def __init__(self, config: DedupConfig, checkpoint_dir: str | None = None):
         super().__init__(config.to_dict(), checkpoint_dir)
         self.cfg = config
         ensure_hash_shuffle()
 
-    def _resolve_layout(self, transcripts_ds) -> str:
-        """``input_layout="auto"``: run the exact distributed layout
-        probe (sources.readers.detect_input_layout — reads only
-        (conv_id, turn_idx)) against the dataset's input files and take
-        the conv_grouped assembly fast path only when the probe PROVES
-        it safe. Non-file-backed datasets fall back to the
-        always-correct shuffled path."""
-        layout = self.cfg.input_layout
-        if layout != "auto":
-            return layout
-        try:
-            files = transcripts_ds.input_files()
-        except Exception:
-            files = []
-        if not files:
-            self.metrics["input_layout_resolved"] = "shuffled (no files)"
-            return "shuffled"
-        from ..sources.readers import detect_input_layout
-
-        resolved = detect_input_layout(files)
-        self.metrics["input_layout_resolved"] = resolved
+    def _resolve_layout(self, transcripts_ds, input_paths=None) -> str:
+        resolved = resolve_input_layout(self.cfg.input_layout,
+                                        transcripts_ds,
+                                        input_paths=input_paths)
+        if self.cfg.input_layout == "auto":
+            self.metrics["input_layout_resolved"] = resolved
         return resolved
 
     # ---- pipeline ---------------------------------------------------------
     def run(self, transcripts_ds, *, input_fingerprint: str = "",
-            signer_concurrency=None):
+            signer_concurrency=None, input_paths=None):
         from ..stages.context import apply_block_cap
 
         cfg = self.cfg
@@ -78,7 +93,7 @@ class DedupPipeline(CheckpointedPipeline):
         self.metrics["block_cap_applied"] = apply_block_cap(
             cfg.target_block_bytes, transcripts_ds.count())
 
-        layout = self._resolve_layout(transcripts_ds)
+        layout = self._resolve_layout(transcripts_ds, input_paths)
 
         # assembled IS materialized: fusing read -> repartition -> assemble
         # -> sign into one streaming chain measured ~2x slower than
@@ -251,6 +266,7 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
         ensure_hash_shuffle()
 
     def run(self, new_transcripts_ds, *, input_fingerprint: str = "",
+            input_paths=None,
             signer_concurrency=None):
         import numpy as np
 
@@ -284,7 +300,8 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
         old_clusters = ray.data.read_parquet(
             os.path.join(chain[-1], "clusters"))
 
-        layout = DedupPipeline._resolve_layout(self, new_transcripts_ds)
+        layout = DedupPipeline._resolve_layout(self, new_transcripts_ds,
+                                       input_paths)
         assembled_new, fp = self._stage(
             "assembled", input_fingerprint,
             lambda: assemble(new_transcripts_ds, cfg.num_partitions,

@@ -138,6 +138,11 @@ def assemble(ds, num_partitions: int, input_layout: str = "shuffled"):
     """
     from .context import auto_partitions
 
+    if input_layout not in ("shuffled", "conv_grouped"):
+        # "auto" must be resolved by the caller
+        # (pipelines.dedup.resolve_input_layout) — a silent fall-through
+        # here would quietly skip the fast path forever
+        raise ValueError(f"assemble: unknown input_layout {input_layout!r}")
     # ~25k turns/partition: downstream signer tasks are per-block, so this
     # also sets the signing parallelism grain (~2k convs / ~3s per task)
     P = auto_partitions(ds.count(), 25_000, num_partitions)

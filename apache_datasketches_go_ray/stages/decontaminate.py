@@ -281,13 +281,21 @@ def semantic_decontaminate(train_ds, eval_ds, *, threshold: float = 0.4,
     from .context import gather_table
 
     ev = gather_table(eval_ds)
-    em = _embeddings_matrix(ev, emb_col).astype(np.float64)
-    norms = np.linalg.norm(em, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    eval_ref = ray.put(np.ascontiguousarray((em / norms).T))
+    if len(ev) == 0 or emb_col not in ev.column_names:
+        # empty eval corpora lose their schema through empty blocks;
+        # either way the answer is "no contamination"
+        em = np.zeros((0, 0))
+    else:
+        em = _embeddings_matrix(ev, emb_col).astype(np.float64)
+    empty_eval = em.size == 0
+    if not empty_eval:
+        norms = np.linalg.norm(em, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        em = np.ascontiguousarray((em / norms).T)
+    eval_ref = ray.put(em)
 
     def flag(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
+        if len(batch) == 0 or empty_eval:
             return pa.table({
                 id_col: pa.array([], type=pa.int64()),
                 "n_contaminating": pa.array([], type=pa.int64()),

@@ -130,18 +130,21 @@ def hash_join(left_ds, right_ds, on: tuple[str, str], *,
 
 
 def _freq_partial(batch: pa.Table, key: str, lg_max_map_size: int) -> pa.Table:
-    """Per-block frequent-items partial over the join key: the block's
-    Misra-Gries summary flattened to (item, lower_bound) rows plus the
-    block's purge offset and row count (one summary row, null item)."""
+    """Per-block frequent-items partial over the join key (any hashable
+    key type — int or string): the block's Misra-Gries summary
+    flattened to (item, lower_bound) rows plus the block's purge offset
+    and row count (one summary row, null item)."""
     from ..state.frequencies import FrequentItemsSketch
 
     sk = FrequentItemsSketch(lg_max_map_size)
-    vals = batch.column(key).to_numpy(zero_copy_only=False)
+    col = batch.column(key)
+    vals = col.to_numpy(zero_copy_only=False)
     uk, cnt = np.unique(vals, return_counts=True)
     sk.update_many(uk.tolist(), cnt.tolist())
     items, counts = sk.to_items()
+    ktype = col.type
     return pa.table({
-        "item": pa.array(list(items) + [None], type=pa.int64()),
+        "item": pa.array(list(items) + [None], type=ktype),
         "lb": pa.array(list(counts) + [0], type=pa.int64()),
         "offset": pa.array([0] * len(items) + [sk.get_maximum_error()],
                            type=pa.int64()),
@@ -176,12 +179,11 @@ def detect_hot_keys(ds, key: str, *, lg_max_map_size: int = 12,
     g = items.group_by(["item"]).aggregate([("lb", "sum")])
     lb = g.column("lb_sum").to_numpy(zero_copy_only=False).astype(np.int64)
     ub = lb + total_offset
-    keys = g.column("item").to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = g.column("item").to_pylist()
     thresh = max(1, int(min_frac * total_rows))
-    keep = ub >= thresh
-    keys, ub = keys[keep], ub[keep]
-    order = np.lexsort((keys, -ub))[:top_k]
-    return [int(k) for k in keys[order]]
+    ranked = sorted(((int(u), k) for u, k in zip(ub, keys)
+                     if u >= thresh), key=lambda t: (-t[0], t[1]))
+    return [k for _, k in ranked[:top_k]]
 
 
 def skew_join(left_ds, right_ds, on: tuple[str, str], *,

@@ -52,6 +52,13 @@ def approx_distinct_by(ds, key: str, column: str, lg_k: int = 12,
     per-block partials keyed by group, hash shuffle on key, per-block
     merge+finalize."""
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null keys/values don't contribute (and _col_coupons dropping
+        # null strings would misalign coupons with keys otherwise)
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column(key)),
+            pc.is_valid(batch.column(column))))
         keys = as_array(batch.column(key)).to_pylist()
         col = as_array(batch.column(column))
         cs = _col_coupons(col)
@@ -473,6 +480,13 @@ def hll_wire_sketch_column_by(ds, key: str, column: str, lg_k: int = 12,
     from ..state.serde_compat import read_hll, write_hll
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # drop null keys/values BEFORE hashing: _col_coupons silently
+        # drops null strings, which would misalign coupons with keys
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column(key)),
+            pc.is_valid(batch.column(column))))
         keys = as_array(batch.column(key)).to_pylist()
         cs = _col_coupons(as_array(batch.column(column)))
         keys_np = np.asarray(keys, dtype=object)
@@ -688,10 +702,23 @@ def kll_wire_sketch_column_by(ds, key: str, value_col: str, k: int = 200,
                                       read_kll_string, write_kll_string)
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column(key)),
+            pc.is_valid(batch.column(value_col))))
         ks = np.asarray(as_array(batch.column(key)).to_pylist(),
                         dtype=object)
         vals = as_array(batch.column(value_col)).to_numpy(
             zero_copy_only=False).astype(np.int64)
+        if len(vals) and (vals.min() < 0 or vals.max() >= 10 ** width):
+            # right-justified space padding is order-preserving ONLY for
+            # non-negative ints below 10^width — reject loudly rather
+            # than scramble the sorted view
+            raise ValueError(
+                f"kll_wire_sketch_column_by: values must be in "
+                f"[0, 10^{width}) for fixed-width string encoding; got "
+                f"[{vals.min()}, {vals.max()}]")
         order = np.argsort(ks, kind="stable")
         ks, vals = ks[order], vals[order]
         newgrp = np.ones(len(ks), dtype=bool)

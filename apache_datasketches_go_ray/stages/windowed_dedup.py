@@ -106,8 +106,13 @@ def windowed_near_dups(transcripts_ds, config: DedupConfig | None = None,
     available (the windowed pass then adds NO signing cost)."""
     cfg = config or DedupConfig()
     if assembled_ds is None:
-        assembled_ds = assemble(transcripts_ds, cfg.num_partitions,
-                                input_layout=cfg.input_layout).materialize()
+        from ..pipelines.dedup import resolve_input_layout
+
+        assembled_ds = assemble(
+            transcripts_ds, cfg.num_partitions,
+            input_layout=resolve_input_layout(cfg.input_layout,
+                                              transcripts_ds),
+        ).materialize()
     if signatures_ds is None:
         signatures_ds = sign(assembled_ds, cfg, keep_text=False)
     signatures_ds = signatures_ds.materialize()

@@ -136,3 +136,19 @@ def test_kll_wire_column_roundtrip(ray_session, tmp_path, blocks):
         for p, cname in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
             # percentile_disc: 1-based index ceil(p*n)
             assert row[cname] == vals[int(np.ceil(p * len(vals))) - 1]
+
+
+def test_column_rejects_out_of_domain_values(ray_session):
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        kll_wire_sketch_column_by,
+    )
+
+    tbl = pa.table({
+        "g": pa.array(["a", "a", "a"], type=pa.string()),
+        "v": pa.array(np.array([-9, -5, 3], dtype=np.int64)),
+    })
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(Exception, match="fixed-width"):
+        kll_wire_sketch_column_by(ds, "g", "v", k=64).materialize()

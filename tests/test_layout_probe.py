@@ -121,3 +121,37 @@ def test_auto_layout_identical_clusters(ray_session, tmp_path,
         return list(zip(df["conv_id"], df["cluster_id"]))
 
     assert clusters(src, "auto") == clusters(src, "shuffled")
+
+
+def test_auto_layout_via_input_paths(ray_session, tmp_path):
+    """read_transcripts normalizes through map_batches and erases
+    input-file metadata — the explicit input_paths plumbing must still
+    let auto mode probe and resolve conv_grouped."""
+    from apache_datasketches_go_ray.config import DedupConfig
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+    from apache_datasketches_go_ray.sources.readers import (
+        read_transcripts,
+    )
+
+    sdir, _ = _write_sorted_shards(tmp_path, n_convs=60)
+    ds = read_transcripts(sdir, format="parquet")
+    assert ds.input_files() == []  # the normalization wrapper erases them
+    cfg = DedupConfig(num_partitions=4, input_layout="auto")
+    res = run_dedup(ds, cfg, input_paths=sdir)
+    assert res["metrics"]["input_layout_resolved"] == "conv_grouped"
+    assert res["clusters"].count() >= 0
+
+
+def test_assemble_rejects_unresolved_auto(ray_session, tmp_path):
+    import ray.data
+
+    from apache_datasketches_go_ray.sources.transcripts import (
+        write_transcripts,
+    )
+    from apache_datasketches_go_ray.stages.assemble import assemble
+
+    base = str(tmp_path / "t")
+    write_transcripts(base, 10, seed=1, shards=1)
+    ds = ray.data.read_parquet(os.path.join(base, "transcripts"))
+    with pytest.raises(ValueError, match="input_layout"):
+        assemble(ds, 2, input_layout="auto")

@@ -56,3 +56,19 @@ def test_planted_contamination_flagged(ray_session, blocks):
     exp = {int(i): int(c) for i, c in zip(ids, cnt) if c > 0}
     assert {int(r.vec_id): int(r.n_contaminating)
             for r in loose.itertuples()} == exp
+
+
+def test_empty_eval_set_returns_empty(ray_session):
+    from apache_datasketches_go_ray.stages.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(3)
+    train = _emb_table(np.arange(10), rng.normal(size=(10, 16)))
+    empty = _emb_table(np.array([], dtype=np.int64),
+                       np.zeros((0, 16)))
+    got = semantic_decontaminate(_ds(train, 2), _ds(empty, 1),
+                                 threshold=0.5).to_pandas()
+    assert len(got) == 0  # no contamination, no crash
+    # (column metadata on fully-empty pandas conversions is a Ray
+    # cosmetic: each block IS typed, see stages/decontaminate.flag)

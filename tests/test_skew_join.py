@@ -78,3 +78,33 @@ def test_skew_join_no_hot_keys_falls_back(ray_session):
     pd.testing.assert_frame_equal(
         got[key].sort_values(key, ignore_index=True),
         exp[key].sort_values(key, ignore_index=True))
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_skew_join_string_keys(ray_session, blocks):
+    """skew_join is a drop-in for hash_join: string join keys must work
+    through the frequent-items pass and the hot/cold split."""
+    from apache_datasketches_go_ray.stages.join import skew_join
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    k = np.array([f"user{int(x)}" for x in rng.integers(0, 40, n)],
+                 dtype=object)
+    k[rng.random(n) < 0.4] = "mega"  # hot string key
+    left = pa.table({
+        "k": pa.array(list(k), type=pa.string()),
+        "lv": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+    })
+    rk = [f"user{i}" for i in range(40)] + ["mega"]
+    right = pa.table({
+        "rk": pa.array(rk, type=pa.string()),
+        "rv": pa.array(np.arange(len(rk), dtype=np.int64)),
+    })
+    got = skew_join(_ds(left, blocks), _ds(right, 2), on=("k", "rk"),
+                    min_hot_frac=0.1).to_pandas()
+    exp = left.to_pandas().merge(
+        right.to_pandas(), left_on="k", right_on="rk").drop(columns=["rk"])
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key, ignore_index=True),
+        exp[key].sort_values(key, ignore_index=True))
