@@ -466,6 +466,21 @@ def cms_point_counts(ds, column: str, query_items, *, depth: int = 4,
     return tbl, merged
 
 
+def _sorted_runs(keys):
+    """Stable-sorted group runs over an object key sequence: yields
+    (key, index_array) per distinct key — the one scaffold behind every
+    per-group sketch partial/merge below (one place to fix, not six)."""
+    ks = np.asarray(keys, dtype=object)
+    order = np.argsort(ks, kind="stable")
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and ks[order[j + 1]] == ks[order[i]]:
+            j += 1
+        yield ks[order[i]], order[i:j + 1]
+        i = j + 1
+
+
 def hll_wire_sketch_column_by(ds, key: str, column: str, lg_k: int = 12,
                               num_partitions: int = 16):
     """Grouped HLL sketch COLUMN in the reference wire format — the
@@ -489,40 +504,26 @@ def hll_wire_sketch_column_by(ds, key: str, column: str, lg_k: int = 12,
             pc.is_valid(batch.column(column))))
         keys = as_array(batch.column(key)).to_pylist()
         cs = _col_coupons(as_array(batch.column(column)))
-        keys_np = np.asarray(keys, dtype=object)
-        order = np.argsort(keys_np, kind="stable")
-        ks, cs = keys_np[order], cs[order]
-        newgrp = np.ones(len(ks), dtype=bool)
-        if len(ks) > 1:
-            newgrp[1:] = ks[1:] != ks[:-1]
-        starts = np.flatnonzero(newgrp)
-        ends = np.concatenate([starts[1:], [len(ks)]])
         out_k, out_s = [], []
-        for s, e in zip(starts, ends):
+        for g, idx in _sorted_runs(keys):
             sk = HllSketch(lg_k)
-            sk.update_coupons_bulk(cs[s:e])
-            out_k.append(ks[s])
+            sk.update_coupons_bulk(cs[idx])
+            out_k.append(g)
             out_s.append(write_hll(sk))
         return pa.table({key: pa.array(out_k, type=pa.string()),
                          "sketch": pa.array(out_s,
                                             type=pa.large_binary())})
 
     def combine(batch: pa.Table) -> pa.Table:
-        ks = np.asarray(as_array(batch.column(key)).to_pylist(),
-                        dtype=object)
+        ks = as_array(batch.column(key)).to_pylist()
         sks = as_array(batch.column("sketch")).to_pylist()
-        order = np.argsort(ks, kind="stable")
         out_k, out_s = [], []
-        i = 0
-        while i < len(order):
-            j = i
-            sk = read_hll(sks[order[i]])
-            while j + 1 < len(order) and ks[order[j + 1]] == ks[order[i]]:
-                j += 1
-                sk.merge(read_hll(sks[order[j]]))
-            out_k.append(ks[order[i]])
+        for g, idx in _sorted_runs(ks):
+            sk = read_hll(sks[idx[0]])
+            for i in idx[1:]:
+                sk.merge(read_hll(sks[i]))
+            out_k.append(g)
             out_s.append(write_hll(sk))
-            i = j + 1
         return pa.table({key: pa.array(out_k, type=pa.string()),
                          "sketch": pa.array(out_s,
                                             type=pa.large_binary())})
@@ -585,18 +586,13 @@ def freq_wire_sketch_column_by(ds, group_col: str, item_col: str,
         gs = vc.column("g").to_numpy(zero_copy_only=False)
         items = vc.column("i").to_numpy(zero_copy_only=False)
         cnts = vc.column("i_count").to_numpy(zero_copy_only=False)
-        order = np.argsort(gs, kind="stable")
         out_g, out_blob = [], []
-        i = 0
-        while i < len(order):
-            j = i
+        for g_key, idx in _sorted_runs(gs):
             sk = FreqCompatSketch(max_map_size, kind="string")
-            while j < len(order) and gs[order[j]] == gs[order[i]]:
-                sk.update(str(items[order[j]]), int(cnts[order[j]]))
-                j += 1
-            out_g.append(str(gs[order[i]]))
+            for i in idx:
+                sk.update(str(items[i]), int(cnts[i]))
+            out_g.append(str(g_key))
             out_blob.append(write_frequencies_items_string(sk))
-            i = j
         return pa.table({group_col: pa.array(out_g, type=pa.string()),
                          "sketch": pa.array(out_blob,
                                             type=pa.large_binary())})
@@ -630,24 +626,19 @@ def _freq_wire_merge_block(batch: pa.Table, group_col: str,
     gs = np.asarray(as_array(batch.column(group_col)).to_pylist(),
                     dtype=object)
     blobs = as_array(batch.column("sketch")).to_pylist()
-    order = np.argsort(gs, kind="stable")
     out_g, out_blob = [], []
-    i = 0
-    while i < len(order):
-        j = i
+    for g_key, idx in _sorted_runs(gs):
         merged = FreqCompatSketch(max_map_size, kind="string")
         weight = 0
-        while j < len(order) and gs[order[j]] == gs[order[i]]:
-            view = read_frequencies_items_string(blobs[order[j]])
+        for i in idx:
+            view = read_frequencies_items_string(blobs[i])
             weight += view.stream_length
             for item in sorted(view.counts):
                 merged.update(item, int(view.counts[item]))
             merged.offset += view.offset
-            j += 1
         merged.stream_weight = weight
-        out_g.append(str(gs[order[i]]))
+        out_g.append(str(g_key))
         out_blob.append(write_frequencies_items_string(merged))
-        i = j
     return pa.table({group_col: pa.array(out_g, type=pa.string()),
                      "sketch": pa.array(out_blob,
                                         type=pa.large_binary())})
@@ -719,19 +710,12 @@ def kll_wire_sketch_column_by(ds, key: str, value_col: str, k: int = 200,
                 f"kll_wire_sketch_column_by: values must be in "
                 f"[0, 10^{width}) for fixed-width string encoding; got "
                 f"[{vals.min()}, {vals.max()}]")
-        order = np.argsort(ks, kind="stable")
-        ks, vals = ks[order], vals[order]
-        newgrp = np.ones(len(ks), dtype=bool)
-        if len(ks) > 1:
-            newgrp[1:] = ks[1:] != ks[:-1]
-        starts = np.flatnonzero(newgrp)
-        ends = np.concatenate([starts[1:], [len(ks)]])
         out_k, out_b = [], []
-        for s, e in zip(starts, ends):
+        for g_key, idx in _sorted_runs(ks):
             sk = KllStringCompatSketch(k)
             sk.update_many([int_to_fixed_length_string(int(v), width)
-                            for v in vals[s:e]])
-            out_k.append(ks[s])
+                            for v in vals[idx]])
+            out_k.append(g_key)
             out_b.append(write_kll_string(sk))
         return pa.table({key: pa.array(out_k, type=pa.string()),
                          "sketch": pa.array(out_b,
@@ -745,20 +729,15 @@ def kll_wire_sketch_column_by(ds, key: str, value_col: str, k: int = 200,
         ks = np.asarray(as_array(batch.column(key)).to_pylist(),
                         dtype=object)
         blobs = as_array(batch.column("sketch")).to_pylist()
-        order = np.argsort(ks, kind="stable")
         out_k, out_b = [], []
-        i = 0
-        while i < len(order):
-            j = i
+        for g_key, idx in _sorted_runs(ks):
             merged = kll_string_compat_from_view(
-                read_kll_string(blobs[order[i]]))
-            while j + 1 < len(order) and ks[order[j + 1]] == ks[order[i]]:
-                j += 1
+                read_kll_string(blobs[idx[0]]))
+            for i in idx[1:]:
                 kll_string_merge(merged, kll_string_compat_from_view(
-                    read_kll_string(blobs[order[j]])))
-            out_k.append(ks[order[i]])
+                    read_kll_string(blobs[i])))
+            out_k.append(g_key)
             out_b.append(write_kll_string(merged))
-            i = j + 1
         return pa.table({key: pa.array(out_k, type=pa.string()),
                          "sketch": pa.array(out_b,
                                             type=pa.large_binary())})
