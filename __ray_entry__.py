@@ -10662,6 +10662,103 @@ def _q_conv_lang_switches(sf_dir: str):
             .sort("conv_id"))
 
 
+def _q_daily_value_quantiles(sf_dir: str):
+    """Operational percentile dashboard: per-day p50/p90 of event value
+    in exact cents (ANSI percentile_disc) — the existing exact grouped
+    quantile operator applied on a calendar key."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.relational import (
+        grouped_quantile_disc,
+    )
+
+    def prep(b):
+        day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({"day": day, "cents": pa.array(cents)})
+
+    ds = _read(sf_dir, "events", ["ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_quantile_disc(ds, "day", "cents", (0.5, 0.9),
+                                 num_partitions=8).sort("day")
+
+
+def _q_ri_audit(sf_dir: str):
+    """Referential-integrity audit between the fact tables (the
+    data-quality gate every warehouse load runs): lineitems whose
+    orderkey has no order, and orders with no lineitems. Both directions
+    are one tagged-union presence fold — no join materializes."""
+    import pyarrow as pa
+
+    def tag(b, col, side):
+        return pa.table({
+            "k": b.column(col).cast(pa.int64()),
+            "side": pa.array(np.full(len(b), side, dtype=np.int8)),
+        })
+
+    import functools
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(functools.partial(tag, col="l_orderkey", side=0),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(functools.partial(tag, col="o_orderkey", side=1),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "orphan_lineitems": pa.array([], type=pa.int64()),
+                "childless_orders": pa.array([], type=pa.int64()),
+            })
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        s = b.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        k, s = k[order], s[order]
+        start = np.ones(len(k), dtype=bool)
+        start[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(start)
+        ends = np.append(starts[1:], len(k))
+        has_line = s[starts] == 0
+        has_order = s[ends - 1] == 1
+        orphan_rows = 0
+        # orphan lineitem ROWS: keys with lines but no order
+        bad = has_line & ~has_order
+        if bad.any():
+            counts = ends - starts
+            orphan_rows = int(counts[bad].sum())
+        childless = int((~has_line & has_order).sum())
+        return pa.table({
+            "orphan_lineitems": pa.array([orphan_rows], type=pa.int64()),
+            "childless_orders": pa.array([childless], type=pa.int64()),
+        })
+
+    def final(b):
+        if len(b) == 0:
+            return pa.table({
+                "orphan_lineitems": pa.array([0], type=pa.int64()),
+                "childless_orders": pa.array([0], type=pa.int64()),
+            })
+        return pa.table({
+            "orphan_lineitems": pa.array(
+                [int(b.column("orphan_lineitems").to_numpy(
+                    zero_copy_only=False).sum())], type=pa.int64()),
+            "childless_orders": pa.array(
+                [int(b.column("childless_orders").to_numpy(
+                    zero_copy_only=False).sum())], type=pa.int64()),
+        })
+
+    return (line.union(orders)
+            .repartition(16, keys=["k"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -10967,6 +11064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_size_histogram": _q_exact_dup_size_histogram,
         "kll_blob_quantiles_by_source": _q_kll_blob_quantiles_by_source,
         "conv_lang_switches": _q_conv_lang_switches,
+        "daily_value_quantiles": _q_daily_value_quantiles,
+        "ri_audit_orders_lineitem": _q_ri_audit,
     }
 
 
@@ -14716,6 +14815,26 @@ def oracle_sql() -> dict[str, str]:
                                       AND prev <> lang_pred
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
             FROM w GROUP BY 1
+        """,
+        "daily_value_quantiles": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(quantile_disc(
+                       CAST(floor(value * 100 + 0.5) AS BIGINT), 0.50)
+                       AS BIGINT) AS q50,
+                   CAST(quantile_disc(
+                       CAST(floor(value * 100 + 0.5) AS BIGINT), 0.90)
+                       AS BIGINT) AS q90
+            FROM events GROUP BY 1
+        """,
+        "ri_audit_orders_lineitem": """
+            SELECT (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey NOT IN
+                          (SELECT o_orderkey FROM orders))
+                     AS orphan_lineitems,
+                   (SELECT count(*) FROM orders
+                    WHERE o_orderkey NOT IN
+                          (SELECT l_orderkey FROM lineitem))
+                     AS childless_orders
         """,
     }
 
