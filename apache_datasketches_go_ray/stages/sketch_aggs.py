@@ -789,3 +789,48 @@ def kll_wire_quantiles(ds, key: str, ranks=(0.25, 0.5, 0.75)):
 
     return ds.map_batches(fin, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def hll_wire_update_column(old_column_ds, new_ds, key: str, column: str,
+                           lg_k: int = 12, num_partitions: int = 16):
+    """Incremental maintenance of a persisted wire-format HLL sketch
+    column — the data-mart daily-update job the reference's mergeability
+    contract exists for (hll/union.go:151-158: fold previously
+    serialized state with fresh updates, never rescan history): sketch
+    the NEW batch only, union it with the stored column, and merge per
+    key at the wire level. ``update(column(A), B)`` reaches the
+    IDENTICAL canonical sketch state as ``column(A ∪ B)`` — slotwise-max
+    registers / coupon-set union are merge-order-invariant — so
+    estimates agree exactly in coupon regime and within the published
+    envelope in HLL mode (HIP accumulators are path-dependent, in the
+    reference too). Pinned by test in both regimes."""
+    fresh = hll_wire_sketch_column_by(new_ds, key, column, lg_k=lg_k,
+                                      num_partitions=num_partitions)
+
+    def fix(batch: pa.Table) -> pa.Table:
+        return batch.select([key, "sketch"])
+
+    merged = (old_column_ds.map_batches(fix, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+              .union(fresh.map_batches(fix, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+              .repartition(num_partitions, keys=[key]))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        from ..state.serde_compat import read_hll, write_hll
+
+        ks = as_array(batch.column(key)).to_pylist()
+        sks = as_array(batch.column("sketch")).to_pylist()
+        out_k, out_s = [], []
+        for g, idx in _sorted_runs(ks):
+            sk = read_hll(sks[idx[0]])
+            for i in idx[1:]:
+                sk.merge(read_hll(sks[i]))
+            out_k.append(g)
+            out_s.append(write_hll(sk))
+        return pa.table({key: pa.array(out_k, type=pa.string()),
+                         "sketch": pa.array(out_s,
+                                            type=pa.large_binary())})
+
+    return merged.map_batches(combine, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)

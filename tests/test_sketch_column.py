@@ -132,3 +132,70 @@ def test_freq_wire_blob_is_reference_format(ray_session):
         buf = r["sketch"]
         assert buf[1] == 1    # SER_VER
         assert buf[2] == 10   # Family.FREQUENCY id
+
+
+@pytest.mark.parametrize("card", [30, 5000])
+def test_incremental_column_update_equals_full_rebuild(ray_session,
+                                                       tmp_path, card):
+    """update(column(A), B) must be estimate-identical to column(A∪B) —
+    the mergeability contract (hll/union.go:151-158) at column level,
+    in both the coupon-exact (card=30) and HLL (card=5000) regimes."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        hll_wire_estimate, hll_wire_sketch_column_by,
+        hll_wire_update_column)
+
+    rng = np.random.default_rng(13)
+
+    def tbl(n, seed):
+        r = np.random.default_rng(seed)
+        return pa.table({
+            "k": pa.array([f"k{int(x)}" for x in r.integers(0, 5, n)],
+                          type=pa.string()),
+            "v": pa.array(r.integers(0, card, n).astype(np.int64)),
+        })
+
+    A, B = tbl(4000, 1), tbl(2500, 2)
+    both = pa.concat_tables([A, B])
+
+    col_a = hll_wire_sketch_column_by(
+        ray.data.from_arrow(A).repartition(4), "k", "v", lg_k=12)
+    old_dir = os.path.join(str(tmp_path), f"colA{card}")
+    col_a.write_parquet(old_dir)
+
+    updated = hll_wire_update_column(
+        ray.data.read_parquet(old_dir),
+        ray.data.from_arrow(B).repartition(3), "k", "v", lg_k=12)
+    full = hll_wire_sketch_column_by(
+        ray.data.from_arrow(both).repartition(5), "k", "v", lg_k=12)
+
+    from apache_datasketches_go_ray.state.serde_compat import read_hll
+
+    def state(col_ds):
+        rows = {r["k"]: read_hll(r["sketch"]) for r in col_ds.take_all()}
+        return rows
+
+    su, sf = state(updated), state(full)
+    assert sorted(su) == sorted(sf)
+    for g in su:
+        a, b = su[g], sf[g]
+        if a.registers is not None or b.registers is not None:
+            # HLL mode: slotwise-max registers are merge-order-invariant
+            # (HIP estimates are path-dependent, in the reference too —
+            # compare the canonical state, not the accumulator)
+            assert a.registers is not None and b.registers is not None
+            assert np.array_equal(a.registers, b.registers)
+        else:
+            # coupon mode: same coupon SET regardless of arrival order
+            assert set(a.coupons) == set(b.coupons)
+
+    got = hll_wire_estimate(updated, "k").to_pandas() \
+        .sort_values("k", ignore_index=True)
+    exp = hll_wire_estimate(full, "k").to_pandas() \
+        .sort_values("k", ignore_index=True)
+    assert list(got["k"]) == list(exp["k"])
+    # estimates agree exactly in coupon regime; within the published
+    # error envelope across different merge trees in HLL mode
+    assert np.allclose(got["estimate"], exp["estimate"],
+                       rtol=0.0 if card == 30 else 0.05)
