@@ -42,6 +42,25 @@ def main(argv=None):
                         "takes the conv-grouped fast path only when "
                         "proven safe")
 
+    s = sub.add_parser(
+        "sketch-column",
+        help="build (or incrementally update) a grouped sketch column "
+             "in the reference wire format and write it to parquet")
+    s.add_argument("--input", required=True, help="source parquet")
+    s.add_argument("--key", required=True)
+    s.add_argument("--column", required=True)
+    s.add_argument("--family", default="hll",
+                   choices=["hll", "freq", "kll"])
+    s.add_argument("--output", required=True)
+    s.add_argument("--update", default=None,
+                   help="existing column dir to fold the new batch into "
+                        "(hll only)")
+    s.add_argument("--lg-k", type=int, default=12)
+    s.add_argument("--k", type=int, default=200)
+    s.add_argument("--max-map-size", type=int, default=1 << 15)
+    s.add_argument("--tokenize", action="store_true")
+    s.add_argument("--partitions", type=int, default=16)
+
     p = sub.add_parser(
         "probe-layout",
         help="exact layout probe: is a transcript corpus safe for the "
@@ -106,6 +125,41 @@ def main(argv=None):
                           "stages": {k: v.get("sec")
                                      for k, v in
                                      res["metrics"]["stages"].items()}}))
+    elif args.cmd == "sketch-column":
+        import ray.data
+
+        from .stages import sketch_aggs as sa
+
+        ds = ray.data.read_parquet(args.input,
+                                   columns=[args.key, args.column])
+        if args.family == "hll":
+            if args.update:
+                col = sa.hll_wire_update_column(
+                    ray.data.read_parquet(args.update), ds, args.key,
+                    args.column, lg_k=args.lg_k,
+                    num_partitions=args.partitions)
+            else:
+                col = sa.hll_wire_sketch_column_by(
+                    ds, args.key, args.column, lg_k=args.lg_k,
+                    num_partitions=args.partitions)
+        elif args.family == "freq":
+            if args.update:
+                ap.error("--update is supported for --family hll")
+            col = sa.freq_wire_sketch_column_by(
+                ds, args.key, args.column,
+                max_map_size=args.max_map_size, tokenize=args.tokenize,
+                num_partitions=args.partitions)
+        else:
+            if args.update:
+                ap.error("--update is supported for --family hll")
+            col = sa.kll_wire_sketch_column_by(
+                ds, args.key, args.column, k=args.k,
+                num_partitions=args.partitions)
+        col = col.materialize()
+        col.write_parquet(args.output)
+        print(json.dumps({"family": args.family,
+                          "groups": col.count(),
+                          "output": args.output}))
     elif args.cmd == "probe-layout":
         from .sources.readers import detect_input_layout
 

@@ -115,3 +115,41 @@ def test_cli_probe_layout(ray_session, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["layout"] == "conv_grouped"
+
+
+def test_cli_sketch_column_build_and_update(ray_session, tmp_path,
+                                            capsys):
+    import numpy as np
+
+    from apache_datasketches_go_ray.state.serde_compat import read_hll
+
+    rng = np.random.default_rng(9)
+
+    def write(path, n, seed):
+        r = np.random.default_rng(seed)
+        pq.write_table(pa.table({
+            "src": pa.array([f"s{int(x)}" for x in r.integers(0, 3, n)]),
+            "val": pa.array(r.integers(0, 40, n).astype("int64")),
+        }), path)
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    write(a, 500, 1)
+    write(b, 300, 2)
+    col_a = str(tmp_path / "colA")
+    rc = main(["sketch-column", "--input", a, "--key", "src",
+               "--column", "val", "--family", "hll", "--output", col_a])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["groups"] == 3
+
+    col_ab = str(tmp_path / "colAB")
+    rc = main(["sketch-column", "--input", b, "--key", "src",
+               "--column", "val", "--family", "hll",
+               "--update", col_a, "--output", col_ab])
+    assert rc == 0
+    # blobs parse as reference wire format and cover all 3 groups
+    blobs = pq.read_table(col_ab)
+    assert blobs.num_rows == 3
+    for buf in blobs.column("sketch").to_pylist():
+        read_hll(buf)
