@@ -10759,6 +10759,25 @@ def _q_ri_audit(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_ann_pq_topk(sf_dir: str):
+    """Product-quantization approximate top-k (the memory-compression
+    ANN scale path — uint8 codes instead of float rows, ADC shortlist
+    reranked by exact cosine in-block): same 5 queries as ann_topk.
+    Rows-only here; recall and partition-independence pinned by
+    tests/test_pq_ann.py."""
+    import pyarrow.parquet as pq
+
+    from apache_datasketches_go_ray.stages.ann import pq_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(emb_path).slice(0, 5)
+    q_ids = head.column("vec_id").to_pylist()
+    qm = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
+    out = pq_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                  q_ids, qm, k=10, n_subq=8, round_to=4)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11066,6 +11085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_lang_switches": _q_conv_lang_switches,
         "daily_value_quantiles": _q_daily_value_quantiles,
         "ri_audit_orders_lineitem": _q_ri_audit,
+        "ann_pq_topk": _q_ann_pq_topk,
     }
 
 
