@@ -10778,6 +10778,63 @@ def _q_ann_pq_topk(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_events_anomaly_days(sf_dir: str):
+    """Volume-anomaly screen: days whose event count deviates from the
+    across-days mean by more than 2 population standard deviations,
+    tested as the exact integer cross-multiplication
+    (N·cnt − total)² > 4·(N·sumsq − total²) — no float mean/σ can
+    diverge between engines. Per-block day-count partials shrink to the
+    tiny day table before the single-block screen."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        t = pa.table({"day": day,
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        g = t.group_by(["day"]).aggregate([("one", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    def screen(b):
+        if len(b) == 0:
+            return pa.table({
+                "day": pa.array([], type=pa.string()),
+                "n_events": pa.array([], type=pa.int64()),
+                "dev_sign": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["day"]).aggregate([("c", "sum")])
+        days = g.column("day").to_pylist()
+        c = g.column("c_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        N = len(c)
+        total = int(c.sum())
+        sumsq = int((c * c).sum())
+        lhs = (N * c - total).astype(object) ** 2
+        rhs = 4 * (N * sumsq - total * total)
+        keep = np.array([x > rhs for x in lhs])
+        sign = np.sign(N * c - total).astype(np.int64)
+        order = np.argsort(np.asarray(days, dtype=object))
+        out_d, out_c, out_s = [], [], []
+        for i in order:
+            if keep[i]:
+                out_d.append(days[i])
+                out_c.append(int(c[i]))
+                out_s.append(int(sign[i]))
+        return pa.table({
+            "day": pa.array(out_d, type=pa.string()),
+            "n_events": pa.array(out_c, type=pa.int64()),
+            "dev_sign": pa.array(out_s, type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "events", ["ts"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(screen, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11086,6 +11143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_quantiles": _q_daily_value_quantiles,
         "ri_audit_orders_lineitem": _q_ri_audit,
         "ann_pq_topk": _q_ann_pq_topk,
+        "events_anomaly_days": _q_events_anomaly_days,
     }
 
 
@@ -14855,6 +14913,20 @@ def oracle_sql() -> dict[str, str]:
                     WHERE o_orderkey NOT IN
                           (SELECT l_orderkey FROM lineitem))
                      AS childless_orders
+        """,
+        "events_anomaly_days": """
+            WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                              count(*) AS c
+                       FROM events GROUP BY 1),
+            s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(c) AS HUGEINT) AS total,
+                         CAST(sum(c * c) AS HUGEINT) AS sumsq
+                  FROM d)
+            SELECT day, CAST(c AS BIGINT) AS n_events,
+                   CAST(sign(n * c - total) AS BIGINT) AS dev_sign
+            FROM d, s
+            WHERE (n * c - total) * (n * c - total)
+                  > 4 * (n * sumsq - total * total)
         """,
     }
 
