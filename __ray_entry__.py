@@ -10805,22 +10805,20 @@ def _q_events_anomaly_days(sf_dir: str):
             })
         g = b.group_by(["day"]).aggregate([("c", "sum")])
         days = g.column("day").to_pylist()
-        c = g.column("c_sum").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        N = len(c)
-        total = int(c.sum())
-        sumsq = int((c * c).sum())
-        lhs = (N * c - total).astype(object) ** 2
+        counts = [int(x) for x in g.column("c_sum").to_pylist()]
+        # the day table is tiny — arbitrary-precision Python ints keep
+        # the 2-sigma test unconditionally exact (the oracle is HUGEINT)
+        N = len(counts)
+        total = sum(counts)
+        sumsq = sum(x * x for x in counts)
         rhs = 4 * (N * sumsq - total * total)
-        keep = np.array([x > rhs for x in lhs])
-        sign = np.sign(N * c - total).astype(np.int64)
-        order = np.argsort(np.asarray(days, dtype=object))
         out_d, out_c, out_s = [], [], []
-        for i in order:
-            if keep[i]:
+        for i in np.argsort(np.asarray(days, dtype=object)):
+            dev = N * counts[i] - total
+            if dev * dev > rhs:
                 out_d.append(days[i])
-                out_c.append(int(c[i]))
-                out_s.append(int(sign[i]))
+                out_c.append(counts[i])
+                out_s.append(1 if dev > 0 else (-1 if dev < 0 else 0))
         return pa.table({
             "day": pa.array(out_d, type=pa.string()),
             "n_events": pa.array(out_c, type=pa.int64()),

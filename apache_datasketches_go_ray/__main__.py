@@ -57,7 +57,7 @@ def main(argv=None):
                         "(hll only)")
     s.add_argument("--lg-k", type=int, default=12)
     s.add_argument("--k", type=int, default=200)
-    s.add_argument("--max-map-size", type=int, default=1 << 15)
+    s.add_argument("--max-map-size", type=int, default=1 << 16)
     s.add_argument("--tokenize", action="store_true")
     s.add_argument("--partitions", type=int, default=16)
 
@@ -134,6 +134,20 @@ def main(argv=None):
                                    columns=[args.key, args.column])
         if args.family == "hll":
             if args.update:
+                # fail fast on a config mismatch: merging columns built
+                # at different lgK raises deep inside a Ray task once
+                # both sides reach HLL mode (and silently "works" in
+                # coupon regime until data volume grows)
+                import pyarrow.parquet as _pq
+
+                sample = _pq.read_table(args.update,
+                                        columns=["sketch"]).slice(0, 1)
+                if len(sample):
+                    stored_lgk = sample.column("sketch")[0].as_py()[3]
+                    if stored_lgk != args.lg_k:
+                        ap.error(
+                            f"--update column was built with lgK "
+                            f"{stored_lgk}; pass --lg-k {stored_lgk}")
                 col = sa.hll_wire_update_column(
                     ray.data.read_parquet(args.update), ds, args.key,
                     args.column, lg_k=args.lg_k,
@@ -144,14 +158,14 @@ def main(argv=None):
                     num_partitions=args.partitions)
         elif args.family == "freq":
             if args.update:
-                ap.error("--update is supported for --family hll")
+                ap.error("--update is only supported for --family hll")
             col = sa.freq_wire_sketch_column_by(
                 ds, args.key, args.column,
                 max_map_size=args.max_map_size, tokenize=args.tokenize,
                 num_partitions=args.partitions)
         else:
             if args.update:
-                ap.error("--update is supported for --family hll")
+                ap.error("--update is only supported for --family hll")
             col = sa.kll_wire_sketch_column_by(
                 ds, args.key, args.column, k=args.k,
                 num_partitions=args.partitions)

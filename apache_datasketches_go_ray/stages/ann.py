@@ -477,9 +477,12 @@ def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
         C = C / norms
     else:
         sample_tbl = ds.limit(sample_size).materialize().to_arrow_refs()
-        sample = np.concatenate(
-            [_embeddings_matrix(t, emb_col)
-             for t in (ray.get(r) for r in sample_tbl) if len(t)])
+        sample_parts = [_embeddings_matrix(t, emb_col)
+                        for t in (ray.get(r) for r in sample_tbl)
+                        if len(t)]
+        if not sample_parts:
+            return _fold_topk([], k, round_to)  # empty corpus
+        sample = np.concatenate(sample_parts)
         C = _spherical_kmeans(sample, n_clusters, seed=seed)
     qm = np.asarray(query_matrix, dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -833,6 +836,7 @@ class _PqScanPartial:
         self.lut = np.einsum(
             "qsd,scd->qsc",
             self.qn.reshape(nq, n_subq, sd), self.books)
+        self._c2 = (self.books ** 2).sum(axis=2) / 2.0  # (n_subq, C)
         self.k = k
         self.rerank = rerank
         self.id_col = id_col
@@ -855,10 +859,12 @@ class _PqScanPartial:
         nb = mn.shape[0]
         sub = mn.reshape(nb, n_subq, sd)
         # encode: per subspace argmin ||x - c||^2 = argmax(dot - ||c||^2/2)
+        # as one (nb x sd)@(sd x C) matmul per subspace — no O(nb*C*sd)
+        # pairwise-difference temporaries
         codes = np.empty((nb, n_subq), dtype=np.int64)
         for s in range(n_subq):
-            d = (sub[:, s, None, :] - self.books[s][None, :, :])
-            codes[:, s] = np.argmin((d * d).sum(axis=2), axis=1)
+            codes[:, s] = np.argmax(
+                sub[:, s, :] @ self.books[s].T - self._c2[s], axis=1)
         # ADC scores: (nq, nb)
         scores = np.zeros((self.lut.shape[0], nb))
         for s in range(n_subq):
@@ -893,13 +899,17 @@ def pq_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
     are exact and only the CANDIDATE SET is approximate. Deterministic:
     fixed seed/iterations, ties by vec_id in the fold."""
     sample_tbl = ds.limit(sample_size).materialize().to_arrow_refs()
-    sample = np.concatenate(
-        [_embeddings_matrix(t, emb_col)
-         for t in (ray.get(r) for r in sample_tbl) if len(t)])
+    sample_parts = [_embeddings_matrix(t, emb_col)
+                    for t in (ray.get(r) for r in sample_tbl) if len(t)]
+    if not sample_parts:
+        return _fold_topk([], k, round_to)  # empty corpus -> empty result
+    sample = np.concatenate(sample_parts)
     books = pq_train(sample, n_subq=n_subq, n_centroids=n_centroids,
                      seed=seed)
     qm = np.asarray(query_matrix, dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    qn = qm / qnorm
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
                    "qn": qn, "books": books})
     n_cpu = int(ray.cluster_resources().get("CPU", 4))

@@ -81,20 +81,15 @@ def approx_distinct_by(ds, key: str, column: str, lg_k: int = 12,
                          "sk": pa.array(out_s, type=pa.large_binary())})
 
     def combine(batch: pa.Table) -> pa.Table:
-        ks = np.asarray(as_array(batch.column(key)).to_pylist(), dtype=object)
+        ks = as_array(batch.column(key)).to_pylist()
         sks = as_array(batch.column("sk")).to_pylist()
-        order = np.argsort(ks, kind="stable")
         out_k, out_e = [], []
-        i = 0
-        while i < len(order):
-            j = i
-            sk = HllSketch.from_bytes(sks[order[i]])
-            while j + 1 < len(order) and ks[order[j + 1]] == ks[order[i]]:
-                j += 1
-                sk.merge(HllSketch.from_bytes(sks[order[j]]))
-            out_k.append(ks[order[i]])
+        for g, idx in _sorted_runs(ks):
+            sk = HllSketch.from_bytes(sks[idx[0]])
+            for i in idx[1:]:
+                sk.merge(HllSketch.from_bytes(sks[i]))
+            out_k.append(g)
             out_e.append(sk.get_estimate())
-            i = j + 1
         return pa.table({key: pa.array(out_k, type=pa.string()),
                          "estimate": pa.array(out_e, type=pa.float64())})
 
@@ -168,22 +163,17 @@ def approx_quantiles_by(ds, group_col: str, value_col: str, ranks,
         gs = np.asarray(as_array(batch.column(group_col)).to_pylist(),
                         dtype=object)
         sks = as_array(batch.column("sk")).to_pylist()
-        order = np.argsort(gs, kind="stable")
         out = {group_col: [], "n": []}
         for c in rank_cols:
             out[c] = []
-        i = 0
-        while i < len(order):
-            j = i
-            sk = KllSketch.from_bytes(sks[order[i]])
-            while j + 1 < len(order) and gs[order[j + 1]] == gs[order[i]]:
-                j += 1
-                sk.merge(KllSketch.from_bytes(sks[order[j]]))
-            out[group_col].append(str(gs[order[i]]))
+        for g, idx in _sorted_runs(gs):
+            sk = KllSketch.from_bytes(sks[idx[0]])
+            for i in idx[1:]:
+                sk.merge(KllSketch.from_bytes(sks[i]))
+            out[group_col].append(str(g))
             out["n"].append(sk.n)
             for r, c in zip(ranks, rank_cols):
                 out[c].append(sk.get_quantile(r))
-            i = j + 1
         cols = {group_col: pa.array(out[group_col], type=pa.string()),
                 "n": pa.array(out["n"], type=pa.int64())}
         for c in rank_cols:
@@ -392,22 +382,17 @@ def items_quantiles_by(ds, group_col: str, value_col: str, ranks,
         gs = np.asarray(as_array(batch.column(group_col)).to_pylist(),
                         dtype=object)
         sks = as_array(batch.column("sk")).to_pylist()
-        order = np.argsort(gs, kind="stable")
         out = {group_col: [], "n": []}
         for c in rank_cols:
             out[c] = []
-        i = 0
-        while i < len(order):
-            j = i
-            sk = KllItemsSketch.from_bytes(sks[order[i]], op=op)
-            while j + 1 < len(order) and gs[order[j + 1]] == gs[order[i]]:
-                j += 1
-                sk.merge(KllItemsSketch.from_bytes(sks[order[j]], op=op))
-            out[group_col].append(str(gs[order[i]]))
+        for g, idx in _sorted_runs(gs):
+            sk = KllItemsSketch.from_bytes(sks[idx[0]], op=op)
+            for i in idx[1:]:
+                sk.merge(KllItemsSketch.from_bytes(sks[i], op=op))
+            out[group_col].append(str(g))
             out["n"].append(sk.n)
             for r, c in zip(ranks, rank_cols):
                 out[c].append(sk.get_quantile(r))
-            i = j + 1
         cols = {group_col: pa.array(out[group_col], type=pa.string()),
                 "n": pa.array(out["n"], type=pa.int64())}
         for c in rank_cols:
@@ -469,16 +454,21 @@ def cms_point_counts(ds, column: str, query_items, *, depth: int = 4,
 def _sorted_runs(keys):
     """Stable-sorted group runs over an object key sequence: yields
     (key, index_array) per distinct key — the one scaffold behind every
-    per-group sketch partial/merge below (one place to fix, not six)."""
+    per-group sketch partial/merge in this module. Fully vectorized run
+    detection (argsort + boundary mask); only the per-GROUP loop is
+    Python."""
     ks = np.asarray(keys, dtype=object)
+    n = len(ks)
+    if n == 0:
+        return
     order = np.argsort(ks, kind="stable")
-    i = 0
-    while i < len(order):
-        j = i
-        while j + 1 < len(order) and ks[order[j + 1]] == ks[order[i]]:
-            j += 1
-        yield ks[order[i]], order[i:j + 1]
-        i = j + 1
+    sk = ks[order]
+    new = np.ones(n, dtype=bool)
+    new[1:] = sk[1:] != sk[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        yield sk[s], order[s:e]
 
 
 def hll_wire_sketch_column_by(ds, key: str, column: str, lg_k: int = 12,
@@ -492,7 +482,13 @@ def hll_wire_sketch_column_by(ds, key: str, column: str, lg_k: int = 12,
     run of this engine via :func:`hll_wire_estimate` — can merge
     further without touching the raw data. Per-block partials, keyed
     shuffle, per-key wire-level merge."""
-    from ..state.serde_compat import read_hll, write_hll
+    partials = _hll_wire_partials(ds, key, column, lg_k)
+    return _hll_wire_keyed_merge(partials, key, num_partitions)
+
+
+def _hll_wire_partials(ds, key: str, column: str, lg_k: int):
+    """Per-block per-group wire-format HLL partials (no shuffle yet)."""
+    from ..state.serde_compat import write_hll
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -514,7 +510,15 @@ def hll_wire_sketch_column_by(ds, key: str, column: str, lg_k: int = 12,
                          "sketch": pa.array(out_s,
                                             type=pa.large_binary())})
 
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _hll_wire_keyed_merge(rows_ds, key: str, num_partitions: int):
+    """Keyed shuffle + per-key wire-level merge of (key, sketch) rows."""
     def combine(batch: pa.Table) -> pa.Table:
+        from ..state.serde_compat import read_hll, write_hll
+
         ks = as_array(batch.column(key)).to_pylist()
         sks = as_array(batch.column("sketch")).to_pylist()
         out_k, out_s = [], []
@@ -528,9 +532,7 @@ def hll_wire_sketch_column_by(ds, key: str, column: str, lg_k: int = 12,
                          "sketch": pa.array(out_s,
                                             type=pa.large_binary())})
 
-    return (ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .repartition(num_partitions, keys=[key])
+    return (rows_ds.repartition(num_partitions, keys=[key])
             .map_batches(combine, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True))
 
@@ -804,33 +806,16 @@ def hll_wire_update_column(old_column_ds, new_ds, key: str, column: str,
     estimates agree exactly in coupon regime and within the published
     envelope in HLL mode (HIP accumulators are path-dependent, in the
     reference too). Pinned by test in both regimes."""
-    fresh = hll_wire_sketch_column_by(new_ds, key, column, lg_k=lg_k,
-                                      num_partitions=num_partitions)
+    # fresh batch contributes raw PARTIALS — one keyed shuffle + one
+    # merge pass total, instead of fully combining the fresh column and
+    # then re-shuffling the union
+    fresh = _hll_wire_partials(new_ds, key, column, lg_k)
 
     def fix(batch: pa.Table) -> pa.Table:
         return batch.select([key, "sketch"])
 
-    merged = (old_column_ds.map_batches(fix, batch_format="pyarrow",
-                                        zero_copy_batch=True)
-              .union(fresh.map_batches(fix, batch_format="pyarrow",
-                                       zero_copy_batch=True))
-              .repartition(num_partitions, keys=[key]))
-
-    def combine(batch: pa.Table) -> pa.Table:
-        from ..state.serde_compat import read_hll, write_hll
-
-        ks = as_array(batch.column(key)).to_pylist()
-        sks = as_array(batch.column("sketch")).to_pylist()
-        out_k, out_s = [], []
-        for g, idx in _sorted_runs(ks):
-            sk = read_hll(sks[idx[0]])
-            for i in idx[1:]:
-                sk.merge(read_hll(sks[i]))
-            out_k.append(g)
-            out_s.append(write_hll(sk))
-        return pa.table({key: pa.array(out_k, type=pa.string()),
-                         "sketch": pa.array(out_s,
-                                            type=pa.large_binary())})
-
-    return merged.map_batches(combine, batch_format="pyarrow",
-                              batch_size=None, zero_copy_batch=True)
+    rows = old_column_ds.map_batches(fix, batch_format="pyarrow",
+                                     zero_copy_batch=True) \
+        .union(fresh.map_batches(fix, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    return _hll_wire_keyed_merge(rows, key, num_partitions)
