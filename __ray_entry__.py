@@ -10833,6 +10833,209 @@ def _q_events_anomaly_days(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_role_transitions(sf_dir: str):
+    """Corpus-wide role-transition Markov edges over conversations:
+    counts of adjacent (role → next role) pairs in turn order — the
+    dialogue-structure QA table (user→assistant should dominate;
+    assistant→assistant flags malformed transcripts). Conv-keyed
+    shuffle + in-block adjacency fold; role²-bounded partials."""
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "role_from": pa.array([], type=pa.string()),
+                "role_to": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        import pyarrow.compute as pc
+
+        conv = as_array(b.column("conv_id"))
+        d = as_array(pc.dictionary_encode(conv))
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = np.asarray(as_array(b.column("role")).to_pylist(),
+                          dtype=object)
+        order = np.lexsort((tidx, codes))
+        c, r = codes[order], role[order]
+        same = np.zeros(len(c), dtype=bool)
+        same[1:] = c[1:] == c[:-1]
+        prev = np.flatnonzero(same) - 1
+        cur = np.flatnonzero(same)
+        t = pa.table({
+            "role_from": pa.array(r[prev], type=pa.string()),
+            "role_to": pa.array(r[cur], type=pa.string()),
+            "one": pa.array(np.ones(len(cur), dtype=np.int64)),
+        })
+        g = t.group_by(["role_from", "role_to"]).aggregate([("one",
+                                                            "sum")])
+        return pa.table({
+            "role_from": g.column("role_from"),
+            "role_to": g.column("role_to"),
+            "n": g.column("one_sum").cast(pa.int64()),
+        })
+
+    def final(b):
+        if len(b) == 0:
+            return pa.table({
+                "role_from": pa.array([], type=pa.string()),
+                "role_to": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["role_from", "role_to"]).aggregate([("n", "sum")])
+        return pa.table({
+            "role_from": g.column("role_from"),
+            "role_to": g.column("role_to"),
+            "n": g.column("n_sum").cast(pa.int64()),
+        })
+
+    return (ray.data.read_parquet(_transcripts_dir(sf_dir),
+                                  columns=["conv_id", "turn_idx", "role"])
+            .repartition(8, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort(["role_from", "role_to"]))
+
+
+def _q_user_gap_fano(sf_dir: str):
+    """Burstiness (Fano factor) of each user's inter-event gaps —
+    variance-to-mean as the EXACT integer rational
+    (n·Σg² − (Σg)²) / (n·Σg) over whole-second gaps, so engines can't
+    diverge on float variance. Users with fewer than 2 gaps are
+    excluded. One user-keyed shuffle; the per-user moments fold is
+    vectorized; the rational is finalized in arbitrary-precision ints
+    over the tiny per-user table."""
+    import pyarrow as pa
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_gaps": pa.array([], type=pa.int64()),
+                "fano_num": pa.array([], type=pa.int64()),
+                "fano_den": pa.array([], type=pa.int64()),
+            })
+        uid = b.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = b.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps_s = (t - np.roll(t, 1)) // 1_000_000
+        idx = np.flatnonzero(same)
+        gu, g = u[idx], gaps_s[idx]
+        # per-user moments
+        out_u, out_n, out_num, out_den = [], [], [], []
+        if len(gu):
+            o2 = np.argsort(gu, kind="stable")
+            gu, g = gu[o2], g[o2]
+            new = np.ones(len(gu), dtype=bool)
+            new[1:] = gu[1:] != gu[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(gu))
+            for s, e in zip(starts, ends):
+                n = int(e - s)
+                if n < 2:
+                    continue
+                sg = int(g[s:e].sum())
+                sg2 = int(sum(int(x) * int(x) for x in g[s:e]))
+                num = n * sg2 - sg * sg
+                den = n * sg
+                out_u.append(int(gu[s]))
+                out_n.append(n)
+                out_num.append(num)
+                out_den.append(den)
+        return pa.table({
+            "user_id": pa.array(out_u, type=pa.int64()),
+            "n_gaps": pa.array(out_n, type=pa.int64()),
+            "fano_num": pa.array(out_num, type=pa.int64()),
+            "fano_den": pa.array(out_den, type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+            .repartition(16, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("user_id"))
+
+
+def _q_reply_length_slope(sf_dir: str):
+    """Corpus-level least-squares slope of assistant reply length
+    against the preceding user turn length, as the exact integer
+    rational (N·Σxy − Σx·Σy) / (N·Σx² − (Σx)²) — does a longer prompt
+    buy a longer answer? Conv-keyed adjacency fold emits per-block
+    moment partials; one tiny final fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def partial(b):
+        if len(b) == 0:
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in ("n", "sx", "sy", "sxy", "sx2")})
+        conv = as_array(b.column("conv_id"))
+        d = as_array(pc.dictionary_encode(conv))
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = np.asarray(as_array(b.column("role")).to_pylist(),
+                          dtype=object)
+        ln = pc.utf8_length(as_array(b.column("text")).cast(
+            pa.string())).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tidx, codes))
+        c, r, L = codes[order], role[order], ln[order]
+        same = np.zeros(len(c), dtype=bool)
+        same[1:] = c[1:] == c[:-1]
+        cur = np.flatnonzero(same)
+        prev = cur - 1
+        m = (r[prev] == "user") & (r[cur] == "assistant")
+        x = L[prev][m].astype(object)
+        y = L[cur][m].astype(object)
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(sum(x))], type=pa.int64()),
+            "sy": pa.array([int(sum(y))], type=pa.int64()),
+            "sxy": pa.array([int(sum(a * b_ for a, b_ in zip(x, y)))],
+                            type=pa.int64()),
+            "sx2": pa.array([int(sum(a * a for a in x))],
+                            type=pa.int64()),
+        })
+
+    def final(b):
+        cols = {k: int(b.column(k).to_numpy(
+            zero_copy_only=False).sum()) if len(b) else 0
+            for k in ("n", "sx", "sy", "sxy", "sx2")}
+        n = cols["n"]
+        num = n * cols["sxy"] - cols["sx"] * cols["sy"]
+        den = n * cols["sx2"] - cols["sx"] * cols["sx"]
+        return pa.table({
+            "n_pairs": pa.array([n], type=pa.int64()),
+            "slope_num": pa.array([num], type=pa.int64()),
+            "slope_den": pa.array([den], type=pa.int64()),
+        })
+
+    return (ray.data.read_parquet(_transcripts_dir(sf_dir),
+                                  columns=["conv_id", "turn_idx",
+                                           "role", "text"])
+            .repartition(8, keys=["conv_id"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11142,6 +11345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ri_audit_orders_lineitem": _q_ri_audit,
         "ann_pq_topk": _q_ann_pq_topk,
         "events_anomaly_days": _q_events_anomaly_days,
+        "role_transitions": _q_role_transitions,
+        "user_gap_fano": _q_user_gap_fano,
+        "reply_length_slope": _q_reply_length_slope,
     }
 
 
@@ -14925,6 +15131,62 @@ def oracle_sql() -> dict[str, str]:
             FROM d, s
             WHERE (n * c - total) * (n * c - total)
                   > 4 * (n * sumsq - total * total)
+        """,
+        "role_transitions": f"""
+            WITH w AS (
+              SELECT conv_id, role,
+                     lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev
+              FROM {T}
+            )
+            SELECT prev AS role_from, role AS role_to,
+                   count(*) AS n
+            FROM w WHERE prev IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "user_gap_fano": """
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts),
+                                                      event_id) AS pt
+              FROM events
+            ), g AS (
+              SELECT user_id,
+                     CAST((t - pt) // 1000000 AS HUGEINT) AS gap
+              FROM o WHERE pt IS NOT NULL
+            ), m AS (
+              SELECT user_id, count(*) AS n, sum(gap) AS sg,
+                     sum(gap * gap) AS sg2
+              FROM g GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(n AS BIGINT) AS n_gaps,
+                   CAST(n * sg2 - sg * sg AS BIGINT) AS fano_num,
+                   CAST(n * sg AS BIGINT) AS fano_den
+            FROM m
+        """,
+        "reply_length_slope": f"""
+            WITH w AS (
+              SELECT role, CAST(length(text) AS HUGEINT) AS l,
+                     lead(role) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS nrole,
+                     lead(CAST(length(text) AS HUGEINT)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS nl
+              FROM {T}
+            ), p AS (
+              SELECT l AS x, nl AS y FROM w
+              WHERE role = 'user' AND nrole = 'assistant'
+            ), m AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * y) AS sxy,
+                     sum(x * x) AS sx2
+              FROM p
+            )
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den
+            FROM m
         """,
     }
 
