@@ -11036,6 +11036,69 @@ def _q_reply_length_slope(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_top_events_with_ties(sf_dir: str):
+    """Per-user top-2 events by value WITH TIES (rank() <= 2, the
+    QUALIFY-with-ties semantics row_number-based top-n can't express):
+    user-keyed shuffle, in-block lexsort, vectorized dense run ranking —
+    every row tied with the 2nd-highest value survives."""
+    import pyarrow as pa
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "value_cents": pa.array([], type=pa.int64()),
+                "rnk": pa.array([], type=pa.int64()),
+            })
+        uid = b.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = b.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, -cents, uid))
+        u, e, c = uid[order], eid[order], cents[order]
+        newu = np.ones(len(u), dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        # rank(): 1 + count of STRICTLY greater values in the group =
+        # first-row-of-value-run offset within the group
+        newval = newu | (np.concatenate([[True], c[1:] != c[:-1]]))
+        # rank of each row = position of the first row of its value run
+        first_of_run = np.maximum.accumulate(
+            np.where(newval, np.arange(len(u)), 0))
+        rnk = (first_of_run
+               - np.maximum.accumulate(
+                   np.where(newu, np.arange(len(u)), 0)) + 1)
+        keep = rnk <= 2
+        return pa.table({
+            "user_id": pa.array(u[keep]),
+            "event_id": pa.array(e[keep]),
+            "value_cents": pa.array(c[keep]),
+            "rnk": pa.array(rnk[keep].astype(np.int64)),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "value"])
+            .repartition(16, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort(["user_id", "event_id"]))
+
+
+def _q_doc_longest_repeat(sf_dir: str):
+    """Per-doc longest repeated substring (suffix array + Kasai LCP) —
+    catches degenerate generation loops of ANY period. Rows-only (no
+    SQL can express it); brute parity pinned by pytest."""
+    from apache_datasketches_go_ray.stages.textops import (
+        longest_repeat_batch,
+    )
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(longest_repeat_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .sort("doc_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11348,6 +11411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_transitions": _q_role_transitions,
         "user_gap_fano": _q_user_gap_fano,
         "reply_length_slope": _q_reply_length_slope,
+        "top_events_with_ties": _q_top_events_with_ties,
+        "doc_longest_repeat": _q_doc_longest_repeat,
     }
 
 
@@ -15187,6 +15252,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
                    CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den
             FROM m
+        """,
+        "top_events_with_ties": """
+            WITH w AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(event_id AS BIGINT) AS event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       AS value_cents,
+                     rank() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(floor(value * 100 + 0.5)
+                                                AS BIGINT) DESC) AS rnk
+              FROM events
+            )
+            SELECT user_id, event_id, value_cents, CAST(rnk AS BIGINT)
+                     AS rnk
+            FROM w WHERE rnk <= 2
         """,
     }
 

@@ -759,3 +759,30 @@ def strip_markup_batch(batch: pa.Table, text_col: str = "text",
     t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
     t = pc.utf8_trim_whitespace(t)
     return batch.append_column(out_col, t)
+
+
+def longest_repeat_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Per-document longest repeated substring length — the
+    self-repetition detector that catches generation loops character-
+    exactly where Gopher's fixed-n-gram fractions are blind to long
+    periods. max(LCP) over the doc's suffix array (prefix-doubling +
+    Kasai, functions/suffixarray.py); each doc's build is vectorized
+    numpy, the loop is per-doc per-block."""
+    from ..functions.suffixarray import lcp_array, suffix_array
+
+    ids = as_array(batch.column(id_col)).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    texts = as_array(batch.column(text_col)).to_pylist()
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        raw = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+        if len(raw) < 2:
+            continue
+        sa = suffix_array(raw.astype(np.int64))
+        lcp = lcp_array(raw.astype(np.int64), sa)
+        out[i] = int(lcp.max()) if len(lcp) else 0
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "max_repeat_len": pa.array(out),
+    })

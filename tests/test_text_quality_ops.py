@@ -167,3 +167,53 @@ def test_max_token_run_batch_matches_brute():
     })
     assert [r["max_run"] for r in max_token_run_batch(b2).to_pylist()] \
         == [2, 2]
+
+
+def _brute_longest_repeat(s: str) -> int:
+    """Longest substring occurring at >= 2 distinct positions
+    (overlapping occurrences count, as in the suffix-array LCP
+    definition)."""
+    b = s.encode("utf-8")
+    n = len(b)
+    best = 0
+    for lo in range(n):
+        for hi in range(lo + best + 1, n + 1):
+            sub = b[lo:hi]
+            first = b.find(sub)
+            if first < lo or b.find(sub, lo + 1) != -1:
+                best = hi - lo
+            else:
+                break
+    return best
+
+
+def test_longest_repeat_matches_brute(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.textops import (
+        longest_repeat_batch,
+    )
+
+    docs = [
+        "",                       # 0
+        "a",                      # 0
+        "abcabc",                 # 3  ("abc")
+        "aaaa",                   # 3  ("aaa" at 0 and 1)
+        "the cat sat on the mat", # "the " twice -> 4... ("t the"?) brute decides
+        "no repeats here!?",
+        "xyxyxyxyxy",
+        "loop loop loop loop",
+        "päällekkäisyys päällekkäisyys",  # multibyte utf-8
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(docs))), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+    })
+    got = ray.data.from_arrow(tbl).repartition(3).map_batches(
+        longest_repeat_batch, batch_format="pyarrow",
+        zero_copy_batch=True).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+    for i, d in enumerate(docs):
+        assert int(got.loc[i, "max_repeat_len"]) == \
+            _brute_longest_repeat(d), d
