@@ -11099,6 +11099,110 @@ def _q_doc_longest_repeat(sf_dir: str):
             .sort("doc_id"))
 
 
+def _q_session_running_value(sf_dir: str):
+    """Running value total that RESETS at session boundaries (30-min
+    inactivity gap) — the conditional-cumulative-sum window a naive
+    per-user running sum can't express. One user-keyed shuffle;
+    in-block: lexsort, gap mask → session ids, segmented cumsum via the
+    subtract-offset trick. Exact cents."""
+    import pyarrow as pa
+
+    GAP = 30 * 60 * 1_000_000
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "session_no": pa.array([], type=pa.int64()),
+                "running_cents": pa.array([], type=pa.int64()),
+            })
+        uid = b.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = b.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, e, t, c = uid[order], eid[order], ts[order], cents[order]
+        newu = np.ones(len(u), dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        gap = np.zeros(len(u), dtype=bool)
+        gap[1:] = (t[1:] - t[:-1]) > GAP
+        news = newu | gap
+        # session number within user: cumsum of news minus offset at
+        # the user's first row
+        sno_raw = np.cumsum(news)
+        user_first = np.maximum.accumulate(
+            np.where(newu, sno_raw, 0))
+        sno = (sno_raw - user_first + 1).astype(np.int64)
+        # segmented running sum: cumsum minus cumsum at segment start
+        cs = np.cumsum(c)
+        seg_start_cs = np.maximum.accumulate(
+            np.where(news, cs - c, 0))
+        running = (cs - seg_start_cs).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_id": pa.array(e),
+            "session_no": pa.array(sno),
+            "running_cents": pa.array(running),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                     "value"])
+            .repartition(16, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort(["user_id", "event_id"]))
+
+
+def _q_truncated_convs(sf_dir: str):
+    """Dangling-prompt QA: conversations whose LAST turn is a user
+    turn (the assistant never replied — truncated capture, an SFT
+    exclusion list). Conv-keyed fold takes the max-turn row per conv."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "n_turns": pa.array([], type=pa.int64()),
+            })
+        conv = as_array(b.column("conv_id"))
+        d = as_array(pc.dictionary_encode(conv))
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        tidx = b.column("turn_idx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        role = np.asarray(as_array(b.column("role")).to_pylist(),
+                          dtype=object)
+        order = np.lexsort((tidx, codes))
+        c, t, r = codes[order], tidx[order], role[order]
+        last = np.ones(len(c), dtype=bool)
+        last[:-1] = c[1:] != c[:-1]
+        keep = last & (r == "user")
+        n_turns = np.bincount(c, minlength=len(d.dictionary))
+        sel = c[keep]
+        return pa.table({
+            "conv_id": d.dictionary.take(pa.array(sel)).cast(
+                pa.string()),
+            "n_turns": pa.array(n_turns[sel].astype(np.int64)),
+        })
+
+    return (ray.data.read_parquet(_transcripts_dir(sf_dir),
+                                  columns=["conv_id", "turn_idx",
+                                           "role"])
+            .repartition(8, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("conv_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11413,6 +11517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reply_length_slope": _q_reply_length_slope,
         "top_events_with_ties": _q_top_events_with_ties,
         "doc_longest_repeat": _q_doc_longest_repeat,
+        "session_running_value": _q_session_running_value,
+        "truncated_convs": _q_truncated_convs,
     }
 
 
@@ -15267,6 +15373,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, value_cents, CAST(rnk AS BIGINT)
                      AS rnk
             FROM w WHERE rnk <= 2
+        """,
+        "session_running_value": """
+            WITH w AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(event_id AS BIGINT) AS event_id, ts,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     CASE WHEN lag(ts) OVER win IS NULL
+                               OR ts - lag(ts) OVER win
+                                  > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, event_id, ts, cents,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                       AS session_no
+              FROM w
+            )
+            SELECT user_id, event_id,
+                   CAST(session_no AS BIGINT) AS session_no,
+                   CAST(sum(cents) OVER (
+                       PARTITION BY user_id, session_no
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS running_cents
+            FROM s
+        """,
+        "truncated_convs": f"""
+            WITH o AS (
+              SELECT conv_id, role,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx DESC) AS rn,
+                     count(*) OVER (PARTITION BY conv_id) AS n_turns
+              FROM {T}
+            )
+            SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns
+            FROM o WHERE rn = 1 AND role = 'user'
         """,
     }
 
