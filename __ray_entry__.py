@@ -11203,6 +11203,87 @@ def _q_truncated_convs(sf_dir: str):
             .sort("conv_id"))
 
 
+def _q_blocked_near_dups(sf_dir: str):
+    """Classical record-linkage blocking dedup (the ER-textbook member
+    of the dedup family, fully SQL-oracled unlike MinHash): block key =
+    (lang, length band); candidate pairs form only INSIDE a block;
+    exact distinct-token Jaccard >= 0.5 decided by the integer
+    cross-multiplication 2*|A∩B| >= |A∪B|. One (lang, band)-keyed
+    shuffle; pair volume is bounded by the block-size distribution (at
+    corpus scale a block cap + band salting would bound the worst
+    block, same discipline as the flagship's LSH buckets)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def prep(b):
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(as_array(b.column("text"))
+                                    .cast(pa.string())), r"\s+")
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "lang": b.column("lang"),
+            "band": pa.array(
+                (b.column("n_chars").cast(pa.int64())
+                 .to_numpy(zero_copy_only=False) // 50)),
+            "toks": toks,
+        })
+
+    def pairs(b):
+        if len(b) == 0:
+            return pa.table({
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "inter": pa.array([], type=pa.int64()),
+                "union_": pa.array([], type=pa.int64()),
+            })
+        lang = np.asarray(as_array(b.column("lang")).to_pylist(),
+                          dtype=object)
+        band = b.column("band").to_numpy(zero_copy_only=False)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = as_array(b.column("toks")).to_pylist()
+        sets = [frozenset(t) for t in toks]
+        keys = np.asarray([f"{lg}\x00{bd}" for lg, bd in zip(lang, band)],
+                          dtype=object)
+        out_a, out_b, out_i, out_u = [], [], [], []
+        order = np.argsort(keys, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and keys[order[j + 1]] == \
+                    keys[order[i]]:
+                j += 1
+            members = sorted(order[i:j + 1], key=lambda x: did[x])
+            for x in range(len(members)):
+                sx = sets[members[x]]
+                for y in range(x + 1, len(members)):
+                    sy = sets[members[y]]
+                    inter = len(sx & sy)
+                    u = len(sx) + len(sy) - inter
+                    if 2 * inter >= u:
+                        out_a.append(int(did[members[x]]))
+                        out_b.append(int(did[members[y]]))
+                        out_i.append(inter)
+                        out_u.append(u)
+            i = j + 1
+        return pa.table({
+            "a": pa.array(out_a, type=pa.int64()),
+            "b": pa.array(out_b, type=pa.int64()),
+            "inter": pa.array(out_i, type=pa.int64()),
+            "union_": pa.array(out_u, type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang", "n_chars",
+                                        "text"])
+            .map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(16, keys=["lang", "band"])
+            .map_batches(pairs, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort(["a", "b"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11519,6 +11600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_longest_repeat": _q_doc_longest_repeat,
         "session_running_value": _q_session_running_value,
         "truncated_convs": _q_truncated_convs,
+        "blocked_near_dups": _q_blocked_near_dups,
     }
 
 
@@ -15413,6 +15495,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns
             FROM o WHERE rn = 1 AND role = 'user'
+        """,
+        "blocked_near_dups": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                     CAST(n_chars // 50 AS BIGINT) AS band,
+                     list_distinct(string_split_regex(trim(text),
+                                                      '\s+')) AS toks
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     CAST(len(list_intersect(a.toks, b.toks))
+                          AS BIGINT) AS inter,
+                     CAST(len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks))
+                          AS BIGINT) AS union_
+              FROM t a JOIN t b
+                ON a.lang = b.lang AND a.band = b.band
+                   AND a.doc_id < b.doc_id
+            )
+            SELECT a, b, inter, union_ FROM p
+            WHERE 2 * inter >= union_
         """,
     }
 
