@@ -11284,6 +11284,20 @@ def _q_blocked_near_dups(sf_dir: str):
             .sort(["a", "b"]))
 
 
+def _q_copurchase_bridges(sf_dir: str):
+    """Bridge edges of the co-purchase graph (edges whose removal
+    splits their component) — the over-merge risk detector: a cluster
+    held together by one bridge is one false positive away from being
+    two. Per-component iterative Tarjan after a component-keyed
+    co-partition; rows-only (no SQL can express low-links), brute
+    connectivity parity pinned by tests/test_graph.py."""
+    from apache_datasketches_go_ray.stages.graph import bridge_edges
+
+    return (bridge_edges(_copurchase_edges(sf_dir), "a", "b",
+                         num_partitions=8)
+            .sort(["component", "u", "v"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11601,6 +11615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_running_value": _q_session_running_value,
         "truncated_convs": _q_truncated_convs,
         "blocked_near_dups": _q_blocked_near_dups,
+        "copurchase_bridges": _q_copurchase_bridges,
     }
 
 

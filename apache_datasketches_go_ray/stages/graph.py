@@ -594,3 +594,135 @@ def kcore(edges_ds, src: str = "a", dst: str = "b", *, k: int = 2,
         edges = _filter_endpoint(
             _filter_endpoint(edges, bad, "u"), bad, "v").materialize()
     raise RuntimeError("kcore failed to converge within max_rounds")
+
+
+def bridge_edges(edges_ds, src: str = "a", dst: str = "b", *,
+                 num_partitions: int = 8,
+                 max_component_edges: int = 2_000_000):
+    """Bridge edges (edges whose removal disconnects their component) —
+    the over-merge risk detector for near-dup clusters: a cluster held
+    together by one bridge pair is one false positive away from being
+    two clusters, so bridges rank the pairs worth human review.
+
+    Distributed shape: label every node via :func:`connected_components`
+    (keyed min-label exchange), attach labels to edges, co-partition by
+    component, then run the classical iterative-DFS low-link bridge
+    scan PER COMPONENT inside the block — exact, and bounded because
+    real dup-cluster components are small (the flagship's verify stage
+    already caps cluster growth). Components above
+    ``max_component_edges`` are skipped and reported with
+    bridge = -1 sentinel rows (never silently dropped).
+
+    Semantics are on the SIMPLE graph: edges are canonicalized and
+    deduplicated first (parallel input rows collapse to one edge), the
+    standard definition for dup-cluster edge tables.
+
+    Returns (component, u, v, is_bridge: 1 / skipped: -1)."""
+    labels = connected_components(edges_ds, src, dst,
+                                  num_partitions=num_partitions) \
+        .materialize()
+
+    from .join import hash_join
+
+    canon = edges_ds.map_batches(
+        lambda b: _canon_block(b, src, dst), batch_format="pyarrow",
+        zero_copy_batch=True)
+    lab = labels.map_batches(
+        lambda b: pa.table({"u": b.column("node"),
+                            "component": b.column("component")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tagged = hash_join(canon, lab, on=("u", "u"))
+
+    def per_component(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "component": pa.array([], type=pa.int64()),
+                "u": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+                "is_bridge": pa.array([], type=pa.int64()),
+            })
+        comp = b.column("component").to_numpy(zero_copy_only=False)
+        uu = b.column("u").to_numpy(zero_copy_only=False)
+        vv = b.column("v").to_numpy(zero_copy_only=False)
+        out_c, out_u, out_v, out_f = [], [], [], []
+        order = np.argsort(comp, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and comp[order[j + 1]] == \
+                    comp[order[i]]:
+                j += 1
+            idx = order[i:j + 1]
+            c0 = int(comp[idx[0]])
+            # _canon_block dedups per input block only; duplicates from
+            # different blocks meet here — collapse to the simple graph
+            es = sorted({(int(uu[x]), int(vv[x])) for x in idx})
+            if len(es) > max_component_edges:
+                for (eu, ev) in es:
+                    out_c.append(c0)
+                    out_u.append(eu)
+                    out_v.append(ev)
+                    out_f.append(-1)
+                i = j + 1
+                continue
+            bridges = _bridges_local(es)
+            for (eu, ev) in es:
+                out_c.append(c0)
+                out_u.append(eu)
+                out_v.append(ev)
+                out_f.append(1 if (eu, ev) in bridges else 0)
+            i = j + 1
+        return pa.table({
+            "component": pa.array(out_c, type=pa.int64()),
+            "u": pa.array(out_u, type=pa.int64()),
+            "v": pa.array(out_v, type=pa.int64()),
+            "is_bridge": pa.array(out_f, type=pa.int64()),
+        })
+
+    return (tagged.repartition(num_partitions, keys=["component"])
+            .map_batches(per_component, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+def _bridges_local(edges: list) -> set:
+    """Iterative Tarjan low-link bridge finding on one component's
+    distinct canonical (u < v) edge list (simple graph; self-loops
+    ignored)."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for (u, v) in set(edges):
+        if u == v:
+            continue
+        adj[u].append(v)
+        adj[v].append(u)
+    disc, low = {}, {}
+    bridges = set()
+    timer = [0]
+    for root in adj:
+        if root in disc:
+            continue
+        # iterative DFS: stack of (node, parent, neighbor-iterator)
+        stack = [(root, None, iter(adj[root]))]
+        disc[root] = low[root] = timer[0]
+        timer[0] += 1
+        while stack:
+            node, parent, it = stack[-1]
+            advanced = False
+            for nb in it:
+                if nb not in disc:
+                    disc[nb] = low[nb] = timer[0]
+                    timer[0] += 1
+                    stack.append((nb, node, iter(adj[nb])))
+                    advanced = True
+                    break
+                elif nb != parent:
+                    low[node] = min(low[node], disc[nb])
+            if not advanced:
+                stack.pop()
+                if stack:
+                    pnode = stack[-1][0]
+                    low[pnode] = min(low[pnode], low[node])
+                    if low[node] > disc[pnode]:
+                        bridges.add((min(pnode, node), max(pnode, node)))
+    return bridges

@@ -248,3 +248,66 @@ def test_graph_ops_empty_and_triangle_free(ray_session):
     got = dict(zip(comp["node"], comp["component"]))
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 5: 5, 6: 5}
     assert triangle_counts(_ds(path, 2), "a", "b").count() == 0
+
+
+def _brute_bridges(edges):
+    """Edge is a bridge iff removing it disconnects its endpoints
+    (simple-graph semantics: duplicates collapse)."""
+    from collections import defaultdict, deque
+
+    edges = sorted(set(edges))
+
+    def connected(u, v, skip):
+        adj = defaultdict(list)
+        for (a, b) in edges:
+            if (a, b) == skip:
+                continue
+            adj[a].append(b)
+            adj[b].append(a)
+        seen = {u}
+        dq = deque([u])
+        while dq:
+            x = dq.popleft()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    dq.append(y)
+        return v in seen
+
+    out = set()
+    for e in set(edges):
+        if e[0] != e[1] and not connected(e[0], e[1], e):
+            out.add(e)
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 5, 9])
+def test_bridge_edges_match_brute(ray_session, seed):
+    import pyarrow as pa
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.graph import bridge_edges
+
+    rng = np.random.default_rng(seed)
+    # sparse random graph + a guaranteed pendant chain (bridges)
+    n = 60
+    m = 70
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    chain = [(100, 101), (101, 102), (0, 102)]
+    edges = [(int(min(x, y)), int(max(x, y)))
+             for x, y in zip(a, b) if x != y] + chain
+    tbl = pa.table({
+        "a": pa.array([e[0] for e in edges], type=pa.int64()),
+        "b": pa.array([e[1] for e in edges], type=pa.int64()),
+    })
+    got = bridge_edges(ray.data.from_arrow(tbl).repartition(4)) \
+        .to_pandas()
+    got_bridges = {(int(r.u), int(r.v))
+                   for r in got.itertuples() if r.is_bridge == 1}
+    assert got_bridges == _brute_bridges(edges)
+    # every canonical distinct edge classified exactly once
+    assert len(got) == len(set(edges))
+    # the planted pendant chain must be all bridges
+    for e in chain:
+        assert e in got_bridges
