@@ -11298,6 +11298,29 @@ def _q_copurchase_bridges(sf_dir: str):
             .sort(["component", "u", "v"]))
 
 
+def _q_lsh_sensitivity_curve(sf_dir: str):
+    """Planner telemetry for the flagship's LSH config: the s-curve
+    P(candidate | J) = 1 - (1 - J^r)^b at a Jaccard grid, for the
+    configured (bands, rows) — the table an operator reads to pick
+    thresholds before a 100 TB run (where is the 50% knee, what recall
+    does J=0.5 get from banding alone, what the turn-collision branch
+    must recover). Pure closed form from the live DedupConfig, so the
+    table always reflects the shipped parameters."""
+    import pyarrow as pa
+
+    cfg = _dedup_config()
+    b, r = cfg.num_bands, cfg.rows_per_band
+    grid = np.round(np.arange(0.05, 1.0, 0.05), 2)
+    p = 1.0 - (1.0 - grid ** r) ** b
+    return pa.table({
+        "jaccard": pa.array(grid),
+        "p_candidate": pa.array(np.round(p, 6)),
+        "bands": pa.array(np.full(len(grid), b, dtype=np.int64)),
+        "rows_per_band": pa.array(np.full(len(grid), r,
+                                          dtype=np.int64)),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11616,6 +11639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncated_convs": _q_truncated_convs,
         "blocked_near_dups": _q_blocked_near_dups,
         "copurchase_bridges": _q_copurchase_bridges,
+        "lsh_sensitivity_curve": _q_lsh_sensitivity_curve,
     }
 
 
@@ -15531,6 +15555,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, inter, union_ FROM p
             WHERE 2 * inter >= union_
+        """,
+        "lsh_sensitivity_curve": f"""
+            WITH g AS (
+              SELECT round(0.05 * x, 2) AS jaccard
+              FROM generate_series(1, 19) AS t(x)
+            )
+            SELECT jaccard,
+                   round(1.0 - pow(1.0 - pow(jaccard,
+                         {_dedup_config().rows_per_band}),
+                         {_dedup_config().num_bands}), 6)
+                     AS p_candidate,
+                   CAST({_dedup_config().num_bands} AS BIGINT) AS bands,
+                   CAST({_dedup_config().rows_per_band} AS BIGINT)
+                     AS rows_per_band
+            FROM g
         """,
     }
 
