@@ -53,13 +53,23 @@ def main(argv=None):
                    choices=["hll", "freq", "kll"])
     s.add_argument("--output", required=True)
     s.add_argument("--update", default=None,
-                   help="existing column dir to fold the new batch into "
-                        "(hll only)")
+                   help="existing column dir to fold the new batch into")
     s.add_argument("--lg-k", type=int, default=12)
     s.add_argument("--k", type=int, default=200)
     s.add_argument("--max-map-size", type=int, default=1 << 16)
     s.add_argument("--tokenize", action="store_true")
     s.add_argument("--partitions", type=int, default=16)
+
+    rl = sub.add_parser(
+        "rewrite-layout",
+        help="one-time corpus re-sort to the conv-contiguous at-rest "
+             "layout (each conversation lands whole in one shard, turns "
+             "sorted) — unlocks the conv_grouped assembly fast path for "
+             "every later run; the probe verdict on the output is "
+             "printed as proof")
+    rl.add_argument("--input", required=True)
+    rl.add_argument("--output", required=True)
+    rl.add_argument("--partitions", type=int, default=64)
 
     p = sub.add_parser(
         "probe-layout",
@@ -158,22 +168,40 @@ def main(argv=None):
                     num_partitions=args.partitions)
         elif args.family == "freq":
             if args.update:
-                ap.error("--update is only supported for --family hll")
-            col = sa.freq_wire_sketch_column_by(
-                ds, args.key, args.column,
-                max_map_size=args.max_map_size, tokenize=args.tokenize,
-                num_partitions=args.partitions)
+                col = sa.freq_wire_update_column(
+                    ray.data.read_parquet(args.update), ds, args.key,
+                    args.column, max_map_size=args.max_map_size,
+                    tokenize=args.tokenize,
+                    num_partitions=args.partitions)
+            else:
+                col = sa.freq_wire_sketch_column_by(
+                    ds, args.key, args.column,
+                    max_map_size=args.max_map_size,
+                    tokenize=args.tokenize,
+                    num_partitions=args.partitions)
         else:
             if args.update:
-                ap.error("--update is only supported for --family hll")
-            col = sa.kll_wire_sketch_column_by(
-                ds, args.key, args.column, k=args.k,
-                num_partitions=args.partitions)
+                col = sa.kll_wire_update_column(
+                    ray.data.read_parquet(args.update), ds, args.key,
+                    args.column, k=args.k,
+                    num_partitions=args.partitions)
+            else:
+                col = sa.kll_wire_sketch_column_by(
+                    ds, args.key, args.column, k=args.k,
+                    num_partitions=args.partitions)
         col = col.materialize()
         col.write_parquet(args.output)
         print(json.dumps({"family": args.family,
                           "groups": col.count(),
                           "output": args.output}))
+    elif args.cmd == "rewrite-layout":
+        from .sources.readers import detect_input_layout, rewrite_conv_grouped
+
+        n = rewrite_conv_grouped(args.input, args.output,
+                                 num_partitions=args.partitions)
+        verdict = detect_input_layout(args.output)
+        print(json.dumps({"rows": n, "output": args.output,
+                          "layout": verdict}))
     elif args.cmd == "probe-layout":
         from .sources.readers import detect_input_layout
 

@@ -819,3 +819,80 @@ def hll_wire_update_column(old_column_ds, new_ds, key: str, column: str,
         .union(fresh.map_batches(fix, batch_format="pyarrow",
                                  zero_copy_batch=True))
     return _hll_wire_keyed_merge(rows, key, num_partitions)
+
+
+def freq_wire_update_column(old_column_ds, new_ds, group_col: str,
+                            item_col: str, max_map_size: int = 1 << 16,
+                            tokenize: bool = False,
+                            num_partitions: int = 16):
+    """Incremental maintenance of a persisted frequent-items wire
+    column: sketch only the fresh batch, union with the stored column,
+    one keyed wire-level merge (longs_sketch.go:451-466 semantics) —
+    same single-shuffle shape as :func:`hll_wire_update_column`."""
+    fresh = freq_wire_sketch_column_by(
+        new_ds, group_col, item_col, max_map_size=max_map_size,
+        tokenize=tokenize, num_partitions=num_partitions)
+    # fresh is already one row per key; merging it with the stored rows
+    # is one more keyed pass (freq partials are per-block compat
+    # sketches serialized the same way, so reuse the merge block)
+
+    def fix(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, "sketch"])
+
+    rows = old_column_ds.map_batches(fix, batch_format="pyarrow",
+                                     zero_copy_batch=True) \
+        .union(fresh.map_batches(fix, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    return (rows.repartition(num_partitions, keys=[group_col])
+            .map_batches(
+                lambda b: _freq_wire_merge_block(b, group_col,
+                                                 max_map_size),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True))
+
+
+def kll_wire_update_column(old_column_ds, new_ds, key: str,
+                           value_col: str, k: int = 200,
+                           width: int = 12, num_partitions: int = 16):
+    """Incremental maintenance of a persisted KLL wire column: sketch
+    the fresh batch, union with the stored column, merge per key with
+    the reference Merge algorithm (serde_compat.kll_string_merge)."""
+    fresh = kll_wire_sketch_column_by(new_ds, key, value_col, k=k,
+                                      width=width,
+                                      num_partitions=num_partitions)
+
+    def fix(batch: pa.Table) -> pa.Table:
+        return batch.select([key, "sketch"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        from ..state.serde_compat import (kll_string_compat_from_view,
+                                          kll_string_merge,
+                                          read_kll_string,
+                                          write_kll_string)
+
+        if len(batch) == 0:
+            return pa.table({key: pa.array([], type=pa.string()),
+                             "sketch": pa.array([],
+                                                type=pa.large_binary())})
+        ks = as_array(batch.column(key)).to_pylist()
+        blobs = as_array(batch.column("sketch")).to_pylist()
+        out_k, out_b = [], []
+        for g, idx in _sorted_runs(ks):
+            merged = kll_string_compat_from_view(
+                read_kll_string(blobs[idx[0]]))
+            for i in idx[1:]:
+                kll_string_merge(merged, kll_string_compat_from_view(
+                    read_kll_string(blobs[i])))
+            out_k.append(g)
+            out_b.append(write_kll_string(merged))
+        return pa.table({key: pa.array(out_k, type=pa.string()),
+                         "sketch": pa.array(out_b,
+                                            type=pa.large_binary())})
+
+    rows = old_column_ds.map_batches(fix, batch_format="pyarrow",
+                                     zero_copy_batch=True) \
+        .union(fresh.map_batches(fix, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    return (rows.repartition(num_partitions, keys=[key])
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))

@@ -155,3 +155,47 @@ def test_assemble_rejects_unresolved_auto(ray_session, tmp_path):
     ds = ray.data.read_parquet(os.path.join(base, "transcripts"))
     with pytest.raises(ValueError, match="input_layout"):
         assemble(ds, 2, input_layout="auto")
+
+
+def test_rewrite_layout_cli_unlocks_fast_path(ray_session, tmp_path,
+                                              capsys):
+    """rewrite-layout: a shuffled corpus becomes provably conv-grouped
+    (probe verdict printed as proof), preserving the row multiset and
+    the dedup clusters."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from apache_datasketches_go_ray.__main__ import main
+    from apache_datasketches_go_ray.config import DedupConfig
+    from apache_datasketches_go_ray.pipelines.dedup import run_dedup
+    from apache_datasketches_go_ray.sources.transcripts import (
+        write_transcripts,
+    )
+
+    base = str(tmp_path / "t")
+    write_transcripts(base, 60, seed=3, shards=3)  # shuffled at rest
+    src = os.path.join(base, "transcripts")
+    out = str(tmp_path / "sorted_out")
+    rc = main(["rewrite-layout", "--input", src, "--output", out,
+               "--partitions", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["layout"] == "conv_grouped"
+
+    a = pq.read_table(src).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    b = pq.read_table(out).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    assert a[["conv_id", "turn_idx", "text"]].equals(
+        b[["conv_id", "turn_idx", "text"]])
+
+    def clusters(path, layout):
+        cfg = DedupConfig(num_partitions=4, input_layout=layout)
+        res = run_dedup(ray.data.read_parquet(path), cfg)
+        df = res["clusters"].to_pandas().sort_values(
+            "conv_id", ignore_index=True)
+        return list(zip(df["conv_id"], df["cluster_id"]))
+
+    assert clusters(out, "auto") == clusters(src, "shuffled")

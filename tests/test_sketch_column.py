@@ -199,3 +199,74 @@ def test_incremental_column_update_equals_full_rebuild(ray_session,
     # error envelope across different merge trees in HLL mode
     assert np.allclose(got["estimate"], exp["estimate"],
                        rtol=0.0 if card == 30 else 0.05)
+
+
+def test_freq_incremental_update_equals_full(ray_session, tmp_path):
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        freq_wire_sketch_column_by, freq_wire_top_items,
+        freq_wire_update_column)
+
+    def tbl(n, seed):
+        r = np.random.default_rng(seed)
+        return pa.table({
+            "g": pa.array([f"g{int(x)}" for x in r.integers(0, 3, n)],
+                          type=pa.string()),
+            "i": pa.array([f"w{int(x)}" for x in r.zipf(1.7, n) % 40],
+                          type=pa.string()),
+        })
+
+    A, B = tbl(2500, 3), tbl(1500, 4)
+    col_a = freq_wire_sketch_column_by(
+        ray.data.from_arrow(A).repartition(3), "g", "i",
+        max_map_size=1 << 10)
+    old = os.path.join(str(tmp_path), "freqA")
+    col_a.write_parquet(old)
+    updated = freq_wire_update_column(
+        ray.data.read_parquet(old),
+        ray.data.from_arrow(B).repartition(2), "g", "i",
+        max_map_size=1 << 10)
+    full = freq_wire_sketch_column_by(
+        ray.data.from_arrow(pa.concat_tables([A, B])).repartition(4),
+        "g", "i", max_map_size=1 << 10)
+    got = freq_wire_top_items(updated, "g", k=5).to_pandas() \
+        .sort_values(["g", "rank"], ignore_index=True)
+    exp = freq_wire_top_items(full, "g", k=5).to_pandas() \
+        .sort_values(["g", "rank"], ignore_index=True)
+    # exact regime (no purge): identical top-k with identical counts
+    assert got.values.tolist() == exp.values.tolist()
+
+
+def test_kll_incremental_update_equals_full(ray_session, tmp_path):
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        kll_wire_quantiles, kll_wire_sketch_column_by,
+        kll_wire_update_column)
+
+    def tbl(n, seed):
+        r = np.random.default_rng(seed)
+        return pa.table({
+            "g": pa.array([f"g{int(x)}" for x in r.integers(0, 3, n)],
+                          type=pa.string()),
+            "v": pa.array(r.integers(0, 50_000, n).astype(np.int64)),
+        })
+
+    A, B = tbl(1500, 7), tbl(900, 8)
+    col_a = kll_wire_sketch_column_by(
+        ray.data.from_arrow(A).repartition(3), "g", "v", k=8192)
+    old = os.path.join(str(tmp_path), "kllA")
+    col_a.write_parquet(old)
+    updated = kll_wire_update_column(
+        ray.data.read_parquet(old),
+        ray.data.from_arrow(B).repartition(2), "g", "v", k=8192)
+    got = kll_wire_quantiles(updated, "g").to_pandas() \
+        .sort_values("g", ignore_index=True)
+    # un-compacted regime: quantiles over A∪B are exact order stats
+    df = pa.concat_tables([A, B]).to_pandas()
+    for _, row in got.iterrows():
+        vals = np.sort(df.loc[df["g"] == row["g"], "v"].to_numpy())
+        assert row["n"] == len(vals)
+        for p, cname in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            assert row[cname] == vals[int(np.ceil(p * len(vals))) - 1]
