@@ -11132,17 +11132,19 @@ def _q_session_running_value(sf_dir: str):
         gap = np.zeros(len(u), dtype=bool)
         gap[1:] = (t[1:] - t[:-1]) > GAP
         news = newu | gap
-        # session number within user: cumsum of news minus offset at
-        # the user's first row
+        # segment machinery via np.repeat over run lengths — correct
+        # for ANY sign of cents (a max-accumulate offset trick would
+        # silently break on refunds/negative values)
+        seg_starts = np.flatnonzero(news)
+        seg_lens = np.diff(np.append(seg_starts, len(u)))
+        user_starts = np.flatnonzero(newu)
+        user_lens = np.diff(np.append(user_starts, len(u)))
         sno_raw = np.cumsum(news)
-        user_first = np.maximum.accumulate(
-            np.where(newu, sno_raw, 0))
-        sno = (sno_raw - user_first + 1).astype(np.int64)
-        # segmented running sum: cumsum minus cumsum at segment start
+        sno = (sno_raw - np.repeat(sno_raw[user_starts], user_lens)
+               + 1).astype(np.int64)
         cs = np.cumsum(c)
-        seg_start_cs = np.maximum.accumulate(
-            np.where(news, cs - c, 0))
-        running = (cs - seg_start_cs).astype(np.int64)
+        running = (cs - np.repeat(cs[seg_starts] - c[seg_starts],
+                                  seg_lens)).astype(np.int64)
         return pa.table({
             "user_id": pa.array(u),
             "event_id": pa.array(e),
@@ -11218,9 +11220,12 @@ def _q_blocked_near_dups(sf_dir: str):
     from apache_datasketches_go_ray.stages.arrow_util import as_array
 
     def prep(b):
+        # NOTE: DuckDB's trim() strips ASCII spaces only — match it
+        # exactly (utf8_trim_whitespace would also strip \n/\t/U+00A0
+        # and break oracle parity on texts with trailing newlines)
         toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(as_array(b.column("text"))
-                                    .cast(pa.string())), r"\s+")
+            pc.utf8_trim(as_array(b.column("text")).cast(pa.string()),
+                         characters=" "), r"\s+")
         return pa.table({
             "doc_id": b.column("doc_id").cast(pa.int64()),
             "lang": b.column("lang"),

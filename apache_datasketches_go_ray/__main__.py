@@ -168,6 +168,17 @@ def main(argv=None):
                     num_partitions=args.partitions)
         elif args.family == "freq":
             if args.update:
+                import pyarrow.parquet as _pq
+
+                sample = _pq.read_table(args.update,
+                                        columns=["sketch"]).slice(0, 1)
+                if len(sample):
+                    stored_lg = sample.column("sketch")[0].as_py()[3]
+                    if (1 << stored_lg) != args.max_map_size:
+                        ap.error(
+                            f"--update column was built with "
+                            f"max-map-size {1 << stored_lg}; pass "
+                            f"--max-map-size {1 << stored_lg}")
                 col = sa.freq_wire_update_column(
                     ray.data.read_parquet(args.update), ds, args.key,
                     args.column, max_map_size=args.max_map_size,
@@ -181,6 +192,18 @@ def main(argv=None):
                     num_partitions=args.partitions)
         else:
             if args.update:
+                import struct as _struct
+
+                import pyarrow.parquet as _pq
+
+                sample = _pq.read_table(args.update,
+                                        columns=["sketch"]).slice(0, 1)
+                if len(sample):
+                    stored_k, = _struct.unpack_from(
+                        "<H", sample.column("sketch")[0].as_py(), 4)
+                    if stored_k != args.k:
+                        ap.error(f"--update column was built with k "
+                                 f"{stored_k}; pass --k {stored_k}")
                 col = sa.kll_wire_update_column(
                     ray.data.read_parquet(args.update), ds, args.key,
                     args.column, k=args.k,

@@ -572,6 +572,24 @@ def freq_wire_sketch_column_by(ds, group_col: str, item_col: str,
     from ..state.serde_compat import (FreqCompatSketch,
                                       write_frequencies_items_string)
 
+    partials = _freq_wire_partials(ds, group_col, item_col,
+                                   max_map_size, tokenize)
+    return (partials.repartition(num_partitions, keys=[group_col])
+            .map_batches(
+                lambda b: _freq_wire_merge_block(b, group_col,
+                                                 max_map_size),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True))
+
+
+def _freq_wire_partials(ds, group_col: str, item_col: str,
+                        max_map_size: int, tokenize: bool):
+    """Per-block per-group wire-format frequent-items partials."""
+    import pyarrow.compute as pc
+
+    from ..state.serde_compat import (FreqCompatSketch,
+                                      write_frequencies_items_string)
+
     def partial(batch: pa.Table) -> pa.Table:
         g = as_array(batch.column(group_col)).cast(pa.string())
         col = as_array(batch.column(item_col))
@@ -599,15 +617,8 @@ def freq_wire_sketch_column_by(ds, group_col: str, item_col: str,
                          "sketch": pa.array(out_blob,
                                             type=pa.large_binary())})
 
-    return (ds.select_columns([group_col, item_col])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .repartition(num_partitions, keys=[group_col])
-            .map_batches(
-                lambda b: _freq_wire_merge_block(b, group_col,
-                                                 max_map_size),
-                batch_format="pyarrow", batch_size=None,
-                zero_copy_batch=True))
+    return ds.select_columns([group_col, item_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _freq_wire_merge_block(batch: pa.Table, group_col: str,
@@ -688,11 +699,23 @@ def kll_wire_sketch_column_by(ds, key: str, value_col: str, k: int = 200,
     (ItemsSketch[string].ToSlice(), golden-tested) and merge downstream
     at the wire level with the reference's Merge algorithm
     (kll/items_sketch.go:555-693, serde_compat.kll_string_merge)."""
+    return (_kll_wire_partials(ds, key, value_col, k, width)
+            .repartition(num_partitions, keys=[key])
+            .map_batches(
+                lambda b: _kll_wire_merge_block(b, key),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True))
+
+
+def _kll_wire_partials(ds, key: str, value_col: str, k: int,
+                       width: int):
+    """Per-block per-group wire-format KLL partials. Values must be
+    non-negative ints below 10^width — right-justified space padding is
+    order-preserving only there, so out-of-domain values reject loudly
+    rather than scramble the sorted view."""
     from ..state.serde_compat import (KllStringCompatSketch,
                                       int_to_fixed_length_string,
-                                      kll_string_compat_from_view,
-                                      kll_string_merge,
-                                      read_kll_string, write_kll_string)
+                                      write_kll_string)
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -705,12 +728,9 @@ def kll_wire_sketch_column_by(ds, key: str, value_col: str, k: int = 200,
         vals = as_array(batch.column(value_col)).to_numpy(
             zero_copy_only=False).astype(np.int64)
         if len(vals) and (vals.min() < 0 or vals.max() >= 10 ** width):
-            # right-justified space padding is order-preserving ONLY for
-            # non-negative ints below 10^width — reject loudly rather
-            # than scramble the sorted view
             raise ValueError(
-                f"kll_wire_sketch_column_by: values must be in "
-                f"[0, 10^{width}) for fixed-width string encoding; got "
+                f"kll wire column: values must be in [0, 10^{width}) "
+                f"for fixed-width string encoding; got "
                 f"[{vals.min()}, {vals.max()}]")
         out_k, out_b = [], []
         for g_key, idx in _sorted_runs(ks):
@@ -723,33 +743,35 @@ def kll_wire_sketch_column_by(ds, key: str, value_col: str, k: int = 200,
                          "sketch": pa.array(out_b,
                                             type=pa.large_binary())})
 
-    def combine(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table({key: pa.array([], type=pa.string()),
-                             "sketch": pa.array([],
-                                                type=pa.large_binary())})
-        ks = np.asarray(as_array(batch.column(key)).to_pylist(),
-                        dtype=object)
-        blobs = as_array(batch.column("sketch")).to_pylist()
-        out_k, out_b = [], []
-        for g_key, idx in _sorted_runs(ks):
-            merged = kll_string_compat_from_view(
-                read_kll_string(blobs[idx[0]]))
-            for i in idx[1:]:
-                kll_string_merge(merged, kll_string_compat_from_view(
-                    read_kll_string(blobs[i])))
-            out_k.append(g_key)
-            out_b.append(write_kll_string(merged))
-        return pa.table({key: pa.array(out_k, type=pa.string()),
-                         "sketch": pa.array(out_b,
-                                            type=pa.large_binary())})
+    return ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    return (ds.select_columns([key, value_col])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .repartition(num_partitions, keys=[key])
-            .map_batches(combine, batch_format="pyarrow", batch_size=None,
-                         zero_copy_batch=True))
+
+def _kll_wire_merge_block(batch: pa.Table, key: str) -> pa.Table:
+    """Per-key wire-level KLL merge block (reference Merge semantics via
+    serde_compat.kll_string_merge) — shared by the column builder and
+    the incremental updater."""
+    from ..state.serde_compat import (kll_string_compat_from_view,
+                                      kll_string_merge, read_kll_string,
+                                      write_kll_string)
+
+    if len(batch) == 0:
+        return pa.table({key: pa.array([], type=pa.string()),
+                         "sketch": pa.array([], type=pa.large_binary())})
+    ks = as_array(batch.column(key)).to_pylist()
+    blobs = as_array(batch.column("sketch")).to_pylist()
+    out_k, out_b = [], []
+    for g_key, idx in _sorted_runs(ks):
+        merged = kll_string_compat_from_view(
+            read_kll_string(blobs[idx[0]]))
+        for i in idx[1:]:
+            kll_string_merge(merged, kll_string_compat_from_view(
+                read_kll_string(blobs[i])))
+        out_k.append(g_key)
+        out_b.append(write_kll_string(merged))
+    return pa.table({key: pa.array(out_k, type=pa.string()),
+                     "sketch": pa.array(out_b,
+                                        type=pa.large_binary())})
 
 
 def kll_wire_quantiles(ds, key: str, ranks=(0.25, 0.5, 0.75)):
@@ -826,15 +848,12 @@ def freq_wire_update_column(old_column_ds, new_ds, group_col: str,
                             tokenize: bool = False,
                             num_partitions: int = 16):
     """Incremental maintenance of a persisted frequent-items wire
-    column: sketch only the fresh batch, union with the stored column,
-    one keyed wire-level merge (longs_sketch.go:451-466 semantics) —
-    same single-shuffle shape as :func:`hll_wire_update_column`."""
-    fresh = freq_wire_sketch_column_by(
-        new_ds, group_col, item_col, max_map_size=max_map_size,
-        tokenize=tokenize, num_partitions=num_partitions)
-    # fresh is already one row per key; merging it with the stored rows
-    # is one more keyed pass (freq partials are per-block compat
-    # sketches serialized the same way, so reuse the merge block)
+    column: the fresh batch contributes raw per-block PARTIALS, unioned
+    with the stored column and merged per key in ONE keyed shuffle
+    (longs_sketch.go:451-466 semantics) — same single-shuffle shape as
+    :func:`hll_wire_update_column`."""
+    fresh = _freq_wire_partials(new_ds, group_col, item_col,
+                                max_map_size, tokenize)
 
     def fix(batch: pa.Table) -> pa.Table:
         return batch.select([group_col, "sketch"])
@@ -854,45 +873,21 @@ def freq_wire_update_column(old_column_ds, new_ds, group_col: str,
 def kll_wire_update_column(old_column_ds, new_ds, key: str,
                            value_col: str, k: int = 200,
                            width: int = 12, num_partitions: int = 16):
-    """Incremental maintenance of a persisted KLL wire column: sketch
-    the fresh batch, union with the stored column, merge per key with
-    the reference Merge algorithm (serde_compat.kll_string_merge)."""
-    fresh = kll_wire_sketch_column_by(new_ds, key, value_col, k=k,
-                                      width=width,
-                                      num_partitions=num_partitions)
+    """Incremental maintenance of a persisted KLL wire column: the
+    fresh batch contributes raw per-block PARTIALS, unioned with the
+    stored column and merged per key in ONE keyed shuffle with the
+    reference Merge algorithm (serde_compat.kll_string_merge)."""
+    fresh = _kll_wire_partials(new_ds, key, value_col, k, width)
 
     def fix(batch: pa.Table) -> pa.Table:
         return batch.select([key, "sketch"])
-
-    def combine(batch: pa.Table) -> pa.Table:
-        from ..state.serde_compat import (kll_string_compat_from_view,
-                                          kll_string_merge,
-                                          read_kll_string,
-                                          write_kll_string)
-
-        if len(batch) == 0:
-            return pa.table({key: pa.array([], type=pa.string()),
-                             "sketch": pa.array([],
-                                                type=pa.large_binary())})
-        ks = as_array(batch.column(key)).to_pylist()
-        blobs = as_array(batch.column("sketch")).to_pylist()
-        out_k, out_b = [], []
-        for g, idx in _sorted_runs(ks):
-            merged = kll_string_compat_from_view(
-                read_kll_string(blobs[idx[0]]))
-            for i in idx[1:]:
-                kll_string_merge(merged, kll_string_compat_from_view(
-                    read_kll_string(blobs[i])))
-            out_k.append(g)
-            out_b.append(write_kll_string(merged))
-        return pa.table({key: pa.array(out_k, type=pa.string()),
-                         "sketch": pa.array(out_b,
-                                            type=pa.large_binary())})
 
     rows = old_column_ds.map_batches(fix, batch_format="pyarrow",
                                      zero_copy_batch=True) \
         .union(fresh.map_batches(fix, batch_format="pyarrow",
                                  zero_copy_batch=True))
     return (rows.repartition(num_partitions, keys=[key])
-            .map_batches(combine, batch_format="pyarrow",
-                         batch_size=None, zero_copy_batch=True))
+            .map_batches(
+                lambda b: _kll_wire_merge_block(b, key),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True))

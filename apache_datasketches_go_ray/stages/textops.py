@@ -771,8 +771,7 @@ def longest_repeat_batch(batch: pa.Table, text_col: str = "text",
     numpy, the loop is per-doc per-block."""
     from ..functions.suffixarray import lcp_array, suffix_array
 
-    ids = as_array(batch.column(id_col)).cast(pa.int64()) \
-        .to_numpy(zero_copy_only=False)
+    ids = as_array(batch.column(id_col))
     texts = as_array(batch.column(text_col)).to_pylist()
     out = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
@@ -782,7 +781,9 @@ def longest_repeat_batch(batch: pa.Table, text_col: str = "text",
         sa = suffix_array(raw.astype(np.int64))
         lcp = lcp_array(raw.astype(np.int64), sa)
         out[i] = int(lcp.max()) if len(lcp) else 0
+    # id column passes through under its own name and type (string conv
+    # ids work as well as int doc ids)
     return pa.table({
-        "doc_id": pa.array(ids),
+        id_col: ids,
         "max_repeat_len": pa.array(out),
     })
