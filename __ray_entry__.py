@@ -11326,6 +11326,66 @@ def _q_lsh_sensitivity_curve(sf_dir: str):
     })
 
 
+def _q_second_order_latency(sf_dir: str):
+    """Repeat-purchase latency: for customers with >= 2 orders, whole
+    days between their first and second order (ties broken by orderkey),
+    summarized as exact percentile_disc quartiles. Custkey-keyed fold
+    takes each customer's first two orders; the day-diff value table is
+    tiny, so the quartiles finalize in one block."""
+    import pyarrow as pa
+
+    DAY = 86_400_000_000
+
+    def per_cust(b):
+        if len(b) == 0:
+            return pa.table({"d": pa.array([], type=pa.int64())})
+        ck = b.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = b.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ok, ts, ck))
+        c, t = ck[order], ts[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(c))
+        m = ends - starts >= 2
+        first = t[starts[m]]
+        second = t[starts[m] + 1]
+        return pa.table({"d": pa.array(((second - first) // DAY)
+                                       .astype(np.int64))})
+
+    def final(b):
+        if len(b) == 0:
+            return pa.table({
+                "n_customers": pa.array([0], type=pa.int64()),
+                "q25": pa.array([0], type=pa.int64()),
+                "q50": pa.array([0], type=pa.int64()),
+                "q75": pa.array([0], type=pa.int64()),
+            })
+        d = np.sort(b.column("d").to_numpy(zero_copy_only=False))
+        n = len(d)
+        q = {p: int(d[int(np.ceil(p * n)) - 1])
+             for p in (0.25, 0.5, 0.75)}
+        return pa.table({
+            "n_customers": pa.array([n], type=pa.int64()),
+            "q25": pa.array([q[0.25]], type=pa.int64()),
+            "q50": pa.array([q[0.5]], type=pa.int64()),
+            "q75": pa.array([q[0.75]], type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderdate"])
+            .repartition(16, keys=["o_custkey"])
+            .map_batches(per_cust, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11645,6 +11705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocked_near_dups": _q_blocked_near_dups,
         "copurchase_bridges": _q_copurchase_bridges,
         "lsh_sensitivity_curve": _q_lsh_sensitivity_curve,
+        "second_order_latency": _q_second_order_latency,
     }
 
 
@@ -15575,6 +15636,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_dedup_config().rows_per_band} AS BIGINT)
                      AS rows_per_band
             FROM g
+        """,
+        "second_order_latency": """
+            WITH w AS (
+              SELECT o_custkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate,
+                                                 o_orderkey) AS rn
+              FROM orders
+            ), p AS (
+              SELECT a.o_custkey,
+                     CAST(date_diff('day',
+                          CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE)) AS BIGINT) AS d
+              FROM w a JOIN w b
+                ON a.o_custkey = b.o_custkey
+                   AND a.rn = 1 AND b.rn = 2
+            )
+            SELECT count(*) AS n_customers,
+                   CAST(quantile_disc(d, 0.25) AS BIGINT) AS q25,
+                   CAST(quantile_disc(d, 0.50) AS BIGINT) AS q50,
+                   CAST(quantile_disc(d, 0.75) AS BIGINT) AS q75
+            FROM p
         """,
     }
 
