@@ -11527,6 +11527,78 @@ def _q_customer_rfm(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_weekly_new_vs_repeat_revenue(sf_dir: str):
+    """Weekly revenue split between first-time and returning customers
+    (the acquisition-vs-retention dashboard): a customer's first ISO
+    week marks every order in that week 'new', later weeks 'repeat'.
+    Custkey-keyed fold computes the split per customer in-block and
+    emits tiny (week, new, repeat) partials — one shuffle on customer,
+    one KB-sized week fold, exact cents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_cust(b):
+        if len(b) == 0:
+            return pa.table({
+                "week": pa.array([], type=pa.string()),
+                "new_cents": pa.array([], type=pa.int64()),
+                "repeat_cents": pa.array([], type=pa.int64()),
+            })
+        ck = b.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = np.asarray(pc.strftime(b.column("o_orderdate"),
+                                    format="%G-W%V").to_pylist(),
+                        dtype=object)
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((wk, ck))
+        c, w, v = ck[order], wk[order], cents[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        first_w = np.repeat(
+            w[np.flatnonzero(new)],
+            np.diff(np.append(np.flatnonzero(new), len(c))))
+        is_new = w == first_w
+        t = pa.table({
+            "week": pa.array(w, type=pa.string()),
+            "new_c": pa.array(np.where(is_new, v, 0)),
+            "rep_c": pa.array(np.where(is_new, 0, v)),
+        })
+        g = t.group_by(["week"]).aggregate([("new_c", "sum"),
+                                            ("rep_c", "sum")])
+        return pa.table({
+            "week": g.column("week"),
+            "new_cents": g.column("new_c_sum").cast(pa.int64()),
+            "repeat_cents": g.column("rep_c_sum").cast(pa.int64()),
+        })
+
+    def final(b):
+        if len(b) == 0:
+            return pa.table({
+                "week": pa.array([], type=pa.string()),
+                "new_cents": pa.array([], type=pa.int64()),
+                "repeat_cents": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["week"]).aggregate([("new_cents", "sum"),
+                                            ("repeat_cents", "sum")])
+        return pa.table({
+            "week": g.column("week"),
+            "new_cents": g.column("new_cents_sum").cast(pa.int64()),
+            "repeat_cents": g.column("repeat_cents_sum").cast(
+                pa.int64()),
+        })
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderdate", "o_totalprice"])
+            .repartition(16, keys=["o_custkey"])
+            .map_batches(per_cust, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("week"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -11849,6 +11921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "second_order_latency": _q_second_order_latency,
         "first_response_latency": _q_first_response_latency,
         "customer_rfm": _q_customer_rfm,
+        "weekly_new_vs_repeat_revenue": _q_weekly_new_vs_repeat_revenue,
     }
 
 
@@ -15843,6 +15916,24 @@ def oracle_sql() -> dict[str, str]:
                    || CAST((4 * (rm - 1)) // n + 1 AS VARCHAR)
                      AS rfm_code
             FROM r
+        """,
+        "weekly_new_vs_repeat_revenue": """
+            WITH o AS (
+              SELECT CAST(o_custkey AS BIGINT) AS c,
+                     strftime(o_orderdate, '%G-W%V') AS week,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders
+            ), f AS (
+              SELECT c, min(week) AS fw FROM o GROUP BY 1
+            )
+            SELECT week,
+                   CAST(sum(CASE WHEN o.week = f.fw THEN cents
+                            ELSE 0 END) AS BIGINT) AS new_cents,
+                   CAST(sum(CASE WHEN o.week = f.fw THEN 0
+                            ELSE cents END) AS BIGINT) AS repeat_cents
+            FROM o JOIN f ON o.c = f.c
+            GROUP BY 1
         """,
     }
 
