@@ -11774,6 +11774,86 @@ def _q_nation_supplier_hhi(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_conv_question_stats(sf_dir: str):
+    """Engagement QA per conversation: user turns total, user turns
+    that END with a question mark, and the qshare in ppm — flags
+    corpora of rhetorical/log-like 'users' that never ask anything.
+    One conv-keyed count fold, vectorized ends_with."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "user_turns": pa.array([], type=pa.int64()),
+                "question_turns": pa.array([], type=pa.int64()),
+                "qshare_ppm": pa.array([], type=pa.int64()),
+            })
+        conv = as_array(b.column("conv_id"))
+        d = as_array(pc.dictionary_encode(conv))
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        role = np.asarray(as_array(b.column("role")).to_pylist(),
+                          dtype=object)
+        endsq = pc.ends_with(as_array(b.column("text")).cast(
+            pa.string()), pattern="?").to_numpy(zero_copy_only=False)
+        is_u = role == "user"
+        n_convs = len(d.dictionary)
+        ut = np.bincount(codes[is_u], minlength=n_convs) \
+            .astype(np.int64)
+        qt = np.bincount(codes[is_u & endsq], minlength=n_convs) \
+            .astype(np.int64)
+        keep = ut > 0
+        sel = np.flatnonzero(keep)
+        ppm = (qt[sel] * 1_000_000) // ut[sel]
+        return pa.table({
+            "conv_id": d.dictionary.take(pa.array(sel)).cast(
+                pa.string()),
+            "user_turns": pa.array(ut[sel]),
+            "question_turns": pa.array(qt[sel]),
+            "qshare_ppm": pa.array(ppm),
+        })
+
+    return (ray.data.read_parquet(_transcripts_dir(sf_dir),
+                                  columns=["conv_id", "role", "text"])
+            .repartition(8, keys=["conv_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("conv_id"))
+
+
+def _q_doc_sentence_stats(sf_dir: str):
+    """Per-document sentence statistics (readability QA): sentence
+    count = runs of [.!?] terminators, and average sentence length in
+    whole chars (length // max(count,1)). Vectorized regex count per
+    block, exact ints."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache_datasketches_go_ray.stages.arrow_util import as_array
+
+    def fn(b):
+        txt = as_array(b.column("text")).cast(pa.string())
+        n_sent = pc.count_substring_regex(txt, pattern=r"[.!?]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(txt).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        avg = ln // np.maximum(n_sent, 1)
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_sentences": pa.array(n_sent),
+            "avg_sentence_chars": pa.array(avg.astype(np.int64)),
+        })
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(fn, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .sort("doc_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -12099,6 +12179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_new_vs_repeat_revenue": _q_weekly_new_vs_repeat_revenue,
         "source_charclass_profile": _q_source_charclass_profile,
         "nation_supplier_hhi": _q_nation_supplier_hhi,
+        "conv_question_stats": _q_conv_question_stats,
+        "doc_sentence_stats": _q_doc_sentence_stats,
     }
 
 
@@ -16153,6 +16235,29 @@ def oracle_sql() -> dict[str, str]:
                         // (sum(cents) * sum(cents)) AS BIGINT)
                      AS hhi_ppm
             FROM j GROUP BY 1
+        """,
+        "conv_question_stats": f"""
+            WITH u AS (
+              SELECT conv_id,
+                     count(*) AS ut,
+                     CAST(sum(CASE WHEN text LIKE '%?' THEN 1 ELSE 0
+                          END) AS BIGINT) AS qt
+              FROM {T} WHERE role = 'user' GROUP BY 1
+            )
+            SELECT conv_id, CAST(ut AS BIGINT) AS user_turns,
+                   qt AS question_turns,
+                   CAST(qt * 1000000 // ut AS BIGINT) AS qshare_ppm
+            FROM u
+        """,
+        "doc_sentence_stats": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text, '[.!?]+'))
+                        AS BIGINT) AS n_sentences,
+                   CAST(length(text)
+                        // greatest(len(regexp_extract_all(text,
+                                        '[.!?]+')), 1) AS BIGINT)
+                     AS avg_sentence_chars
+            FROM documents
         """,
     }
 
