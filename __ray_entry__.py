@@ -11854,6 +11854,158 @@ def _q_doc_sentence_stats(sf_dir: str):
             .sort("doc_id"))
 
 
+def _q_user_weekend_share(sf_dir: str):
+    """Weekend-activity share per user in exact ppm (behavioral
+    segmentation signal). Per-block (user, weekend) count partials,
+    keyed fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        # ISO dow: 6=Sat, 7=Sun
+        dow = pc.day_of_week(b.column("ts"), count_from_zero=False,
+                             week_start=1).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        we = (dow >= 6).astype(np.int64)
+        t = pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "we": pa.array(we),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+        g = t.group_by(["user_id"]).aggregate([("we", "sum"),
+                                               ("one", "sum")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "we": g.column("we_sum").cast(pa.int64()),
+            "n": g.column("one_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "weekend_events": pa.array([], type=pa.int64()),
+                "weekend_ppm": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["user_id"]).aggregate([("we", "sum"),
+                                               ("n", "sum")])
+        we = g.column("we_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = g.column("n_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": g.column("user_id").cast(pa.int64()),
+            "n_events": pa.array(n),
+            "weekend_events": pa.array(we),
+            "weekend_ppm": pa.array((we * 1_000_000) // n),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(8, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("user_id"))
+
+
+def _q_brand_qty_price_corr(sf_dir: str):
+    """Per-brand Pearson correlation COMPONENTS between lineitem
+    quantity and discounted whole-dollar price, as exact integers (n
+    and the corr numerator NΣxy−ΣxΣy plus both variance terms) — the
+    correlation analysis with zero float drift; callers divide at
+    presentation time. Fully vectorized: per-row products, grouped
+    sums; brand dim broadcast."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.context import gather_table
+
+    part = gather_table(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    brands = np.asarray(part.column("p_brand").to_pylist(),
+                        dtype=object)
+    lut = {}
+    for k, bmark in zip(pk, brands):
+        lut[int(k)] = bmark
+
+    def partial(b):
+        key = b.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        q = np.floor(b.column("l_quantity").to_numpy(
+            zero_copy_only=False) + 0.5).astype(np.int64)
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        # whole DOLLARS, not cents: keeps N·Σy² − (Σy)² inside int64
+        # through the bench tiers (documented scale bound)
+        y = np.floor(ep * (1.0 - disc) + 0.5).astype(np.int64)
+        br = np.asarray([lut[int(k)] for k in key], dtype=object)
+        t = pa.table({
+            "brand": pa.array(br, type=pa.string()),
+            "x": pa.array(q),
+            "y": pa.array(y),
+            "xy": pa.array(q * y),
+            "x2": pa.array(q * q),
+            "y2": pa.array(y * y),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+        g = t.group_by(["brand"]).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("x2", "sum"),
+             ("y2", "sum"), ("one", "sum")])
+        return pa.table({
+            "brand": g.column("brand"),
+            "sx": g.column("x_sum").cast(pa.int64()),
+            "sy": g.column("y_sum").cast(pa.int64()),
+            "sxy": g.column("xy_sum").cast(pa.int64()),
+            "sx2": g.column("x2_sum").cast(pa.int64()),
+            "sy2": g.column("y2_sum").cast(pa.int64()),
+            "n": g.column("one_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "brand": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "corr_num": pa.array([], type=pa.int64()),
+                "varx_term": pa.array([], type=pa.int64()),
+                "vary_term": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["brand"]).aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+             ("sx2", "sum"), ("sy2", "sum"), ("n", "sum")])
+        sx = [int(v) for v in g.column("sx_sum").to_pylist()]
+        sy = [int(v) for v in g.column("sy_sum").to_pylist()]
+        sxy = [int(v) for v in g.column("sxy_sum").to_pylist()]
+        sx2 = [int(v) for v in g.column("sx2_sum").to_pylist()]
+        sy2 = [int(v) for v in g.column("sy2_sum").to_pylist()]
+        n = [int(v) for v in g.column("n_sum").to_pylist()]
+        return pa.table({
+            "brand": g.column("brand"),
+            "n": pa.array(n, type=pa.int64()),
+            "corr_num": pa.array(
+                [a * c - d * e for a, c, d, e in zip(n, sxy, sx, sy)],
+                type=pa.int64()),
+            "varx_term": pa.array(
+                [a * c - d * d for a, c, d in zip(n, sx2, sx)],
+                type=pa.int64()),
+            "vary_term": pa.array(
+                [a * c - d * d for a, c, d in zip(n, sy2, sy)],
+                type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("brand"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -12181,6 +12333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_supplier_hhi": _q_nation_supplier_hhi,
         "conv_question_stats": _q_conv_question_stats,
         "doc_sentence_stats": _q_doc_sentence_stats,
+        "user_weekend_share": _q_user_weekend_share,
+        "brand_qty_price_corr": _q_brand_qty_price_corr,
     }
 
 
@@ -16258,6 +16412,37 @@ def oracle_sql() -> dict[str, str]:
                                         '[.!?]+')), 1) AS BIGINT)
                      AS avg_sentence_chars
             FROM documents
+        """,
+        "user_weekend_share": """
+            WITH t AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(we) AS BIGINT) AS weekend_events,
+                   CAST(sum(we) * 1000000 // count(*) AS BIGINT)
+                     AS weekend_ppm
+            FROM t GROUP BY 1
+        """,
+        "brand_qty_price_corr": """
+            WITH t AS (
+              SELECT p_brand AS brand,
+                     CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x,
+                     CAST(floor(l_extendedprice * (1 - l_discount)
+                          + 0.5) AS HUGEINT) AS y
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+            ), m AS (
+              SELECT brand, CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                     sum(x * x) AS sx2, sum(y * y) AS sy2
+              FROM t GROUP BY 1
+            )
+            SELECT brand, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+                   CAST(n * sx2 - sx * sx AS BIGINT) AS varx_term,
+                   CAST(n * sy2 - sy * sy AS BIGINT) AS vary_term
+            FROM m
         """,
     }
 
