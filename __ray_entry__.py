@@ -12006,6 +12006,72 @@ def _q_brand_qty_price_corr(sf_dir: str):
             .sort("brand"))
 
 
+def _q_user_event_entropy(sf_dir: str):
+    """Behavioral-diversity score: per-user Shannon entropy (nats,
+    rounded at 1e-4 like token_entropy_docs) of the event-type
+    distribution — 0 for single-habit users, ln(k) for uniform
+    explorers. (user, type) count partials → per-user fold over the
+    tiny type table."""
+    import math
+
+    import pyarrow as pa
+
+    def partial(b):
+        t = pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "event_type": b.column("event_type"),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+        g = t.group_by(["user_id", "event_type"]).aggregate([("one",
+                                                             "sum")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "event_type": g.column("event_type"),
+            "c": g.column("one_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "entropy": pa.array([], type=pa.float64()),
+            })
+        g = b.group_by(["user_id", "event_type"]).aggregate([("c",
+                                                             "sum")])
+        u = g.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = g.column("c_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        u, c = u[order], c[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u))
+        out_u, out_n, out_e = [], [], []
+        for s, e in zip(starts, ends):
+            n = int(c[s:e].sum())
+            ent = -sum((ci / n) * math.log(ci / n)
+                       for ci in c[s:e].tolist())
+            out_u.append(int(u[s]))
+            out_n.append(n)
+            out_e.append(math.floor(ent * 10000 + 0.5) / 10000)
+        return pa.table({
+            "user_id": pa.array(out_u, type=pa.int64()),
+            "n_events": pa.array(out_n, type=pa.int64()),
+            "entropy": pa.array(out_e, type=pa.float64()),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(8, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("user_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -12335,6 +12401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentence_stats": _q_doc_sentence_stats,
         "user_weekend_share": _q_user_weekend_share,
         "brand_qty_price_corr": _q_brand_qty_price_corr,
+        "user_event_entropy": _q_user_event_entropy,
     }
 
 
@@ -16443,6 +16510,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sx2 - sx * sx AS BIGINT) AS varx_term,
                    CAST(n * sy2 - sy * sy AS BIGINT) AS vary_term
             FROM m
+        """,
+        "user_event_entropy": """
+            WITH c AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2
+            ), n AS (
+              SELECT user_id, sum(c) AS n FROM c GROUP BY 1
+            )
+            SELECT c.user_id,
+                   CAST(any_value(n.n) AS BIGINT) AS n_events,
+                   floor(-sum((c.c * 1.0 / n.n)
+                         * ln(c.c * 1.0 / n.n)) * 10000 + 0.5) / 10000
+                     AS entropy
+            FROM c JOIN n USING (user_id) GROUP BY c.user_id
         """,
     }
 
