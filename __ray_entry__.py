@@ -12072,6 +12072,67 @@ def _q_user_event_entropy(sf_dir: str):
             .sort("user_id"))
 
 
+def _q_supplier_activity_span(sf_dir: str):
+    """Supply-continuity profile per supplier: distinct shipping
+    months, and the longest gap in months between consecutive active
+    months (1 = perfectly continuous) — the vendor-reliability signal.
+    Distinct (supplier, month-index) combiner shrinks the shuffle;
+    per-supplier fold is a sorted diff."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        y = pc.year(b.column("l_shipdate")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = pc.month(b.column("l_shipdate")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "s_suppkey": b.column("l_suppkey").cast(pa.int64()),
+            "mi": pa.array(y * 12 + (m - 1)),
+        })
+        return t.group_by(["s_suppkey", "mi"]).aggregate([])
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "active_months": pa.array([], type=pa.int64()),
+                "max_gap_months": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["s_suppkey", "mi"]).aggregate([])
+        sk = g.column("s_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mi = g.column("mi").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((mi, sk))
+        s, m = sk[order], mi[order]
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(s))
+        n = (ends - starts).astype(np.int64)
+        diffs = np.diff(m)
+        same = ~new[1:]
+        gap = np.zeros(len(starts), dtype=np.int64)
+        if same.any():
+            seg_id = np.cumsum(new) - 1
+            gd = np.where(same, diffs, 0)
+            np.maximum.at(gap, seg_id[1:][same], gd[same])
+        return pa.table({
+            "s_suppkey": pa.array(s[starts]),
+            "active_months": pa.array(n),
+            "max_gap_months": pa.array(gap),
+        })
+
+    return (_read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(8, keys=["s_suppkey"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("s_suppkey"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -12402,6 +12463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_weekend_share": _q_user_weekend_share,
         "brand_qty_price_corr": _q_brand_qty_price_corr,
         "user_event_entropy": _q_user_event_entropy,
+        "supplier_activity_span": _q_supplier_activity_span,
     }
 
 
@@ -16525,6 +16587,24 @@ def oracle_sql() -> dict[str, str]:
                          * ln(c.c * 1.0 / n.n)) * 10000 + 0.5) / 10000
                      AS entropy
             FROM c JOIN n USING (user_id) GROUP BY c.user_id
+        """,
+        "supplier_activity_span": """
+            WITH m AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+                     CAST(year(l_shipdate) * 12
+                          + (month(l_shipdate) - 1) AS BIGINT) AS mi
+              FROM lineitem
+            ), w AS (
+              SELECT s_suppkey, mi,
+                     lag(mi) OVER (PARTITION BY s_suppkey
+                                   ORDER BY mi) AS prev
+              FROM m
+            )
+            SELECT s_suppkey,
+                   count(*) AS active_months,
+                   CAST(coalesce(max(mi - prev), 0) AS BIGINT)
+                     AS max_gap_months
+            FROM w GROUP BY 1
         """,
     }
 
