@@ -12200,6 +12200,48 @@ def _q_basket_size_value_curve(sf_dir: str):
             .sort("n_lines"))
 
 
+def _q_langid_confusion(sf_dir: str):
+    """Classifier-evaluation crosstab: the langid heuristic's predicted
+    language against the documents table's TRUE lang column —
+    (lang_true, lang_pred, n), the confusion matrix you read before
+    trusting a filter built on the predictor. Pure map + KB count
+    fold."""
+    import pyarrow as pa
+
+    from apache_datasketches_go_ray.stages.textops import langid_batch
+
+    def pred(b):
+        out = langid_batch(b)
+        return pa.table({
+            "lang_true": out.column("lang"),
+            "lang_pred": out.column("lang_pred"),
+            "one": pa.array(np.ones(len(out), dtype=np.int64)),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "lang_true": pa.array([], type=pa.string()),
+                "lang_pred": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["lang_true", "lang_pred"]).aggregate([("one",
+                                                              "sum")])
+        return pa.table({
+            "lang_true": g.column("lang_true"),
+            "lang_pred": g.column("lang_pred"),
+            "n": g.column("one_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(pred, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort(["lang_true", "lang_pred"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -12532,6 +12574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": _q_user_event_entropy,
         "supplier_activity_span": _q_supplier_activity_span,
         "basket_size_value_curve": _q_basket_size_value_curve,
+        "langid_confusion": _q_langid_confusion,
     }
 
 
@@ -16686,6 +16729,47 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    CAST(sum(cents) AS BIGINT) AS revenue_cents
             FROM o GROUP BY 1
+        """,
+        "langid_confusion": r"""
+            WITH t AS (
+              SELECT lang,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE list_transform(
+                            string_split_regex(trim(text), '\s+'),
+                            x -> trim(lower(x), '.,;:!?"''()'))
+                     END AS toks
+              FROM documents
+            ), h AS (
+              SELECT lang,
+                len(list_filter(toks, x -> x IN
+                  ('der','die','das','und','oder','von','zu','im','ist',
+                   'es','dass','für','auf','mit','als','war','bei','ein')))
+                  AS hde,
+                len(list_filter(toks, x -> x IN
+                  ('the','a','an','and','or','of','to','in','is','it',
+                   'that','for','on','with','as','was','at','by','be')))
+                  AS hen,
+                len(list_filter(toks, x -> x IN
+                  ('el','la','los','las','y','o','de','a','en','es','que',
+                   'para','sobre','con','como','era','por','un'))) AS hes,
+                len(list_filter(toks, x -> x IN
+                  ('le','la','les','et','ou','de','à','en','est','il',
+                   'que','pour','sur','avec','comme','était','par','un')))
+                  AS hfr
+              FROM t
+            ), p AS (
+              SELECT lang AS lang_true,
+                   CASE WHEN greatest(hde, hen, hes, hfr) = 0
+                          THEN 'unknown'
+                        WHEN hde >= hen AND hde >= hes AND hde >= hfr
+                          THEN 'de'
+                        WHEN hen >= hes AND hen >= hfr THEN 'en'
+                        WHEN hes >= hfr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+              FROM h
+            )
+            SELECT lang_true, lang_pred, count(*) AS n
+            FROM p GROUP BY 1, 2
         """,
     }
 
