@@ -12302,6 +12302,63 @@ def _q_order_lorenz_deciles(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_gap_log2_histogram(sf_dir: str):
+    """Workload characterization for watermark/session tuning: the
+    log₂-bucketed histogram of per-user inter-event gaps (whole
+    seconds; zero-second gaps get bucket -1). floor(log2(2^k)) is
+    IEEE-exact on both engines, so the bucketing is deterministic.
+    One user-keyed shuffle; diff + bincount."""
+    import pyarrow as pa
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "n_gaps": pa.array([], type=pa.int64()),
+            })
+        uid = b.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = b.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        g = ((t - np.roll(t, 1)) // 1_000_000)[same]
+        bucket = np.full(len(g), -1, dtype=np.int64)
+        pos = g > 0
+        bucket[pos] = np.floor(np.log2(g[pos].astype(np.float64))) \
+            .astype(np.int64)
+        ub, cnt = np.unique(bucket, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(ub),
+            "n_gaps": pa.array(cnt.astype(np.int64)),
+        })
+
+    def final(b):
+        if len(b) == 0:
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "n_gaps": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["bucket"]).aggregate([("n_gaps", "sum")])
+        return pa.table({
+            "bucket": g.column("bucket").cast(pa.int64()),
+            "n_gaps": g.column("n_gaps_sum").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts"])
+            .repartition(16, keys=["user_id"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("bucket"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -12636,6 +12693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_size_value_curve": _q_basket_size_value_curve,
         "langid_confusion": _q_langid_confusion,
         "order_lorenz_deciles": _q_order_lorenz_deciles,
+        "gap_log2_histogram": _q_gap_log2_histogram,
     }
 
 
@@ -16855,6 +16913,23 @@ def oracle_sql() -> dict[str, str]:
                         // (SELECT sum(revenue_cents) FROM g)
                         AS BIGINT) AS cum_share_ppm
             FROM g
+        """,
+        "gap_log2_histogram": """
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts),
+                                                      event_id) AS pt
+              FROM events
+            ), g AS (
+              SELECT (t - pt) // 1000000 AS gap
+              FROM o WHERE pt IS NOT NULL
+            )
+            SELECT CASE WHEN gap > 0
+                        THEN CAST(floor(log2(gap)) AS BIGINT)
+                        ELSE -1 END AS bucket,
+                   count(*) AS n_gaps
+            FROM g GROUP BY 1
         """,
     }
 
