@@ -12359,6 +12359,61 @@ def _q_gap_log2_histogram(sf_dir: str):
             .sort("bucket"))
 
 
+def _q_event_type_peak_hour(sf_dir: str):
+    """Peak activity hour per event type (deterministic argmax: highest
+    count, lowest hour on ties) — the scheduling/capacity headline per
+    stream. (type, hour) count partials → per-type argmax fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b):
+        hr = pc.hour(b.column("ts")).cast(pa.int64())
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "hour": hr,
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "hour"]).aggregate([("one",
+                                                          "sum")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "hour": g.column("hour"),
+            "c": g.column("one_sum").cast(pa.int64()),
+        })
+
+    def fold(b):
+        if len(b) == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "peak_hour": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+            })
+        g = b.group_by(["event_type", "hour"]).aggregate([("c", "sum")])
+        et = np.asarray(g.column("event_type").to_pylist(),
+                        dtype=object)
+        hr = g.column("hour").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = g.column("c_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((hr, -c, et))
+        ets, hrs, cs = et[order], hr[order], c[order]
+        first = np.ones(len(ets), dtype=bool)
+        first[1:] = ets[1:] != ets[:-1]
+        return pa.table({
+            "event_type": pa.array(ets[first], type=pa.string()),
+            "peak_hour": pa.array(hrs[first]),
+            "n_events": pa.array(cs[first]),
+        })
+
+    return (_read(sf_dir, "events", ["event_type", "ts"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .sort("event_type"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order matters: the driver's correctness gate checks
     # the first 50 entries, so every SQL-oracled query registers before
@@ -12694,6 +12749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": _q_langid_confusion,
         "order_lorenz_deciles": _q_order_lorenz_deciles,
         "gap_log2_histogram": _q_gap_log2_histogram,
+        "event_type_peak_hour": _q_event_type_peak_hour,
     }
 
 
@@ -16930,6 +16986,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -1 END AS bucket,
                    count(*) AS n_gaps
             FROM g GROUP BY 1
+        """,
+        "event_type_peak_hour": """
+            WITH c AS (
+              SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY c DESC, hour ASC) AS rn
+              FROM c
+            )
+            SELECT event_type, hour AS peak_hour,
+                   CAST(c AS BIGINT) AS n_events
+            FROM r WHERE rn = 1
         """,
     }
 
