@@ -435,7 +435,9 @@ def hard_negative_topk(ds, query_ids, query_matrix, query_labels,
     from .arrow_util import as_array
 
     qm = np.asarray(query_matrix, dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0  # all-zero query: score 0, not NaN-dropped
+    qn = qm / qnorm
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
                    "qn": qn,
                    "labels": np.asarray(query_labels, dtype=np.int64)})

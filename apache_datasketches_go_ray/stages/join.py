@@ -138,9 +138,14 @@ def _freq_partial(batch: pa.Table, key: str, lg_max_map_size: int) -> pa.Table:
 
     sk = FrequentItemsSketch(lg_max_map_size)
     col = batch.column(key)
-    vals = col.to_numpy(zero_copy_only=False)
-    uk, cnt = np.unique(vals, return_counts=True)
-    sk.update_many(uk.tolist(), cnt.tolist())
+    # Nulls never match an equi-join, so they can't be hot keys — and
+    # they corrupt the numpy path (int64→float64 NaN via to_numpy;
+    # None breaks np.unique's sort for strings). Drop them up front.
+    col = pc.drop_null(col)
+    if len(col) > 0:
+        vals = col.to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(vals, return_counts=True)
+        sk.update_many(uk.tolist(), cnt.tolist())
     items, counts = sk.to_items()
     ktype = col.type
     return pa.table({
@@ -188,7 +193,8 @@ def detect_hot_keys(ds, key: str, *, lg_max_map_size: int = 12,
 
 def skew_join(left_ds, right_ds, on: tuple[str, str], *,
               num_partitions: int = 32, min_hot_frac: float = 0.01,
-              top_k: int = 64, lg_max_map_size: int = 12):
+              top_k: int = 64, lg_max_map_size: int = 12,
+              broadcast_cap_bytes: int = 256 * 1024 * 1024):
     """Skew-aware inner equi-join: heavy-hitter keys detected by the
     frequent-items pass bypass the all-to-all shuffle entirely — the
     right side's hot-key rows ship once via ``ray.put`` and the left
@@ -199,11 +205,18 @@ def skew_join(left_ds, right_ds, on: tuple[str, str], *,
     Result set is identical to ``hash_join`` by construction (hot/cold
     is a partition of the key space)."""
     lk, rk = on
-    # pin the left side once: the detection pass and the hot/cold splits
-    # below all read it, so without this the upstream executes 3x
+    # pin both sides once: the detection passes and the hot/cold splits
+    # below all re-read them, so without this the upstream executes 3x
     left_ds = left_ds.materialize()
-    hot = detect_hot_keys(left_ds, lk, lg_max_map_size=lg_max_map_size,
-                          min_frac=min_hot_frac, top_k=top_k)
+    right_ds = right_ds.materialize()
+    # Detect heavy hitters on BOTH key distributions: a key that is cold
+    # on the left but extremely hot on the right would otherwise pin one
+    # shuffle partition in the cold path just the same. Union the sets.
+    hot_l = detect_hot_keys(left_ds, lk, lg_max_map_size=lg_max_map_size,
+                            min_frac=min_hot_frac, top_k=top_k)
+    hot_r = detect_hot_keys(right_ds, rk, lg_max_map_size=lg_max_map_size,
+                            min_frac=min_hot_frac, top_k=top_k)
+    hot = sorted(set(hot_l) | set(hot_r))[: 2 * top_k]
 
     lschema = left_ds.schema()
     rschema = right_ds.schema()
@@ -227,10 +240,18 @@ def skew_join(left_ds, right_ds, on: tuple[str, str], *,
 
     from .context import gather_table
 
-    right_mat = right_ds.materialize()
+    right_mat = right_ds  # already pinned above
     right_hot_tbl = gather_table(right_mat.map_batches(
         _ft.partial(_split, key=rk, keep_hot=True),
         batch_format="pyarrow", zero_copy_batch=True))
+    if right_hot_tbl.nbytes > broadcast_cap_bytes:
+        # The hot slice of the right side is too big to ship as one
+        # broadcast object (a key hot on BOTH sides is a near
+        # cross-product — no broadcast saves that). Fall back to the
+        # plain co-partition shuffle, which is always correct.
+        return hash_join(left_ds, right_ds, on=on,
+                         num_partitions=num_partitions,
+                         broadcast_threshold=0)
     right_hot_ref = ray.put(right_hot_tbl)
     right_cold = right_mat.map_batches(
         _ft.partial(_split, key=rk, keep_hot=False),

@@ -725,8 +725,19 @@ def _kll_wire_partials(ds, key: str, value_col: str, k: int,
             pc.is_valid(batch.column(value_col))))
         ks = np.asarray(as_array(batch.column(key)).to_pylist(),
                         dtype=object)
-        vals = as_array(batch.column(value_col)).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        vtype = batch.column(value_col).type
+        raw = as_array(batch.column(value_col)).to_numpy(
+            zero_copy_only=False)
+        vals = raw.astype(np.int64)
+        if not pa.types.is_integer(vtype) and len(vals) and \
+                not np.array_equal(vals, raw):
+            # A float column with fractional values would silently
+            # truncate (3.9 → 3) and then pass the range check below —
+            # reject as loudly as the out-of-domain case instead.
+            raise ValueError(
+                f"kll wire column: value column {value_col!r} has "
+                f"non-integer values; fixed-width string encoding is "
+                f"integer-only")
         if len(vals) and (vals.min() < 0 or vals.max() >= 10 ** width):
             raise ValueError(
                 f"kll wire column: values must be in [0, 10^{width}) "

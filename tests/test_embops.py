@@ -92,3 +92,21 @@ def test_norm_stats_matches_brute(ray_session):
         assert r.mean_norm == _r4(sub.sum() / len(sub))
         assert r.min_norm == _r4(sub.min())
         assert r.max_norm == _r4(sub.max())
+
+
+def test_hard_negative_topk_zero_norm_query(ray_session):
+    """An all-zero query vector must not silently vanish: with the norm
+    guard its scores are 0 (not NaN), so it still emits its top-k
+    different-label rows."""
+    from apache_datasketches_go_ray.stages.embops import hard_negative_topk
+
+    tbl = _emb_table(n=60, d=6, n_labels=3, seed=3)
+    qmat = np.vstack([np.zeros(6), _mat(tbl)[0]])
+    qids = np.array([900, 901], dtype=np.int64)
+    qlabels = np.array([0, 0], dtype=np.int64)
+    got = hard_negative_topk(_ds(tbl, 4), qids, qmat, qlabels,
+                             k=3).to_pandas()
+    per_q = got.groupby("query_id").size()
+    assert per_q.get(900, 0) == 3  # zero-norm query still present
+    assert per_q.get(901, 0) == 3
+    assert np.isfinite(got["score"]).all()

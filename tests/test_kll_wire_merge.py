@@ -152,3 +152,41 @@ def test_column_rejects_out_of_domain_values(ray_session):
     ds = ray.data.from_arrow(tbl)
     with pytest.raises(Exception, match="fixed-width"):
         kll_wire_sketch_column_by(ds, "g", "v", k=64).materialize()
+
+
+def test_column_rejects_fractional_floats(ray_session):
+    """A float value column with fractional values must reject loudly —
+    silent .astype(int64) truncation (3.9 → 3) would corrupt quantiles
+    while passing the range check."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        kll_wire_sketch_column_by,
+    )
+
+    tbl = pa.table({
+        "g": pa.array(["a", "a", "a"], type=pa.string()),
+        "v": pa.array(np.array([1.0, 3.9, 5.0], dtype=np.float64)),
+    })
+    with pytest.raises(Exception, match="non-integer"):
+        kll_wire_sketch_column_by(
+            ray.data.from_arrow(tbl), "g", "v", k=64).materialize()
+
+
+def test_column_accepts_integral_floats(ray_session):
+    """Lossless float→int casts (3.0 → 3) stay accepted."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        kll_wire_quantiles, kll_wire_sketch_column_by,
+    )
+
+    tbl = pa.table({
+        "g": pa.array(["a"] * 5, type=pa.string()),
+        "v": pa.array(np.array([1.0, 2.0, 3.0, 4.0, 5.0],
+                               dtype=np.float64)),
+    })
+    col = kll_wire_sketch_column_by(
+        ray.data.from_arrow(tbl), "g", "v", k=64)
+    got = kll_wire_quantiles(col, "g").to_pandas()
+    assert int(got.loc[0, "q50"]) == 3

@@ -108,3 +108,90 @@ def test_skew_join_string_keys(ray_session, blocks):
     pd.testing.assert_frame_equal(
         got[key].sort_values(key, ignore_index=True),
         exp[key].sort_values(key, ignore_index=True))
+
+
+@pytest.mark.parametrize("ktype,null_tail", [
+    (pa.int64(), [None, None]),
+    (pa.string(), [None, None]),
+])
+def test_skew_join_nullable_keys(ray_session, ktype, null_tail):
+    """Nulls in the join key column must not break the frequent-items
+    detection pass (int64→float64 NaN via to_numpy; None breaking
+    np.unique's string sort) — skew_join stays a drop-in for
+    hash_join, which drops null-key rows like SQL inner join."""
+    from apache_datasketches_go_ray.stages.join import skew_join
+
+    rng = np.random.default_rng(17)
+    n = 1200
+    if ktype == pa.int64():
+        k = list(rng.integers(0, 30, n).astype(np.int64))
+        k[: n // 3] = [7] * (n // 3)  # hot key
+        rk = list(range(30))
+    else:
+        k = [f"u{int(x)}" for x in rng.integers(0, 30, n)]
+        k[: n // 3] = ["mega"] * (n // 3)
+        rk = [f"u{i}" for i in range(30)] + ["mega"]
+    k = k + null_tail
+    left = pa.table({
+        "k": pa.array(k, type=ktype),
+        "lv": pa.array(np.arange(len(k), dtype=np.int64)),
+    })
+    right = pa.table({
+        "rk": pa.array(rk, type=ktype),
+        "rv": pa.array(np.arange(len(rk), dtype=np.int64) * 3),
+    })
+    got = skew_join(_ds(left, 4), _ds(right, 2), on=("k", "rk"),
+                    min_hot_frac=0.1).to_pandas()
+    exp = left.to_pandas().dropna(subset=["k"]).merge(
+        right.to_pandas(), left_on="k", right_on="rk").drop(columns=["rk"])
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key, ignore_index=True).reset_index(drop=True),
+        exp[key].sort_values(key, ignore_index=True).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_skew_join_right_side_hot_key(ray_session):
+    """A key cold on the left but hot on the right must still be routed
+    off the shuffle path (both-side detection), and the join result
+    must stay identical to a plain merge."""
+    from apache_datasketches_go_ray.stages.join import skew_join
+
+    rng = np.random.default_rng(23)
+    nl, nr = 300, 3000
+    left = pa.table({
+        "k": pa.array(np.arange(nl, dtype=np.int64) % 100),
+        "lv": pa.array(np.arange(nl, dtype=np.int64)),
+    })
+    rk = rng.integers(0, 100, nr).astype(np.int64)
+    rk[: nr // 2] = 42  # hot only on the right
+    right = pa.table({
+        "rk": pa.array(rk),
+        "rv": pa.array(np.arange(nr, dtype=np.int64)),
+    })
+    got = skew_join(_ds(left, 4), _ds(right, 4), on=("k", "rk"),
+                    min_hot_frac=0.2).to_pandas()
+    exp = left.to_pandas().merge(
+        right.to_pandas(), left_on="k", right_on="rk").drop(columns=["rk"])
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key, ignore_index=True).reset_index(drop=True),
+        exp[key].sort_values(key, ignore_index=True).reset_index(drop=True))
+
+
+def test_skew_join_broadcast_cap_falls_back(ray_session):
+    """When the hot slice of the right side exceeds the broadcast cap,
+    skew_join must fall back to the shuffle path and still return the
+    exact join result."""
+    from apache_datasketches_go_ray.stages.join import skew_join
+
+    left, right = _tables()
+    got = skew_join(_ds(left, 4), _ds(right, 2), on=("k", "rk"),
+                    min_hot_frac=0.05,
+                    broadcast_cap_bytes=1).to_pandas()
+    exp = left.to_pandas().merge(
+        right.to_pandas(), left_on="k", right_on="rk").drop(columns=["rk"])
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key, ignore_index=True),
+        exp[key].sort_values(key, ignore_index=True))
