@@ -74,6 +74,18 @@ class DedupConfig:
     # (measured at 12M turns / 37 GiB store), while the default 128
     # MiB blocks spill fine.
     target_block_bytes: int | None = 16 << 20
+    # dense-id bridge (stages/ids.py): encode conv_id strings once per
+    # run into order-preserving u64 lexicographic ranks so every hot
+    # shuffle (band rows, turn-hash rows, pair dedup, verify joins,
+    # union-find exchange) moves 8-byte ints instead of strings, and
+    # in-block bucket scans skip per-block string dictionaries. Output
+    # is bit-identical (rank order == UTF-8 order == the oracle's
+    # labeling order); the bridge auto-disables — falling back to the
+    # string path — when the id column exceeds bridge_max_bytes (the
+    # single-object broadcast ceiling) or a 64-bit id-hash collision
+    # exists (never alias two conversations).
+    dense_ids: bool = True
+    bridge_max_bytes: int = 2 << 30
     # input layout: "shuffled" (always correct) or "conv_grouped" — the
     # data-at-rest fast path when transcript files are sorted by
     # (conv_id, turn_idx): assembly shuffles one fragment row per

@@ -103,6 +103,17 @@ class DedupPipeline(CheckpointedPipeline):
             lambda: assemble(transcripts_ds, cfg.num_partitions,
                              input_layout=layout),
         )
+        # dense-id bridge: built once per run from the assembled surface
+        # (deterministic, so resumed runs rebuild it identically); every
+        # stage below keys its shuffles on u64 ranks when it is present
+        bridge = None
+        if getattr(cfg, "dense_ids", False):
+            from ..stages.ids import build_bridge
+
+            bridge = build_bridge(
+                assembled, max_bytes=getattr(cfg, "bridge_max_bytes",
+                                             2 << 30))
+        self.metrics["dense_ids"] = bridge is not None
         # keep_text=False: texts stay in the assembled table only; the
         # containment pass pulls just the texts it needs from there
         signatures, fp = self._stage(
@@ -135,7 +146,8 @@ class DedupPipeline(CheckpointedPipeline):
             def _band_branch():
                 return self._stage(
                     "pairs", fp_sig,
-                    lambda: candidate_pairs(signatures, cfg, dedup=False))
+                    lambda: candidate_pairs(signatures, cfg, dedup=False,
+                                            bridge_ref=bridge))
 
             def _turn_branch():
                 # turn_hashes is its own checkpoint surface so
@@ -150,7 +162,7 @@ class DedupPipeline(CheckpointedPipeline):
                 )
                 return self._stage(
                     "turn_pairs", fp_th,
-                    lambda: pairs_from_hashes(th, cfg))
+                    lambda: pairs_from_hashes(th, cfg, bridge_ref=bridge))
 
             with _fut.ThreadPoolExecutor(max_workers=2) as ex:
                 f_band = ex.submit(_band_branch)
@@ -166,7 +178,8 @@ class DedupPipeline(CheckpointedPipeline):
             fp_sig = fp
             pairs, fp_pairs = self._stage(
                 "pairs", fp_sig,
-                lambda: candidate_pairs(signatures, cfg, dedup=False))
+                lambda: candidate_pairs(signatures, cfg, dedup=False,
+                                        bridge_ref=bridge))
             turn_hashes, fp_th = self._stage(
                 "turn_hashes", fp_sig,
                 lambda: turn_hash_dataset(transcripts_ds, cfg),
@@ -174,13 +187,15 @@ class DedupPipeline(CheckpointedPipeline):
             )
             turn_pairs, fp_turn = self._stage(
                 "turn_pairs", fp_th,
-                lambda: pairs_from_hashes(turn_hashes, cfg))
+                lambda: pairs_from_hashes(turn_hashes, cfg,
+                                          bridge_ref=bridge))
             pairs = pairs.union(turn_pairs)
             fp = fp_pairs + fp_turn
         else:
             pairs, fp = self._stage(
                 "pairs", fp,
-                lambda: candidate_pairs(signatures, cfg, dedup=False),
+                lambda: candidate_pairs(signatures, cfg, dedup=False,
+                                        bridge_ref=bridge),
             )
         # verified IS materialized: fusing its two co-partition joins into
         # the clustering chain makes the streaming executor schedule both
@@ -189,7 +204,7 @@ class DedupPipeline(CheckpointedPipeline):
         verified, fp = self._stage(
             "verified", fp,
             lambda: verify_pairs(pairs, signatures, cfg, dedup_pairs=True,
-                                 texts_ds=assembled),
+                                 texts_ds=assembled, bridge_ref=bridge),
         )
         edges = verified.filter(expr="is_dup == True").select_columns(["a", "b"])
 
@@ -201,7 +216,8 @@ class DedupPipeline(CheckpointedPipeline):
         clusters, fp = self._stage(
             "clusters", fp,
             lambda: cluster_edges(edges, cfg.num_partitions,
-                                  checkpoint_cb=ckpt_round),
+                                  checkpoint_cb=ckpt_round,
+                                  bridge_ref=bridge),
         )
         self.metrics["total_sec"] = round(time.time() - t_start, 3)
         if self.ckpt:

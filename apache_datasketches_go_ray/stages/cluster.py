@@ -45,18 +45,31 @@ _EDGES_PER_PART = 50_000
 
 
 def _encode_block(batch: pa.Table, c0: str, c1: str):
-    """(str col, str col) -> (codes0, codes1, decode table). Block-local
-    codes preserve global string order.
+    """(id col, id col) -> (codes0, codes1, decode table). Block-local
+    codes preserve global id order.
 
-    Arrow-native: one ``dictionary_encode`` over both endpoint columns,
-    then a rank table from ``sort_indices`` on the (small) dictionary —
-    UTF-8 byte order == codepoint order, so rank order matches the
-    lexicographic order the single-process oracle labels by. No Python
-    string objects are materialized per row."""
+    String columns: one ``dictionary_encode`` over both endpoint
+    columns, then a rank table from ``sort_indices`` on the (small)
+    dictionary — UTF-8 byte order == codepoint order, so rank order
+    matches the lexicographic order the single-process oracle labels
+    by. No Python string objects are materialized per row.
+
+    Integer columns (dense-id mode, stages/ids.py): ``np.unique`` gives
+    sorted local codes directly — global ranks already order like the
+    strings they encode, so min-by-code == min-by-string throughout."""
     import pyarrow.compute as pc
 
-    both = pa.concat_arrays([as_array(batch.column(c0)),
-                             as_array(batch.column(c1))])
+    col0 = as_array(batch.column(c0))
+    if pa.types.is_integer(col0.type):
+        both_np = np.concatenate([
+            col0.to_numpy(zero_copy_only=False),
+            as_array(batch.column(c1)).to_numpy(zero_copy_only=False),
+        ]).astype(np.uint64)
+        uniq_np, codes = np.unique(both_np, return_inverse=True)
+        codes = codes.astype(np.int64)
+        n = len(batch)
+        return codes[:n], codes[n:], uniq_np
+    both = pa.concat_arrays([col0, as_array(batch.column(c1))])
     d = pc.dictionary_encode(both)
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     dict_arr = d.dictionary
@@ -75,7 +88,12 @@ def _dedup_codes(u: np.ndarray, v: np.ndarray, k: int):
     return key // k, key % k
 
 
-def _emit(uniq: pa.Array, a: np.ndarray, b: np.ndarray) -> pa.Table:
+def _emit(uniq, a: np.ndarray, b: np.ndarray) -> pa.Table:
+    if isinstance(uniq, np.ndarray):
+        return pa.table({
+            "a": pa.array(uniq[a], type=pa.uint64()),
+            "b": pa.array(uniq[b], type=pa.uint64()),
+        })
     return pa.table({
         "a": uniq.take(pa.array(a)).cast(pa.string()),
         "b": uniq.take(pa.array(b)).cast(pa.string()),
@@ -83,8 +101,11 @@ def _emit(uniq: pa.Array, a: np.ndarray, b: np.ndarray) -> pa.Table:
 
 
 def _explode_bidirectional(batch: pa.Table) -> pa.Table:
-    a = as_array(batch.column("a")).cast(pa.string())
-    b = as_array(batch.column("b")).cast(pa.string())
+    a = as_array(batch.column("a"))
+    b = as_array(batch.column("b"))
+    if not pa.types.is_integer(a.type):
+        a = a.cast(pa.string())
+        b = b.cast(pa.string())
     return pa.table({
         "u": pa.concat_arrays([a, b]),
         "v": pa.concat_arrays([b, a]),
@@ -100,12 +121,21 @@ def _group_starts(u_sorted: np.ndarray):
     return starts, counts
 
 
+def _empty_edges(batch: pa.Table) -> pa.Table:
+    t = pa.uint64() if ("u" in batch.column_names
+                        and pa.types.is_integer(batch.column("u").type)) \
+        or ("a" in batch.column_names
+            and pa.types.is_integer(batch.column("a").type)) \
+        else pa.string()
+    return pa.table({"a": pa.array([], type=t),
+                     "b": pa.array([], type=t)})
+
+
 def _star_block(batch: pa.Table, large: bool) -> pa.Table:
     """One star operation over all nodes whose neighborhoods live in this
     block (hash-partitioned on u). Fully vectorized on block-local codes."""
     if len(batch) == 0:
-        return pa.table({"a": pa.array([], type=pa.string()),
-                         "b": pa.array([], type=pa.string())})
+        return _empty_edges(batch)
     u, v, uniq = _encode_block(batch, "u", "v")
     k = len(uniq)
     u, v = _dedup_codes(u, v, k)            # sorted by (u, v)
@@ -129,8 +159,7 @@ def _star_block(batch: pa.Table, large: bool) -> pa.Table:
         a_c = np.concatenate([grp_m[mask], m[keep_node]])
         b_c = np.concatenate([v[mask], nodes[keep_node]])
     if len(a_c) == 0:
-        return pa.table({"a": pa.array([], type=pa.string()),
-                         "b": pa.array([], type=pa.string())})
+        return _empty_edges(batch)
     a_c, b_c = _dedup_codes(a_c, b_c, k)
     return _emit(uniq, a_c, b_c)
 
@@ -141,8 +170,15 @@ def _checksum_block(batch: pa.Table) -> pa.Table:
     if n == 0:
         return pa.table({"n": pa.array([0], type=pa.int64()),
                          "h": pa.array([0], type=pa.uint64())})
-    ha, _ = hash_strings(as_array(batch.column("a")))
-    hb, _ = hash_strings(as_array(batch.column("b")))
+    a_col = as_array(batch.column("a"))
+    if pa.types.is_integer(a_col.type):
+        ha = fmix64(a_col.to_numpy(zero_copy_only=False)
+                    .astype(np.uint64))
+        hb = fmix64(as_array(batch.column("b"))
+                    .to_numpy(zero_copy_only=False).astype(np.uint64))
+    else:
+        ha, _ = hash_strings(a_col)
+        hb, _ = hash_strings(as_array(batch.column("b")))
     h = fmix64(ha * np.uint64(3) ^ hb)
     with np.errstate(over="ignore"):
         total = np.uint64(np.sum(h, dtype=np.uint64))
@@ -186,11 +222,21 @@ def _cluster_local(edges) -> pa.Table:
 
     from .context import gather_table
 
-    tbl = gather_table(
-        edges, schema=pa.schema([("a", pa.string()), ("b", pa.string())]))
+    try:
+        schema = edges.schema()
+    except Exception:
+        schema = None
+    dense = schema is not None and pa.types.is_integer(schema.types[0])
+    t = pa.uint64() if dense else pa.string()
+    tbl = gather_table(edges, schema=pa.schema([("a", t), ("b", t)]))
     inv_a, inv_b, uniq = _encode_block(
         tbl.rename_columns(["u", "v"]), "u", "v")
     labels = connected_components_numpy(inv_a, inv_b, len(uniq))
+    if isinstance(uniq, np.ndarray):
+        return pa.table({
+            "conv_id": pa.array(uniq, type=pa.uint64()),
+            "cluster_id": pa.array(uniq[labels], type=pa.uint64()),
+        })
     return pa.table({
         "conv_id": uniq.cast(pa.string()),
         "cluster_id": uniq.take(pa.array(labels)).cast(pa.string()),
@@ -199,7 +245,8 @@ def _cluster_local(edges) -> pa.Table:
 
 def cluster_edges(edges_ds, num_partitions: int, max_rounds: int = 40,
                   checkpoint_cb=None,
-                  local_threshold: int = _LOCAL_EDGE_THRESHOLD):
+                  local_threshold: int = _LOCAL_EDGE_THRESHOLD,
+                  bridge_ref=None):
     """edge table (a, b) -> cluster assignment (conv_id, cluster_id).
 
     Only nodes appearing in edges are returned (singleton convs are
@@ -207,15 +254,47 @@ def cluster_edges(edges_ds, num_partitions: int, max_rounds: int = 40,
     threshold) finish with one driver-side vectorized CC pass instead of
     paying per-round shuffle latency; round checkpoints apply to the
     distributed path only (the local path is a single atomic step under
-    the pipeline's stage checkpoint)."""
+    the pipeline's stage checkpoint).
+
+    ``bridge_ref`` (stages/ids.py): string edges are encoded once to
+    dense u64 ranks, every star-round exchange moves 16-byte edges, and
+    the final labels are decoded — labels are bit-identical because
+    rank order == string order (min-by-rank == min-by-string)."""
     empty = pa.table({"conv_id": pa.array([], type=pa.string()),
                       "cluster_id": pa.array([], type=pa.string())})
-    edges = edges_ds.select_columns(["a", "b"]).materialize()
+    edges = edges_ds.select_columns(["a", "b"])
+    if bridge_ref is not None:
+        import functools as _ft
+
+        from .verify import _encode_pairs
+
+        edges = edges.map_batches(
+            _ft.partial(_encode_pairs, bridge_ref=bridge_ref),
+            batch_format="pyarrow", zero_copy_batch=True)
+    edges = edges.materialize()
+
+    def _decode_labels(ds):
+        if bridge_ref is None:
+            return ds
+        from .ids import decode_ids
+
+        def dec(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return empty
+            return pa.table({
+                "conv_id": decode_ids(as_array(b.column("conv_id")),
+                                      bridge_ref),
+                "cluster_id": decode_ids(as_array(b.column("cluster_id")),
+                                         bridge_ref),
+            })
+        return ds.map_batches(dec, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(empty)
     if n_edges <= local_threshold:
-        return ray.data.from_arrow(_cluster_local(edges))
+        return _decode_labels(ray.data.from_arrow(_cluster_local(edges)))
     P = int(np.clip(-(-n_edges // _EDGES_PER_PART), 1, num_partitions))
 
     fp = _fingerprint(edges)
@@ -233,6 +312,11 @@ def cluster_edges(edges_ds, num_partitions: int, max_rounds: int = 40,
     # min neighbor; centers label themselves.
     def labels_block(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
+            if "u" in batch.column_names and \
+                    pa.types.is_integer(batch.column("u").type):
+                return pa.table({
+                    "conv_id": pa.array([], type=pa.uint64()),
+                    "cluster_id": pa.array([], type=pa.uint64())})
             return empty
         u, v, uniq = _encode_block(batch, "u", "v")
         k = len(uniq)
@@ -240,12 +324,17 @@ def cluster_edges(edges_ds, num_partitions: int, max_rounds: int = 40,
         starts, _counts = _group_starts(u)
         nodes = u[starts]
         lab = np.minimum(nodes, v[starts])
+        if isinstance(uniq, np.ndarray):
+            return pa.table({
+                "conv_id": pa.array(uniq[nodes], type=pa.uint64()),
+                "cluster_id": pa.array(uniq[lab], type=pa.uint64()),
+            })
         return pa.table({
             "conv_id": uniq.take(pa.array(nodes)).cast(pa.string()),
             "cluster_id": uniq.take(pa.array(lab)).cast(pa.string()),
         })
 
-    return (
+    return _decode_labels(
         edges.map_batches(_explode_bidirectional, batch_format="pyarrow",
                           zero_copy_batch=True)
         .repartition(P, keys=["u"])

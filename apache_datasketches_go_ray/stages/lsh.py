@@ -36,16 +36,28 @@ from ..config import DedupConfig
 from ..functions.murmur3 import hash_strings
 
 
-def explode_bands(batch: pa.Table) -> pa.Table:
-    """signature rows -> (band_hash, conv_id, sig_digest) rows."""
+def explode_bands(batch: pa.Table, bridge_ref=None) -> pa.Table:
+    """signature rows -> (band_hash, conv_id, sig_digest) rows.
+
+    With a dense-id bridge (stages/ids.py) the exploded conv_id column
+    is the u64 lexicographic rank — the band shuffle then moves 8-byte
+    ints instead of id strings, and the in-block bucket scan skips the
+    per-block string dictionary/rank encode entirely."""
     from .arrow_util import as_array
 
     bands = as_array(batch.column("bands"))
     flat = bands.flatten().to_numpy(zero_copy_only=False)
     n_bands = len(flat) // max(len(batch), 1) if len(batch) else 0
     rep = pa.array(np.repeat(np.arange(len(batch)), n_bands))
+    if bridge_ref is not None:
+        from .ids import encode_ids
+
+        cid = encode_ids(batch.column("conv_id"), bridge_ref)
+        conv_col = pa.array(np.repeat(cid, n_bands), type=pa.uint64())
+    else:
+        conv_col = batch.column("conv_id").take(rep)
     return pa.table({"band_hash": pa.array(flat, type=pa.uint64()),
-                     "conv_id": batch.column("conv_id").take(rep),
+                     "conv_id": conv_col,
                      "sig_digest": batch.column("sig_digest").take(rep)})
 
 
@@ -118,17 +130,24 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == values
 
 
-def explode_bands_salted(batch: pa.Table, hot_ref) -> pa.Table:
+def explode_bands_salted(batch: pa.Table, hot_ref,
+                         bridge_ref=None) -> pa.Table:
     """explode_bands + salt column: rows of hot buckets are spread by
     murmur(conv_id) % hot_key_salt (encoded in the salt value passed via
-    the broadcast tuple), others keep salt 0."""
+    the broadcast tuple), others keep salt 0. The salt hash is ALWAYS
+    murmur of the conv_id STRING — identical with or without the
+    dense-id bridge, so the shard decomposition (and therefore the pair
+    set) is bit-identical across modes and matches the oracle."""
     from .arrow_util import as_array
 
     hot, n_salt = ray.get(hot_ref)
-    out = explode_bands(batch)
+    # per-conv string hash BEFORE the explode: one murmur per conv,
+    # repeated across its bands, instead of n_bands redundant hashes
+    h_conv, _ = hash_strings(as_array(batch.column("conv_id")))
+    out = explode_bands(batch, bridge_ref=bridge_ref)
+    n_bands = len(out) // max(len(batch), 1) if len(batch) else 0
+    h = np.repeat(h_conv, n_bands)
     bh = out.column("band_hash").to_numpy(zero_copy_only=False)
-    conv = as_array(out.column("conv_id"))
-    h, _ = hash_strings(conv)
     salt = np.where(_in_sorted(bh, hot),
                     (h % np.uint64(n_salt)).astype(np.int32),
                     np.int32(0))
@@ -179,7 +198,17 @@ def _sorted_groups(batch: pa.Table, with_salt: bool):
     rank_to_string)."""
     n = len(batch)
     bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
-    rank, strings = _rank_encode(batch)
+    conv_col = batch.column("conv_id")
+    conv_type = conv_col.type if not hasattr(conv_col, "chunks") else \
+        conv_col.type
+    if pa.types.is_integer(conv_type):
+        # dense-id mode: the column already holds global lexicographic
+        # ranks — ordering by rank == ordering by conv string, no
+        # per-block string dictionary/sort needed
+        rank = conv_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        strings = None
+    else:
+        rank, strings = _rank_encode(batch)
     dig = _digest_matrix(batch.column("sig_digest"), n)
     if with_salt:
         salt = batch.column("salt").to_numpy(zero_copy_only=False)
@@ -242,27 +271,35 @@ def _vector_pairs(m_rank, m_dig, sizes, boffs, max_group, min_matches):
     return np.concatenate(a_out), np.concatenate(b_out)
 
 
-def _ranks_to_strings(ranks: np.ndarray, strings) -> pa.Array:
+def _ranks_to_strings(ranks: np.ndarray, strings,
+                      bridge_ref=None) -> pa.Array:
     if len(ranks) == 0:
         return pa.array([], type=pa.string())
+    if strings is None:
+        from .ids import decode_ids
+
+        return decode_ids(ranks.astype(np.uint64), bridge_ref)
     return strings.take(pa.array(ranks)).cast(pa.string())
 
 
 def pairs_in_block(batch: pa.Table, max_group: int,
-                   min_matches: int) -> pa.Table:
+                   min_matches: int, bridge_ref=None) -> pa.Table:
     """Emit digest-prefiltered candidate pairs for every band bucket in
     this block. A pair survives only if >= min_matches of its sampled
     signature slots agree - rejecting the mass of low-Jaccard band
-    collisions here, before any payload ever ships."""
+    collisions here, before any payload ever ships. Output pairs are
+    always conv_id STRINGS (the stage decodes dense ids on exit, so the
+    pairs surface/checkpoint schema is mode-independent)."""
     m_rank, m_dig, sizes, boffs, _bh, strings = _sorted_groups(batch, False)
     a, b = _vector_pairs(m_rank, m_dig, sizes, boffs, max_group,
                          min_matches)
-    return pa.table({"a": _ranks_to_strings(a, strings),
-                     "b": _ranks_to_strings(b, strings)})
+    return pa.table({"a": _ranks_to_strings(a, strings, bridge_ref),
+                     "b": _ranks_to_strings(b, strings, bridge_ref)})
 
 
 def pairs_and_reps_in_block(batch: pa.Table, max_group: int,
-                            min_matches: int, hot_ref) -> pa.Table:
+                            min_matches: int, hot_ref,
+                            bridge_ref=None) -> pa.Table:
     """Salted variant: groups are (band_hash, salt) shards. Hot buckets
     additionally emit one representative row (their min member + digest)
     per shard for the cross-shard chaining pass. Output union schema:
@@ -280,16 +317,26 @@ def pairs_and_reps_in_block(batch: pa.Table, max_group: int,
         np.empty(0, dtype=np.int64)
     rep_dig = [m_dig[o].tobytes() for o in boffs[hot_sel]]
     n_p, n_r = len(a), len(rep_bh)
-    a_str = _ranks_to_strings(a, strings)
-    b_str = _ranks_to_strings(b, strings)
-    rep_str = _ranks_to_strings(rep_rank, strings)
+    a_str = _ranks_to_strings(a, strings, bridge_ref)
+    b_str = _ranks_to_strings(b, strings, bridge_ref)
+    if strings is None:
+        # dense mode: rep rows keep their u64 ranks — the representative
+        # second pass re-enters pairs_in_block in dense mode and decodes
+        # its own pair output
+        rep_col = pa.concat_arrays([
+            pa.nulls(n_p, pa.uint64()),
+            pa.array(rep_rank.astype(np.uint64), type=pa.uint64())])
+    else:
+        rep_col = pa.concat_arrays([
+            pa.nulls(n_p, pa.string()),
+            _ranks_to_strings(rep_rank, strings)])
     return pa.table({
         "a": pa.concat_arrays([a_str, pa.nulls(n_r, pa.string())]),
         "b": pa.concat_arrays([b_str, pa.nulls(n_r, pa.string())]),
         "band_hash": pa.array(
             np.concatenate([np.zeros(n_p, dtype=np.uint64), rep_bh]),
             type=pa.uint64()),
-        "conv_id": pa.concat_arrays([pa.nulls(n_p, pa.string()), rep_str]),
+        "conv_id": rep_col,
         "sig_digest": pa.array([None] * n_p + rep_dig,
                                type=pa.large_binary()),
         "is_rep": pa.array([False] * n_p + [True] * n_r),
@@ -304,7 +351,8 @@ def dedup_pairs_block(batch: pa.Table) -> pa.Table:
     return batch.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
 
 
-def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True):
+def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True,
+                    bridge_ref=None):
     """signature table -> candidate pair table (a < b).
 
     ``dedup=True`` adds a hash shuffle on (a, b) that removes pairs
@@ -312,7 +360,12 @@ def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True):
     ``dedup=False``: verify_pairs' first co-partition join already
     hash-partitions pairs on ``a`` (same-key colocation), so the dedup
     happens for free inside that join's block scan and the extra
-    all-to-all exchange is skipped."""
+    all-to-all exchange is skipped.
+
+    ``bridge_ref`` (stages/ids.py): when set, the band shuffle carries
+    dense u64 conv ranks instead of id strings and the bucket scan skips
+    per-block string encoding; output pairs are decoded back to strings,
+    so the result is bit-identical either way."""
     import functools
 
     from .context import auto_partitions
@@ -324,13 +377,15 @@ def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True):
     if len(hot) == 0:
         # no skew detected: plain band shuffle, zero salting overhead
         pairs = (
-            sig_ds.map_batches(explode_bands, batch_format="pyarrow",
-                               zero_copy_batch=True)
+            sig_ds.map_batches(
+                functools.partial(explode_bands, bridge_ref=bridge_ref),
+                batch_format="pyarrow", zero_copy_batch=True)
             .repartition(P, keys=["band_hash"])
             .map_batches(
                 functools.partial(pairs_in_block,
                                   max_group=config.max_band_group,
-                                  min_matches=config.prefilter_min_matches),
+                                  min_matches=config.prefilter_min_matches,
+                                  bridge_ref=bridge_ref),
                 batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True,
             )
@@ -342,14 +397,15 @@ def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True):
         hot_ref = ray.put((hot, config.hot_key_salt))
         mixed = (
             sig_ds.map_batches(
-                functools.partial(explode_bands_salted, hot_ref=hot_ref),
+                functools.partial(explode_bands_salted, hot_ref=hot_ref,
+                                  bridge_ref=bridge_ref),
                 batch_format="pyarrow", zero_copy_batch=True)
             .repartition(P, keys=["band_hash", "salt"])
             .map_batches(
                 functools.partial(pairs_and_reps_in_block,
                                   max_group=config.max_band_group,
                                   min_matches=config.prefilter_min_matches,
-                                  hot_ref=hot_ref),
+                                  hot_ref=hot_ref, bridge_ref=bridge_ref),
                 batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True,
             )
@@ -363,7 +419,8 @@ def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True):
             .map_batches(
                 functools.partial(pairs_in_block,
                                   max_group=config.max_band_group,
-                                  min_matches=config.prefilter_min_matches),
+                                  min_matches=config.prefilter_min_matches,
+                                  bridge_ref=bridge_ref),
                 batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True,
             )

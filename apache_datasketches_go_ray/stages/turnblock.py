@@ -66,27 +66,37 @@ def turn_hash_rows(batch: pa.Table, min_chars: int) -> pa.Table:
         ["conv_id", "h"]).aggregate([])
 
 
-def pairs_block(batch: pa.Table, max_convs: int) -> pa.Table:
+def pairs_block(batch: pa.Table, max_convs: int,
+                bridge_ref=None) -> pa.Table:
     """hash-co-located (conv_id, h) rows -> candidate pairs (a < b).
 
     Global distinct per (h, conv) happens here (the keyed shuffle
     co-locates every copy), then every bucket with 2..max_convs member
     conversations emits its full pair set — vectorized per distinct
-    bucket size, the same expansion pattern as lsh._vector_pairs."""
+    bucket size, the same expansion pattern as lsh._vector_pairs.
+
+    In dense-id mode (uint64 conv column, stages/ids.py) the ranks ARE
+    the global lexicographic order, so the per-block string
+    dictionary/sort is skipped and pairs are decoded on exit — output
+    is bit-identical to the string path."""
     if len(batch) == 0:
         return _PAIRS_SCHEMA.empty_table()
     d = batch.group_by(["h", "conv_id"]).aggregate([])
     conv = as_array(d.column("conv_id"))
-    dict_arr = as_array(pc.dictionary_encode(conv))
-    codes = dict_arr.indices.to_numpy(zero_copy_only=False)
-    # rank table: pair order must match lexicographic conv order (the
-    # oracle emits sorted pairs; UTF-8 byte order == codepoint order)
-    sort_idx = pc.sort_indices(dict_arr.dictionary)
-    rank_of = np.empty(len(dict_arr.dictionary), dtype=np.int64)
-    rank_of[sort_idx.to_numpy(zero_copy_only=False)] = \
-        np.arange(len(dict_arr.dictionary))
-    rank = rank_of[codes]
-    sorted_strings = dict_arr.dictionary.take(sort_idx)
+    if pa.types.is_integer(conv.type):
+        rank = conv.to_numpy(zero_copy_only=False).astype(np.int64)
+        sorted_strings = None
+    else:
+        dict_arr = as_array(pc.dictionary_encode(conv))
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        # rank table: pair order must match lexicographic conv order (the
+        # oracle emits sorted pairs; UTF-8 byte order == codepoint order)
+        sort_idx = pc.sort_indices(dict_arr.dictionary)
+        rank_of = np.empty(len(dict_arr.dictionary), dtype=np.int64)
+        rank_of[sort_idx.to_numpy(zero_copy_only=False)] = \
+            np.arange(len(dict_arr.dictionary))
+        rank = rank_of[codes]
+        sorted_strings = dict_arr.dictionary.take(sort_idx)
 
     h = d.column("h").to_numpy(zero_copy_only=False)
     order = np.lexsort((rank, h))
@@ -111,6 +121,13 @@ def pairs_block(batch: pa.Table, max_convs: int) -> pa.Table:
         return _PAIRS_SCHEMA.empty_table()
     a = np.concatenate(a_out)
     b = np.concatenate(b_out)
+    if sorted_strings is None:
+        from .ids import decode_ids
+
+        return pa.table({
+            "a": decode_ids(a.astype(np.uint64), bridge_ref),
+            "b": decode_ids(b.astype(np.uint64), bridge_ref),
+        })
     return pa.table({
         "a": sorted_strings.take(pa.array(a)).cast(pa.string()),
         "b": sorted_strings.take(pa.array(b)).cast(pa.string()),
@@ -155,13 +172,33 @@ def hashes_from_assembled(assembled_ds, config: DedupConfig):
                                     zero_copy_batch=True)
 
 
-def pairs_from_hashes(hash_ds, config: DedupConfig):
+def _encode_rows(batch: pa.Table, bridge_ref) -> pa.Table:
+    """(conv_id string, h) -> (conv_id u64 rank, h): the turn-hash
+    shuffle then moves 16 bytes/row instead of a string + u64."""
+    from .ids import encode_ids
+
+    if len(batch) == 0:
+        return pa.table({"conv_id": pa.array([], type=pa.uint64()),
+                         "h": pa.array([], type=pa.uint64())})
+    cid = encode_ids(batch.column("conv_id"), bridge_ref)
+    return pa.table({"conv_id": pa.array(cid, type=pa.uint64()),
+                     "h": batch.column("h")})
+
+
+def pairs_from_hashes(hash_ds, config: DedupConfig, bridge_ref=None):
     """(conv_id, h) rows -> candidate pair dataset (a < b, not deduped —
-    verify's first co-partition join dedups for free)."""
+    verify's first co-partition join dedups for free). With a dense-id
+    bridge the conv column is encoded to u64 ranks BEFORE the keyed
+    shuffle (the checkpointable hash surface keeps strings)."""
+    if bridge_ref is not None:
+        hash_ds = hash_ds.map_batches(
+            functools.partial(_encode_rows, bridge_ref=bridge_ref),
+            batch_format="pyarrow", zero_copy_batch=True)
     return (hash_ds.repartition(config.num_partitions, keys=["h"])
             .map_batches(
                 functools.partial(pairs_block,
-                                  max_convs=config.turn_block_max_convs),
+                                  max_convs=config.turn_block_max_convs,
+                                  bridge_ref=bridge_ref),
                 batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True))
 
