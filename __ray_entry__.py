@@ -2124,6 +2124,24 @@ def _q_partitioned_sink_roundtrip(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_varopt_sample_docs(sf_dir: str):
+    """VarOpt-style weighted bounded-k sample over documents, weight =
+    n_chars (state/varopt.py: tau/heavy split, coordinated hash
+    priorities, mergeable partials — the sampling family the reference
+    marks not-implemented, README.md:57-60). k exceeds the sf0.01
+    corpus, so the exact regime holds: every doc retained at its exact
+    weight, tau == 0, adjusted == weight — SQL-oracle value-exact. The
+    sampling regime (k < n) is pinned by tests/test_varopt.py merge-
+    parity and estimator tests."""
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import varopt_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    tbl = varopt_sample(ds, "doc_id", "n_chars", k=2000)
+    return ray.data.from_arrow(tbl)
+
+
 def _q_sample_docs_bottomk(sf_dir: str):
     """Deterministic uniform sample without replacement via bottom-k
     hashing — the KMV idea behind the reference's coupon/k-minimum-
@@ -12464,6 +12482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_type_pivot,
         "kll_rank_annotate": _q_kll_rank_annotate,
         "sample_docs_bottomk": _q_sample_docs_bottomk,
+        "varopt_sample_docs": _q_varopt_sample_docs,
         "partitioned_sink_roundtrip": _q_partitioned_sink_roundtrip,
         "kll_quantiles_nchars_exact": _q_kll_quantiles_nchars_exact,
         "kll_cdf_nchars_exact": _q_kll_cdf_nchars_exact,
@@ -13340,6 +13359,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "varopt_sample_docs": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS weight,
+                   CAST(n_chars AS DOUBLE) AS adjusted_weight,
+                   TRUE AS is_heavy
+            FROM documents
         """,
         "sample_docs_bottomk": """
             SELECT doc_id,

@@ -5,8 +5,8 @@ same key, deterministic tie-break by a right ordering column.
 Ray Data has no as-of join operator; semantics allow the standard
 composition (SURVEY.md custom-operator rule (a)): tag both sides, one
 hash shuffle co-locates each key's rows in one block, then the per-block
-match is `pandas.merge_asof` (compiled, vectorized) over the block
-sorted by the time column. Partitioning assumption: all rows of a join
+match is a pure Arrow/numpy backward-search kernel (rank-compressed
+composite key + one searchsorted; no pandas round-trip). Partitioning assumption: all rows of a join
 key fit in one block — the same assumption as any hash equi-join
 reduce side; skewed keys would need the salting path of stages/lsh.py.
 
@@ -19,7 +19,6 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -40,9 +39,33 @@ def _project(b: pa.Table, key: str, ts: str, keep: list[str],
     return pa.table(cols)
 
 
+def _tie_ranks(col) -> np.ndarray:
+    """Ordering key for the tie-break column: numeric columns pass
+    through; strings rank via dictionary_encode + sort_indices (UTF-8
+    byte order == codepoint order), never an object-array sort."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        d = arr.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sort_idx = pc.sort_indices(d.dictionary).to_numpy(
+            zero_copy_only=False)
+        rank_of = np.empty(len(d.dictionary), dtype=np.int64)
+        rank_of[sort_idx] = np.arange(len(d.dictionary))
+        return rank_of[codes]
+    return arr.to_numpy(zero_copy_only=False)
+
+
 def _match(b: pa.Table, left_keep: list[str], right_keep: list[str],
            tie_col: str | None, left_ts_name: str,
            ts_type: pa.DataType, key_name: str = "__k") -> pa.Table:
+    """Pure Arrow/numpy backward as-of kernel (no pandas round-trip):
+    both sides' (key, ts) are rank-compressed into one composite int64,
+    the right side is sorted once by (composite, tie asc), and every
+    left row finds the LAST right row with composite <= its own via a
+    single ``np.searchsorted`` — ties on equal ts therefore resolve to
+    the greatest tie value, exactly the previous ``pandas.merge_asof``
+    semantics. Output rows are built with Arrow ``take`` so right-side
+    payload types survive untouched."""
     tag = b.column("__tag")
     lt = b.filter(pc.equal(tag, 0)).select(["__k", "__ts"] + left_keep)
     rt = b.filter(pc.equal(tag, 1)).select(["__k", "__ts"] + right_keep)
@@ -54,24 +77,40 @@ def _match(b: pa.Table, left_keep: list[str], right_keep: list[str],
         for n in right_keep:
             empty[n] = pa.array([], type=rt.schema.field(n).type)
         return pa.table(empty)
-    ldf = lt.to_pandas().sort_values("__ts", kind="stable",
-                                     ignore_index=True)
-    # sort right by (__ts, tie): merge_asof(backward) picks the LAST
-    # right row with ts <= left ts, so equal-ts ties resolve to the
-    # greatest tie_col value — deterministic
-    rsort = ["__ts"] + ([tie_col] if tie_col else [])
-    rdf = rt.to_pandas().sort_values(rsort, kind="stable",
-                                     ignore_index=True)
-    out = pd.merge_asof(ldf, rdf, on="__ts", by="__k",
-                        direction="backward")
-    out = out.dropna(subset=right_keep[:1])  # inner semantics
-    tbl = pa.Table.from_pandas(out, preserve_index=False)
-    cols = {key_name: tbl.column("__k").cast(pa.int64())}
+    lk = lt.column("__k").to_numpy(zero_copy_only=False)
+    lts = lt.column("__ts").to_numpy(zero_copy_only=False)
+    rk = rt.column("__k").to_numpy(zero_copy_only=False)
+    rts = rt.column("__ts").to_numpy(zero_copy_only=False)
+    # dense codes for keys and timestamps over BOTH sides: the composite
+    # code * M + ts_rank is collision-free and fits int64 (block-local
+    # cardinalities)
+    uk, codes = np.unique(np.concatenate([rk, lk]), return_inverse=True)
+    rcode, lcode = codes[: len(rk)], codes[len(rk):]
+    uts = np.unique(np.concatenate([rts, lts]))
+    M = np.int64(len(uts) + 1)
+    rc = rcode.astype(np.int64) * M + np.searchsorted(uts, rts)
+    lc = lcode.astype(np.int64) * M + np.searchsorted(uts, lts)
+    if tie_col:
+        order = np.lexsort((_tie_ranks(rt.column(tie_col)), rc))
+    else:
+        # stable: equal (key, ts) ties keep right input order, matching
+        # merge_asof's "last row wins" on the stably pre-sorted frame
+        order = np.argsort(rc, kind="stable")
+    rc_s = rc[order]
+    pos = np.searchsorted(rc_s, lc, side="right") - 1
+    ok = pos >= 0
+    r_idx = order[np.where(ok, pos, 0)]
+    ok &= rcode[r_idx] == lcode  # backward match must stay within key
+    l_sel = np.flatnonzero(ok)
+    r_sel = r_idx[ok]
+    l_take = pa.array(l_sel)
+    r_take = pa.array(r_sel)
+    cols = {key_name: lt.column("__k").take(l_take).cast(pa.int64())}
     for n in left_keep:
-        cols[n] = tbl.column(n)
-    cols[left_ts_name] = tbl.column("__ts").cast(ts_type)
+        cols[n] = lt.column(n).take(l_take)
+    cols[left_ts_name] = lt.column("__ts").take(l_take).cast(ts_type)
     for n in right_keep:
-        cols[n] = tbl.column(n).cast(rt.schema.field(n).type)
+        cols[n] = rt.column(n).take(r_take)
     return pa.table(cols)
 
 

@@ -898,3 +898,62 @@ def kll_wire_update_column(old_column_ds, new_ds, key: str,
                 lambda b: _kll_wire_merge_block(b, key),
                 batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True))
+
+
+def varopt_sample(ds, item_col: str, weight_col: str, k: int,
+                  seed: int | None = None):
+    """VarOpt-style weighted sample of ``k`` rows (state/varopt.py):
+    per-block partial sketches (each retains <= k rows + tau), folded on
+    the driver — the same bounded partial+merge shape as approx_top_k,
+    O(blocks * k) driver work and no shuffle. Partition-independent:
+    coordinated hash priorities make merge(A, B) == single-pass(A ∪ B)
+    bit-for-bit (pinned by tests/test_varopt.py at x2 partitionings).
+
+    Returns a pyarrow Table (item, weight, adjusted_weight, is_heavy)
+    sorted by priority desc, plus tau/total_weight as table metadata
+    columns would be overkill — read them from the returned attrs dict
+    via ``varopt_sample_with_stats`` when needed. In the exact regime
+    (stream size <= k) every row is retained at its exact weight and
+    tau == 0, which makes the operator SQL-oracle-checkable."""
+    tbl, _sk = varopt_sample_with_stats(ds, item_col, weight_col, k,
+                                        seed=seed)
+    return tbl
+
+
+def varopt_sample_with_stats(ds, item_col: str, weight_col: str, k: int,
+                             seed: int | None = None):
+    from ..functions.murmur3 import DEFAULT_UPDATE_SEED
+    from ..state.varopt import VarOptSketch
+
+    sd = DEFAULT_UPDATE_SEED if seed is None else seed
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column(item_col)),
+            pc.is_valid(batch.column(weight_col))))
+        sk = VarOptSketch(k, seed=sd)
+        if len(batch):
+            items = as_array(batch.column(item_col)).cast(pa.string()) \
+                .to_pylist()
+            w = as_array(batch.column(weight_col)).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            sk.update_many(items, w)
+        return pa.table({"sk": pa.array([sk.to_bytes()],
+                                        type=pa.large_binary())})
+
+    merged = VarOptSketch(k, seed=sd)
+    for row in ds.select_columns([item_col, weight_col]).map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).take_all():
+        merged.merge(VarOptSketch.from_bytes(row["sk"], seed=sd))
+    rows = merged.result()
+    tbl = pa.table({
+        item_col: pa.array([r[0] for r in rows], type=pa.string()),
+        "weight": pa.array([r[1] for r in rows], type=pa.float64()),
+        "adjusted_weight": pa.array([r[2] for r in rows],
+                                    type=pa.float64()),
+        "is_heavy": pa.array([r[3] for r in rows], type=pa.bool_()),
+    })
+    return tbl, merged
