@@ -7191,8 +7191,17 @@ def _q_image_near_dups(sf_dir: str):
         image_dhash_near_dups, make_near_dup_image_batch,
     )
 
-    media = ray.data.from_arrow(
-        make_near_dup_image_batch(96, 32, kind="image/bmp"))
+    # mixed crawl scenario: uncompressed BMPs + real JPEGs cycling
+    # 4:4:4 / 4:2:0 / 4:2:2 chroma layouts through the same decode ->
+    # dHash -> Hamming-banding path (functions/jpegcodec.py)
+    bmp = make_near_dup_image_batch(64, 24, kind="image/bmp")
+    jpg = make_near_dup_image_batch(32, 8, kind="image/jpeg", seed=19)
+    import pyarrow as pa
+    jpg = jpg.set_column(
+        0, "media_id",
+        pa.array([i + 1000 for i in
+                  jpg.column("media_id").to_pylist()], type=pa.int64()))
+    media = ray.data.from_arrow(bmp).union(ray.data.from_arrow(jpg))
     return image_dhash_near_dups(media, fake=False, max_hamming=3,
                                  num_partitions=8)
 

@@ -247,32 +247,72 @@ def _encode_coef_block(zz: np.ndarray, dc_pred: int, dc_codes, ac_codes,
     return dc
 
 
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _box_downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Box-average downsample by integer factors (edge-padded to a
+    multiple of the factor first) — the conventional JFIF chroma
+    decimation."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    hh, ww = -(-h // fv) * fv, -(-w // fh) * fh
+    p = np.pad(plane, ((0, hh - h), (0, ww - w)), mode="edge")
+    return p.reshape(hh // fv, fv, ww // fh, fh).mean(axis=(1, 3))
+
+
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
-    """(H, W) gray or (H, W, 3) RGB uint8 -> baseline JFIF bytes."""
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> baseline JFIF bytes.
+
+    ``subsampling`` selects the chroma layout for color images:
+    "444" (no decimation, the original path), "422" (2x1 box-averaged
+    chroma) or "420" (2x2 — the dominant web-crawl layout). Gray
+    ignores it. Interleaved MCU order per ITU-T.81 A.2.3: the Y
+    component contributes v*h blocks per MCU, chroma one each."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8 or px.ndim not in (2, 3) or \
             (px.ndim == 3 and px.shape[2] != 3):
         raise ValueError("expected (H,W) or (H,W,3) uint8")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of "
+                         f"{sorted(_SUBSAMPLING)}")
     h, w = px.shape[:2]
     gray = px.ndim == 2
+    fh, fv = (1, 1) if gray else _SUBSAMPLING[subsampling]
     planes = (px.astype(np.float64)[..., None] if gray
               else _rgb_to_ycbcr(px))
     qluma, qchroma = quality_tables(quality)
     qtabs = [qluma] if gray else [qluma, qchroma]
+    ncomp = 1 if gray else 3
     comp_q = [0] if gray else [0, 1, 1]
+    comp_hv = [(fh, fv)] + [(1, 1)] * (ncomp - 1) if not gray \
+        else [(1, 1)]
 
-    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
-    pad = np.pad(planes, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+    mcus_x = -(-w // (8 * fh))
+    mcus_y = -(-h // (8 * fv))
 
-    # vectorized DCT + quantize per component, zigzag once
+    # per-component padded planes + zigzagged quantized blocks in
+    # raster block order (vectorized DCT once per component)
     zz_comp = []
-    for ci in range(planes.shape[-1]):
-        blocks = _to_blocks(pad[..., ci]) - 128.0
+    grid_cols = []
+    for ci in range(ncomp):
+        hi, vi = comp_hv[ci]
+        plane = planes[..., ci]
+        if ci > 0:
+            plane = _box_downsample(plane, fh, fv)
+        ph, pw = mcus_y * vi * 8, mcus_x * hi * 8
+        plane = np.pad(plane,
+                       ((0, ph - plane.shape[0]),
+                        (0, pw - plane.shape[1])), mode="edge")
+        blocks = _to_blocks(plane) - 128.0
         coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
         q = qtabs[comp_q[ci]].reshape(8, 8)
         zz_comp.append(np.round(coef / q).astype(np.int64)
                        .reshape(-1, 64)[:, ZIGZAG])
+        grid_cols.append(mcus_x * hi)
 
     out = bytearray(b"\xFF\xD8")                                  # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" \
@@ -280,11 +320,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     for tq, tab in enumerate(qtabs):                              # DQT
         out += b"\xFF\xDB" + struct.pack(">HB", 67, tq) \
             + bytes(int(v) for v in tab[ZIGZAG])
-    ncomp = 1 if gray else 3
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
                                      h, w, ncomp)                 # SOF0
     for ci in range(ncomp):
-        out += struct.pack(">BBB", ci + 1, 0x11, comp_q[ci])
+        hi, vi = comp_hv[ci]
+        out += struct.pack(">BBB", ci + 1, (hi << 4) | vi, comp_q[ci])
     huffs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
     if not gray:
         huffs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
@@ -305,7 +345,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
               _canonical_codes(*_AC_CHROMA)]
     writer = _BitWriter()
     preds = [0] * ncomp
-    n_mcu = zz_comp[0].shape[0]
+    n_mcu = mcus_x * mcus_y
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             writer.flush()
@@ -313,10 +353,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
             out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
             writer = _BitWriter()
             preds = [0] * ncomp
+        my, mx = divmod(m, mcus_x)
         for ci in range(ncomp):
+            hi, vi = comp_hv[ci]
             t = comp_q[ci]
-            preds[ci] = _encode_coef_block(
-                zz_comp[ci][m], preds[ci], dc_enc[t], ac_enc[t], writer)
+            for v in range(vi):
+                for hh in range(hi):
+                    bidx = (my * vi + v) * grid_cols[ci] + mx * hi + hh
+                    preds[ci] = _encode_coef_block(
+                        zz_comp[ci][bidx], preds[ci], dc_enc[t],
+                        ac_enc[t], writer)
     writer.flush()
     out += bytes(writer.buf)
     out += b"\xFF\xD9"                                            # EOI
@@ -437,13 +483,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)")
-                comps.append({"id": cid, "tq": tq})
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid sampling factors")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             if nc not in (1, 3):
                 raise NotImplementedError("only gray / 3-component YCbCr")
-            frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                # covers every real-world layout (444/422/420/440/411);
+                # fractional ratios would need resampling filters
+                raise NotImplementedError(
+                    "non-integer chroma sampling ratios")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "hmax": hmax, "vmax": vmax}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -468,11 +522,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(frame, scan, qtabs, dc_tabs, ac_tabs, restart, segs):
+    """Interleaved baseline scan, general integer sampling factors
+    (ITU-T.81 A.2.3): each MCU carries h*v blocks per component in
+    raster order; subsampled components decode on their own block grid
+    and are pixel-replicated back to full resolution (nearest-neighbor
+    upsampling — JFIF leaves the filter unspecified)."""
     h, w = frame["h"], frame["w"]
-    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
-    n_mcu = (h8 // 8) * (w8 // 8)
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcu = mcus_x * mcus_y
     ncomp = len(scan)
-    zz = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in range(ncomp)]
+    # per-component raster block grids
+    grid_cols = [mcus_x * comp["h"] for comp, _, _ in scan]
+    zz = [np.zeros((n_mcu * comp["h"] * comp["v"], 64), dtype=np.int64)
+          for comp, _, _ in scan]
 
     seg_idx = 0
     reader = _BitReader(segs[0])
@@ -484,35 +548,45 @@ def _decode_scan(frame, scan, qtabs, dc_tabs, ac_tabs, restart, segs):
                 raise ValueError("missing restart segment")
             reader = _BitReader(segs[seg_idx])
             preds = [0] * ncomp
+        my, mx = divmod(m, mcus_x)
         for ci, (comp, tdc, tac) in enumerate(scan):
-            size = _read_symbol(reader, dc_tabs[tdc])
-            diff = _extend(reader.read_bits(size), size) if size else 0
-            preds[ci] += diff
-            row = zz[ci][m]
-            row[0] = preds[ci]
-            k = 1
-            while k < 64:
-                sym = _read_symbol(reader, ac_tabs[tac])
-                if sym == 0x00:         # EOB
-                    break
-                if sym == 0xF0:         # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                row[k] = _extend(reader.read_bits(size), size)
-                k += 1
+            for v in range(comp["v"]):
+                for hh in range(comp["h"]):
+                    bidx = (my * comp["v"] + v) * grid_cols[ci] \
+                        + mx * comp["h"] + hh
+                    size = _read_symbol(reader, dc_tabs[tdc])
+                    diff = _extend(reader.read_bits(size), size) \
+                        if size else 0
+                    preds[ci] += diff
+                    row = zz[ci][bidx]
+                    row[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _read_symbol(reader, ac_tabs[tac])
+                        if sym == 0x00:         # EOB
+                            break
+                        if sym == 0xF0:         # ZRL
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0x0F
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        row[k] = _extend(reader.read_bits(size), size)
+                        k += 1
 
-    planes = np.empty((h8, w8, ncomp), dtype=np.float64)
+    planes = np.empty((h, w, ncomp), dtype=np.float64)
     inv = ZIGZAG.argsort()
     for ci, (comp, _, _) in enumerate(scan):
         q = qtabs[comp["tq"]]
         coef = (zz[ci][:, inv] * q).reshape(-1, 8, 8).astype(np.float64)
         blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
-        planes[..., ci] = _from_blocks(blocks, h8, w8)
-    planes = planes[:h, :w]
+        ph, pw = mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8
+        plane = _from_blocks(blocks, ph, pw)
+        fv, fhx = vmax // comp["v"], hmax // comp["h"]
+        if fv > 1 or fhx > 1:
+            plane = np.repeat(np.repeat(plane, fv, axis=0), fhx, axis=1)
+        planes[..., ci] = plane[:h, :w]
     if ncomp == 1:
         return np.clip(np.round(planes[..., 0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(planes)

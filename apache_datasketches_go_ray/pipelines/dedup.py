@@ -303,16 +303,25 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
         chain = ([self.against] if isinstance(self.against, str)
                  else list(self.against))
 
-        def _union_surface(name):
-            parts = [ray.data.read_parquet(os.path.join(d, name))
+        def _union_surface(name, columns=None):
+            # prune at the read: Ray 2.49 does not push a later
+            # select_columns into read_parquet, so the column list is
+            # the difference between re-reading the whole checkpoint
+            # and only what the increment consumes
+            parts = [ray.data.read_parquet(os.path.join(d, name),
+                                           columns=columns)
                      for d in chain]
             out = parts[0]
             for p in parts[1:]:
                 out = out.union(p)
             return out
 
-        old_sigs = _union_surface("signatures")
-        old_assembled = _union_surface("assembled")
+        # candidate_pairs consumes (conv_id, bands, sig_digest), verify
+        # (conv_id, shingles); n_turns/n_shingles never leave the store
+        _SIG_COLS = ["conv_id", "shingles", "bands", "sig_digest"]
+        old_sigs = _union_surface("signatures", columns=_SIG_COLS)
+        old_assembled = _union_surface("assembled",
+                                       columns=["conv_id", "text"])
         old_clusters = ray.data.read_parquet(
             os.path.join(chain[-1], "clusters"))
 
@@ -352,7 +361,7 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
 
             return batch.filter(pa.array(_isin("a") | _isin("b")))
 
-        sigs_all = old_sigs.union(sigs_new)
+        sigs_all = old_sigs.union(sigs_new.select_columns(_SIG_COLS))
         pairs_new, fp = self._stage(
             "pairs", fp,
             lambda: candidate_pairs(sigs_all, cfg, dedup=False)
@@ -396,7 +405,9 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
             "verified", fp,
             lambda: verify_pairs(pairs_new, sigs_all, cfg,
                                  dedup_pairs=True,
-                                 texts_ds=old_assembled.union(assembled_new)),
+                                 texts_ds=old_assembled.union(
+                                     assembled_new.select_columns(
+                                         ["conv_id", "text"]))),
         )
         new_edges = verified_new.filter(expr="is_dup == True") \
             .select_columns(["a", "b"])

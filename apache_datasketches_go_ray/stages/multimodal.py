@@ -12,8 +12,9 @@ Decode support is tiered:
 * **Real byte-level decode** additionally for ``image/png``
   (non-interlaced 8-bit gray/RGB/RGBA: stdlib zlib + a numpy scanline
   unfilter; ``encode_png`` writes the same subset) and ``image/jpeg``
-  (baseline SOF0 sequential, gray / 4:4:4 YCbCr, restart markers —
-  functions/jpegcodec.py; progressive/subsampled streams raise) and
+  (baseline SOF0 sequential, gray / 4:4:4 / chroma-subsampled 4:2:0 &
+  4:2:2 YCbCr, restart markers — functions/jpegcodec.py; progressive
+  streams raise) and
   ``image/gif`` (GIF87a/89a LZW single frame, global/local color
   tables — functions/gifcodec.py; interlaced streams raise).
 * **Stub** for the remaining compressed formats (mp4 video frames,
@@ -605,13 +606,51 @@ def make_near_dup_image_batch(n_base: int, n_dups: int,
     planted pair's Hamming distance is <= 2 by construction (the
     guarantee the exact-recall banding radius covers)."""
     rng = np.random.default_rng(seed)
-    enc = {"image/bmp": encode_bmp, "image/png": encode_png}[kind]
+    if kind == "image/jpeg":
+        # lossless-quality JPEG, cycling through the three chroma
+        # layouts so the mixed baseline+subsampled crawl scenario is
+        # exercised end-to-end (4:2:0 dominates real web images)
+        from ..functions.jpegcodec import encode_jpeg
+
+        _ss = ("444", "420", "422")
+
+        def enc(px, i=0):
+            return encode_jpeg(px, quality=100,
+                               subsampling=_ss[i % len(_ss)])
+    else:
+        _e = {"image/bmp": encode_bmp, "image/png": encode_png}[kind]
+
+        def enc(px, i=0):
+            return _e(px)
     payloads, metas, ids = [], [], []
     bases = []
     for i in range(n_base):
-        px = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+        if kind == "image/jpeg":
+            # low-frequency content: coarse noise bilinearly upsampled —
+            # the dHash neighbor comparisons then ride smooth structured
+            # gradients with real margins that survive quantization and
+            # chroma decimation (pure per-pixel noise leaves ties that
+            # lossy coding flips), so the planted-pair Hamming bound
+            # holds through the lossy cycle
+            coarse = rng.integers(0, 256, size=(3, 5, 3))
+            ys = np.linspace(0, 2, 12)
+            xs = np.linspace(0, 4, 17)
+            y0 = np.floor(ys).astype(int)
+            x0 = np.floor(xs).astype(int)
+            y1 = np.minimum(y0 + 1, 2)
+            x1 = np.minimum(x0 + 1, 4)
+            wy = (ys - y0)[:, None, None]
+            wx = (xs - x0)[None, :, None]
+            c = coarse.astype(np.float64)
+            px = (c[y0][:, x0] * (1 - wy) * (1 - wx)
+                  + c[y0][:, x1] * (1 - wy) * wx
+                  + c[y1][:, x0] * wy * (1 - wx)
+                  + c[y1][:, x1] * wy * wx)
+            px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+        else:
+            px = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
         bases.append(px)
-        payloads.append(enc(px))
+        payloads.append(enc(px, i))
         metas.append(json.dumps({"width": 17, "height": 12,
                                  "channels": 3}))
         ids.append(i)
@@ -620,7 +659,12 @@ def make_near_dup_image_batch(n_base: int, n_dups: int,
         r0 = int(rng.integers(0, noisy.shape[0]))
         c0 = int(rng.integers(0, noisy.shape[1]))
         noisy[r0, c0] = 255 - noisy[r0, c0]
-        payloads.append(enc(noisy))
+        # a dup re-encodes in ITS BASE's chroma layout: the mixed-
+        # layout corpus still exercises every decode path, while the
+        # planted pair's Hamming bound is not diluted by cross-layout
+        # chroma shifts (a same-content 444-vs-420 re-encode is a
+        # LOOSER near-dup; tests cover it separately with margin)
+        payloads.append(enc(noisy, j % n_base))
         metas.append(json.dumps({"width": 17, "height": 12,
                                  "channels": 3}))
         ids.append(n_base + j)

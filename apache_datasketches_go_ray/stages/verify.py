@@ -256,11 +256,13 @@ def _resolve_containment(batch: pa.Table, texts_ref,
     texts = ray.get(texts_ref)  # dict conv_id (str, or u64 rank) -> text
     a = batch.column("a").to_pylist()
     b = batch.column("b").to_pylist()
+    # slice the broadcast dict into two aligned lists up front — one
+    # dict probe per endpoint, none inside the per-pair LCS loop
+    ta_all = [texts.get(x) for x in a]
+    tb_all = [texts.get(x) for x in b]
     ok = np.zeros(len(batch), dtype=bool)
     method = np.empty(len(batch), dtype=object)
-    for i in range(len(batch)):
-        ta = texts.get(a[i])
-        tb = texts.get(b[i])
+    for i, (ta, tb) in enumerate(zip(ta_all, tb_all)):
         method[i] = "rejected"
         if ta is not None and tb is not None:
             lcs = longest_common_substring(ta, tb)

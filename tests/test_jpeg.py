@@ -121,3 +121,59 @@ def test_decode_stage_real_jpeg(ray_session):
         arr = np.frombuffer(r["decoded"], dtype=np.uint8) \
             .reshape(info["shape"])
         assert np.array_equal(arr, decode_jpeg(r["media"]))
+
+
+def test_subsampled_roundtrip_bounded():
+    """4:2:0 / 4:2:2 encode -> decode: shape-exact, error bounded.
+    Luma is untouched by decimation, so its error matches the 4:4:4
+    bound; chroma pays the box-average + pixel-replicate cycle, which
+    on a smooth image stays small."""
+    yy, xx = np.mgrid[0:37, 0:53]
+    smooth = np.clip(np.stack(
+        [60 + yy * 1.5, 120 + xx * 0.9, 90 + (yy + xx) * 0.5],
+        axis=-1), 0, 255).astype(np.uint8)
+    for ss in ("422", "420"):
+        out = decode_jpeg(encode_jpeg(smooth, quality=95, subsampling=ss))
+        assert out.shape == smooth.shape
+        err = np.abs(out.astype(int) - smooth.astype(int))
+        assert err.mean() < 2.0, (ss, err.mean())
+        assert err.max() <= 40, (ss, err.max())
+
+
+def test_subsampled_with_restart_markers():
+    yy, xx = np.mgrid[0:40, 0:72]
+    img = np.clip(np.stack([yy * 3, xx * 2, yy + xx], axis=-1),
+                  0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=92, subsampling="420",
+                                  restart_interval=2))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_subsampled_luma_matches_444_closely():
+    """Decimation must not perturb the Y path: the decoded luma of a
+    4:2:0 stream tracks the 4:4:4 decode of the same input."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    a = decode_jpeg(encode_jpeg(img, quality=90, subsampling="444"))
+    b = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    # compare luma of both decodes (BT.601 weights)
+    la = a @ np.array([0.299, 0.587, 0.114])
+    lb = b @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(la - lb).mean() < 4.0
+
+
+def test_dhash_stable_across_subsampling():
+    """The perceptual near-dup fingerprint (9x8 dHash) must see a
+    4:2:0 copy of an image as a near-dup of its 4:4:4 form — the
+    mixed-subsampling crawl scenario image_near_dups exercises."""
+    from apache_datasketches_go_ray.stages.multimodal import dhash64
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.clip(np.stack(
+        [100 + 80 * np.sin(yy / 9.0), 120 + 60 * np.cos(xx / 7.0),
+         (yy * 2 + xx) % 256], axis=-1), 0, 255).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg(img, quality=90, subsampling="444"))
+    b = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    ha, hb = dhash64(a), dhash64(b)
+    assert bin(ha ^ hb).count("1") <= 3
