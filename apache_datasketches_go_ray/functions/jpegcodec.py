@@ -498,11 +498,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "non-integer chroma sampling ratios")
             frame = {"h": h, "w": w, "comps": comps,
                      "hmax": hmax, "vmax": vmax}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:            # SOF2 progressive (huffman)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid sampling factors")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
+            if nc not in (1, 3):
+                raise NotImplementedError("only gray / 3-component YCbCr")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                raise NotImplementedError(
+                    "non-integer chroma sampling ratios")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "hmax": hmax, "vmax": vmax, "progressive": True}
+            return _decode_progressive(payload, i, frame, qtabs,
+                                       dc_tabs, ac_tabs, restart)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG unsupported "
-                "(baseline SOF0 only)")
+                "lossless/extended/arithmetic JPEG unsupported "
+                "(baseline SOF0/1 + progressive SOF2 only)")
         elif marker == 0xDD:            # DRI
             (restart,) = struct.unpack(">H", body)
         elif marker == 0xDA:            # SOS
@@ -580,6 +602,241 @@ def _decode_scan(frame, scan, qtabs, dc_tabs, ac_tabs, restart, segs):
     for ci, (comp, _, _) in enumerate(scan):
         q = qtabs[comp["tq"]]
         coef = (zz[ci][:, inv] * q).reshape(-1, 8, 8).astype(np.float64)
+        blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
+        ph, pw = mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8
+        plane = _from_blocks(blocks, ph, pw)
+        fv, fhx = vmax // comp["v"], hmax // comp["h"]
+        if fv > 1 or fhx > 1:
+            plane = np.repeat(np.repeat(plane, fv, axis=0), fhx, axis=1)
+        planes[..., ci] = plane[:h, :w]
+    if ncomp == 1:
+        return np.clip(np.round(planes[..., 0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(planes)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — ITU-T.81 Annex G, Huffman coding
+# ---------------------------------------------------------------------------
+
+def _comp_grid(frame, comp):
+    """(grid_rows, grid_cols) of a component's MCU-padded block grid,
+    plus its own (non-padded) block dims for non-interleaved scans."""
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    grid_rows, grid_cols = mcus_y * comp["v"], mcus_x * comp["h"]
+    comp_w = -(-frame["w"] * comp["h"] // hmax)
+    comp_h = -(-frame["h"] * comp["v"] // vmax)
+    own_rows, own_cols = -(-comp_h // 8), -(-comp_w // 8)
+    return grid_rows, grid_cols, own_rows, own_cols
+
+
+def _prog_dc_scan(frame, scan, coefs, dc_tabs, ah, al, restart, segs):
+    """DC scan (Ss=Se=0): interleaved MCU order when several components
+    participate, the component's own block raster otherwise. First pass
+    (Ah=0) decodes diffs at point transform Al; refinement ORs one bit
+    per block."""
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    preds = [0] * len(scan)
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+
+    def one_block(ci, comp, tdc, bidx):
+        nonlocal preds
+        row = coefs[comp["id"]][bidx]
+        if ah == 0:
+            size = _read_symbol(reader, dc_tabs[tdc])
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            preds[ci] += diff
+            row[0] = preds[ci] << al
+        else:
+            if reader.read_bits(1):
+                row[0] |= (1 << al)
+
+    if len(scan) > 1:
+        n_mcu = mcus_x * mcus_y
+        for m in range(n_mcu):
+            if restart and m and m % restart == 0:
+                seg_idx += 1
+                reader = _BitReader(segs[seg_idx])
+                preds = [0] * len(scan)
+            my, mx = divmod(m, mcus_x)
+            for ci, (comp, tdc, _tac) in enumerate(scan):
+                gcols = mcus_x * comp["h"]
+                for v in range(comp["v"]):
+                    for hh in range(comp["h"]):
+                        one_block(ci, comp, tdc,
+                                  (my * comp["v"] + v) * gcols
+                                  + mx * comp["h"] + hh)
+    else:
+        comp, tdc, _tac = scan[0]
+        _gr, gcols, own_rows, own_cols = _comp_grid(frame, comp)
+        for m in range(own_rows * own_cols):
+            if restart and m and m % restart == 0:
+                seg_idx += 1
+                reader = _BitReader(segs[seg_idx])
+                preds = [0]
+            r, c = divmod(m, own_cols)
+            one_block(0, comp, tdc, r * gcols + c)
+
+
+def _prog_ac_scan(frame, scan, coefs, ac_tabs, ss, se, ah, al,
+                  restart, segs):
+    """AC scan: single component only (T.81 G.1.1.1.1), blocks in the
+    component's own raster order, with EOB-run coding; Ah>0 is the
+    successive-approximation refinement pass."""
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    comp, _tdc, tac = scan[0]
+    tab = ac_tabs[tac]
+    _gr, gcols, own_rows, own_cols = _comp_grid(frame, comp)
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    eobrun = 0
+    p1 = 1 << al
+    for m in range(own_rows * own_cols):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            reader = _BitReader(segs[seg_idx])
+            eobrun = 0
+        r0, c0 = divmod(m, own_cols)
+        row = coefs[comp["id"]][r0 * gcols + c0]
+        if ah == 0:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _read_symbol(reader, tab)
+                rr, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if rr < 15:
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += reader.read_bits(rr)
+                        break
+                    k += 16                       # ZRL
+                else:
+                    k += rr
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    row[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+        else:
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _read_symbol(reader, tab)
+                    rr, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if rr < 15:
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += reader.read_bits(rr)
+                            break
+                        val = 0                    # ZRL: skip 16 zeros
+                    else:
+                        val = p1 if reader.read_bits(1) else -p1
+                    while k <= se:
+                        if row[k] != 0:
+                            if reader.read_bits(1) and \
+                                    (row[k] & p1) == 0:
+                                row[k] += p1 if row[k] > 0 else -p1
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if s and k <= se:
+                        row[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if row[k] != 0:
+                        if reader.read_bits(1) and (row[k] & p1) == 0:
+                            row[k] += p1 if row[k] > 0 else -p1
+                    k += 1
+                eobrun -= 1
+
+
+def _decode_progressive(payload, i, frame, qtabs, dc_tabs, ac_tabs,
+                        restart):
+    """Continue marker parsing from offset ``i`` (just past SOF2),
+    folding every scan into per-component zigzag coefficient arrays,
+    then dequantize + IDCT once at EOI."""
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    coefs = {c["id"]: np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64),
+                               dtype=np.int64)
+             for c in frame["comps"]}
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = payload[i + 1]
+        i += 2
+        if marker == 0xD9:                         # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, i)
+        body = payload[i + 2: i + seglen]
+        i += seglen
+        if marker == 0xC4:                         # DHT (between scans)
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1: j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17: j + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = \
+                    _decode_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.frombuffer(body, dtype=np.uint8, count=64,
+                                    offset=j + 1).astype(np.int64)
+                raster = np.empty(64, dtype=np.int64)
+                raster[ZIGZAG] = tab
+                qtabs[tq] = raster
+                j += 65
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", body)
+        elif marker == 0xDA:                       # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cid)
+                scan.append((comp, tabs >> 4, tabs & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            segs, used = _destuff(payload[i:])
+            i += used
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                _prog_dc_scan(frame, scan, coefs, dc_tabs, ah, al,
+                              restart, segs)
+            else:
+                _prog_ac_scan(frame, scan, coefs, ac_tabs, ss, se,
+                              ah, al, restart, segs)
+    # reconstruct — same dequantize/IDCT/upsample tail as the baseline
+    h, w = frame["h"], frame["w"]
+    ncomp = len(frame["comps"])
+    planes = np.empty((h, w, ncomp), dtype=np.float64)
+    inv = ZIGZAG.argsort()
+    for ci, comp in enumerate(frame["comps"]):
+        q = qtabs[comp["tq"]]
+        zzc = coefs[comp["id"]]
+        coef = (zzc[:, inv] * q).reshape(-1, 8, 8).astype(np.float64)
         blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
         ph, pw = mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8
         plane = _from_blocks(blocks, ph, pw)
