@@ -1,12 +1,17 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman).
+"""Pure-stdlib JPEG codec (ITU-T T.81 DCT, Huffman).
 
-Decoder: baseline (SOF0), 8-bit precision, grayscale or YCbCr with no
-chroma subsampling (all sampling factors 1x1); DQT/DHT/DRI/RSTn honored.
-Progressive (SOF2), arithmetic coding, 12-bit and subsampled streams
-raise ``NotImplementedError`` with a precise reason. The encoder writes
-exactly the subset the decoder reads (gray / 4:4:4 YCbCr, optional
-restart interval), so round-trip error is bounded by quantization alone
-and testable end-to-end through the multimodal actor-pool stages.
+Decoder: baseline (SOF0/1) AND progressive (SOF2: spectral selection +
+successive approximation, Annex G), 8-bit precision, grayscale or YCbCr
+with any integer chroma sampling factors (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0
+/ 4:1:1); DQT/DHT/DRI/RSTn honored. Arithmetic coding, 12-bit and
+hierarchical streams raise ``NotImplementedError`` with a precise
+reason. Two encoders write the subsets the decoder reads — baseline
+(``encode_jpeg``, optional subsampling + restart interval) and
+progressive (``encode_jpeg_progressive``, the common web scan script) —
+and both emit the SAME quantized coefficients, so `decode(progressive)
+== decode(baseline)` bit-for-bit at equal settings (pinned in tests);
+round-trip error is bounded by quantization alone and testable
+end-to-end through the multimodal actor-pool stages.
 
 All constants (zigzag order, Annex K quantization tables, the standard
 DC/AC Huffman tables, JFIF color transforms, the IJG quality scaling
@@ -847,3 +852,242 @@ def _decode_progressive(payload, i, frame, qtabs, dc_tabs, ac_tabs,
     if ncomp == 1:
         return np.clip(np.round(planes[..., 0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(planes)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encoding — spectral selection + successive
+# approximation (T.81 Annex G), used for fixtures and re-encode pipelines
+# ---------------------------------------------------------------------------
+
+def _quantized_blocks(px: np.ndarray, quality: int, subsampling: str):
+    """Shared front half of both encoders: returns (gray, ncomp,
+    comp_q, comp_hv, qtabs, zz_comp, grid_cols, mcus_x, mcus_y)."""
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of "
+                         f"{sorted(_SUBSAMPLING)}")
+    h, w = px.shape[:2]
+    gray = px.ndim == 2
+    fh, fv = (1, 1) if gray else _SUBSAMPLING[subsampling]
+    planes = (px.astype(np.float64)[..., None] if gray
+              else _rgb_to_ycbcr(px))
+    qluma, qchroma = quality_tables(quality)
+    qtabs = [qluma] if gray else [qluma, qchroma]
+    ncomp = 1 if gray else 3
+    comp_q = [0] if gray else [0, 1, 1]
+    comp_hv = [(fh, fv)] + [(1, 1)] * (ncomp - 1) if not gray \
+        else [(1, 1)]
+    mcus_x = -(-w // (8 * fh))
+    mcus_y = -(-h // (8 * fv))
+    zz_comp, grid_cols = [], []
+    for ci in range(ncomp):
+        hi, vi = comp_hv[ci]
+        plane = planes[..., ci]
+        if ci > 0:
+            plane = _box_downsample(plane, fh, fv)
+        ph, pw = mcus_y * vi * 8, mcus_x * hi * 8
+        plane = np.pad(plane,
+                       ((0, ph - plane.shape[0]),
+                        (0, pw - plane.shape[1])), mode="edge")
+        blocks = _to_blocks(plane) - 128.0
+        coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+        q = qtabs[comp_q[ci]].reshape(8, 8)
+        zz_comp.append(np.round(coef / q).astype(np.int64)
+                       .reshape(-1, 64)[:, ZIGZAG])
+        grid_cols.append(mcus_x * hi)
+    return (gray, ncomp, comp_q, comp_hv, qtabs, zz_comp, grid_cols,
+            mcus_x, mcus_y)
+
+
+def _own_blocks(h, w, hi, vi, hmax, vmax):
+    comp_w = -(-w * hi // hmax)
+    comp_h = -(-h * vi // vmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsampling: str = "444") -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> progressive (SOF2) JFIF
+    bytes: interleaved DC scan at successive-approximation Al=1 + DC
+    refinement, then per component two spectral AC bands (1-5, 6-63) at
+    Al=1 with their refinement passes — the common "progressive web
+    JPEG" scan script shape. Encodes the SAME quantized coefficients as
+    the baseline encoder, so `decode_jpeg(progressive) ==
+    decode_jpeg(baseline)` bit-for-bit at equal quality/subsampling
+    (the round-trip gate in tests/test_jpeg.py)."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8 or px.ndim not in (2, 3) or \
+            (px.ndim == 3 and px.shape[2] != 3):
+        raise ValueError("expected (H,W) or (H,W,3) uint8")
+    h, w = px.shape[:2]
+    (gray, ncomp, comp_q, comp_hv, qtabs, zz_comp, grid_cols,
+     mcus_x, mcus_y) = _quantized_blocks(px, quality, subsampling)
+    hmax = max(hv[0] for hv in comp_hv)
+    vmax = max(hv[1] for hv in comp_hv)
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, tab in enumerate(qtabs):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tq) \
+            + bytes(int(v) for v in tab[ZIGZAG])
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
+                                     h, w, ncomp)                 # SOF2
+    for ci in range(ncomp):
+        hi, vi = comp_hv[ci]
+        out += struct.pack(">BBB", ci + 1, (hi << 4) | vi, comp_q[ci])
+    huffs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        huffs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, vals) in huffs:
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals), tc_th) \
+            + bytes(bits) + bytes(vals)
+
+    dc_enc = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
+    ac_enc = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        ns = len(comp_ids)
+        hdr = b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for cid in comp_ids:
+            t = comp_q[cid - 1]
+            hdr += struct.pack(">BB", cid, (t << 4) | t)
+        return hdr + struct.pack(">BBB", ss, se, (ah << 4) | al)
+
+    def dc_block_order():
+        """(ci, block_index) sequence in interleaved MCU order."""
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci in range(ncomp):
+                hi, vi = comp_hv[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        yield ci, ((my * vi + v) * grid_cols[ci]
+                                   + mx * hi + hh)
+
+    # ---- scan 1: DC first, Al=1 ----
+    al = 1
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, al)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for ci, bidx in dc_block_order():
+        val = int(zz_comp[ci][bidx][0]) >> al     # arithmetic shift (G.1.2.1)
+        diff = val - preds[ci]
+        preds[ci] = val
+        mag = abs(diff)
+        size = mag.bit_length()
+        code, length = dc_enc[comp_q[ci]][size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    wtr.flush()
+    out += bytes(wtr.buf)
+
+    # ---- scan 2: DC refinement, Ah=1 Al=0 ----
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for ci, bidx in dc_block_order():
+        wtr.write(int(zz_comp[ci][bidx][0]) & 1, 1)
+    wtr.flush()
+    out += bytes(wtr.buf)
+
+    # ---- AC scans per component: bands (1..5), (6..63), Al=1 then refine
+    def ac_first(ci, ss, se, al):
+        tabe = ac_enc[comp_q[ci]]
+        hi, vi = comp_hv[ci]
+        own_rows, own_cols = _own_blocks(h, w, hi, vi, hmax, vmax)
+        wtr = _BitWriter()
+        for m in range(own_rows * own_cols):
+            r0, c0 = divmod(m, own_cols)
+            row = zz_comp[ci][r0 * grid_cols[ci] + c0]
+            run = 0
+            last_written = ss - 1
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                t = (abs(v) >> al)                # magnitude shift (G.1.2.2)
+                if t == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = tabe[0xF0]
+                    wtr.write(code, length)
+                    run -= 16
+                sv = t if v > 0 else -t
+                size = t.bit_length()
+                code, length = tabe[(run << 4) | size]
+                wtr.write(code, length)
+                wtr.write(sv if sv >= 0 else sv + (1 << size) - 1, size)
+                run = 0
+                last_written = k
+            if last_written != se:
+                code, length = tabe[0x00]         # EOB (run of 1)
+                wtr.write(code, length)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_refine(ci, ss, se, al):
+        tabe = ac_enc[comp_q[ci]]
+        hi, vi = comp_hv[ci]
+        own_rows, own_cols = _own_blocks(h, w, hi, vi, hmax, vmax)
+        wtr = _BitWriter()
+        for m in range(own_rows * own_cols):
+            r0, c0 = divmod(m, own_cols)
+            row = zz_comp[ci][r0 * grid_cols[ci] + c0]
+            # positional event queue since the last emitted symbol:
+            # None = zero-history coefficient (counts toward the run),
+            # int  = correction bit of an already-significant one.
+            # A ZRL covers exactly 16 zero-history positions and ONLY
+            # the correction bits interleaved within them — bits beyond
+            # the 16th zero belong to the next symbol's walk.
+            events: list = []
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                t = abs(v) >> al
+                if t == 0:
+                    events.append(None)
+                    continue
+                if t > 1:
+                    events.append(t & 1)
+                    continue
+                while sum(1 for e in events if e is None) >= 16:
+                    code, length = tabe[0xF0]     # ZRL
+                    wtr.write(code, length)
+                    zeros = 0
+                    while zeros < 16:
+                        e = events.pop(0)
+                        if e is None:
+                            zeros += 1
+                        else:
+                            wtr.write(e, 1)
+                    # corrections adjacent to the 16th zero (before the
+                    # next zero-history position) are consumed by the
+                    # decoder's ZRL walk only up TO that zero; leave
+                    # the rest queued for the next symbol
+                run = sum(1 for e in events if e is None)
+                code, length = tabe[(run << 4) | 1]
+                wtr.write(code, length)
+                wtr.write(1 if v > 0 else 0, 1)   # sign bit
+                for e in events:
+                    if e is not None:
+                        wtr.write(e, 1)
+                events = []
+            if events:
+                code, length = tabe[0x00]         # EOB (run of 1)
+                wtr.write(code, length)
+                for e in events:
+                    if e is not None:
+                        wtr.write(e, 1)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos_header([ci + 1], ss, se, 0, 1)
+            out += ac_first(ci, ss, se, 1)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos_header([ci + 1], ss, se, 1, 0)
+            out += ac_refine(ci, ss, se, 0)
+
+    out += b"\xFF\xD9"
+    return bytes(out)

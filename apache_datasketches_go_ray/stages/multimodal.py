@@ -12,13 +12,13 @@ Decode support is tiered:
 * **Real byte-level decode** additionally for ``image/png``
   (non-interlaced 8-bit gray/RGB/RGBA: stdlib zlib + a numpy scanline
   unfilter; ``encode_png`` writes the same subset) and ``image/jpeg``
-  (baseline SOF0 sequential, gray / 4:4:4 / chroma-subsampled 4:2:0 &
-  4:2:2 YCbCr, restart markers — functions/jpegcodec.py; progressive
-  streams raise) and
+  (baseline SOF0 + progressive SOF2, gray / 4:4:4 / chroma-subsampled
+  4:2:0 & 4:2:2 YCbCr, restart markers, successive approximation —
+  functions/jpegcodec.py) and
   ``image/gif`` (GIF87a/89a LZW single frame, global/local color
   tables — functions/gifcodec.py; interlaced streams raise).
-* **Stub** for the remaining compressed formats (mp4 video frames,
-  progressive jpeg, ...): the codec libraries (PIL, torchaudio, av)
+* **Stub** for the remaining compressed formats (h264/h265 frames
+  inside mp4, ...): the codec libraries (PIL, torchaudio, av)
   are NOT present in this environment,
   so ``DecodeStage`` raises ``NotImplementedError`` for them unless
   ``fake=True``, in which case a deterministic fake decoder (seeded

@@ -87,7 +87,7 @@ def test_unsupported_streams_raise():
     img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     buf = bytearray(encode_jpeg(img, quality=90))
     i = buf.find(b"\xFF\xC0")
-    buf[i + 1] = 0xC2  # progressive SOF2
+    buf[i + 1] = 0xC3  # lossless SOF3 — still out of scope
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
     with pytest.raises(ValueError):
@@ -177,3 +177,34 @@ def test_dhash_stable_across_subsampling():
     b = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
     ha, hb = dhash64(a), dhash64(b)
     assert bin(ha ^ hb).count("1") <= 3
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """Progressive (SOF2: spectral selection + successive approximation,
+    DC+AC refinement passes, EOB runs) encodes the same quantized
+    coefficients as baseline, so decodes must agree BIT-FOR-BIT."""
+    from apache_datasketches_go_ray.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    cases = [((16, 16, 3), "444"), ((45, 67, 3), "420"),
+             ((24, 17, 3), "422"), ((33, 41), "444")]
+    for shape, ss in cases:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (75, 90, 100):
+            kw = {} if len(shape) == 2 else {"subsampling": ss}
+            b = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+            p = decode_jpeg(encode_jpeg_progressive(img, quality=q, **kw))
+            assert np.array_equal(b, p), (shape, ss, q)
+
+
+def test_progressive_roundtrip_bounded():
+    from apache_datasketches_go_ray.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (20, 28), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=100))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
