@@ -2138,7 +2138,12 @@ def _q_varopt_sample_docs(sf_dir: str):
     from apache_datasketches_go_ray.stages.sketch_aggs import varopt_sample
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    tbl = varopt_sample(ds, "doc_id", "n_chars", k=2000)
+    # size k to the corpus (next pow2 >= rowcount, the kll_rank_annotate
+    # precedent) so the exact regime holds at every sf tier; the
+    # bounded-k sampling regime is pinned by tests/test_varopt.py
+    n = ds.count()
+    k = max(2048, 1 << (int(n) - 1).bit_length())
+    tbl = varopt_sample(ds, "doc_id", "n_chars", k=k)
     return ray.data.from_arrow(tbl)
 
 
