@@ -117,9 +117,15 @@ def main():
     import ray
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    # RAY_GRAFT_STORE_GB: size the plasma store to the probe's working
+    # set (it lives in /dev/shm) so spill volume stays inside the host's
+    # disk budget — the round-5 36M-turn attempt ENOSPC'd the spill disk
+    # with the default ~37 GiB store on this 125 GiB host
+    store_gb = float(os.environ.get("RAY_GRAFT_STORE_GB", "0"))
+    kw = {"object_store_memory": int(store_gb * (1 << 30))}         if store_gb else {}
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False)
+                 include_dashboard=False, **kw)
     import ray.data
     import apache_datasketches_go_ray  # noqa: F401 (hash-shuffle context)
     from apache_datasketches_go_ray.config import DedupConfig
