@@ -2185,6 +2185,17 @@ def _q_sliding_window(sf_dir: str):
                               num_partitions=16)
 
 
+def _q_doc_encoding_qa(sf_dir: str):
+    """Per-document encoding-hygiene scan (crawl QA): U+FFFD count,
+    UTF-8-as-Latin-1 mojibake artifacts, stray C0 controls, pure-ASCII
+    flag — one vectorized RE2 map (stages/textops.encoding_qa_batch),
+    no shuffle; DuckDB runs the IDENTICAL RE2 patterns."""
+    from apache_datasketches_go_ray.stages.textops import encoding_qa_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        encoding_qa_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_bpe_token_counts(sf_dir: str):
     """BPE-ish pretokenizer counts per document: one vectorized RE2
     scan (pc.count_substring_regex); the identical pattern runs in the
@@ -12502,6 +12513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_cdf_nchars_exact": _q_kll_cdf_nchars_exact,
         "freq_top_tokens_exact": _q_freq_top_tokens_exact,
         "bpe_token_counts": _q_bpe_token_counts,
+        "doc_encoding_qa": _q_doc_encoding_qa,
         "train_eval_split": _q_train_eval_split,
         "brand_revenue": _q_brand_revenue,
         "supplier_balance": _q_supplier_balance,
@@ -13379,6 +13391,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chars AS DOUBLE) AS weight,
                    CAST(n_chars AS DOUBLE) AS adjusted_weight,
                    TRUE AS is_heavy
+            FROM documents
+        """,
+        "doc_encoding_qa": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+                     AS n_replacement,
+                   CAST(len(regexp_extract_all(text, 'Ã.|â€.|Â')) AS BIGINT)
+                     AS n_mojibake,
+                   CAST(len(regexp_extract_all(text,
+                        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT)
+                     AS n_ctrl,
+                   regexp_matches(text, '^[\\x00-\\x7f]*$') AS is_ascii
             FROM documents
         """,
         "sample_docs_bottomk": """

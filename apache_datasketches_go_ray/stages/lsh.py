@@ -433,3 +433,40 @@ def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True,
         .map_batches(dedup_pairs_block, batch_format="pyarrow",
                      batch_size=None, zero_copy_batch=True)
     )
+
+
+def plan_lsh(threshold: float, num_perms: int = 128,
+             fn_weight: float = 1.0):
+    """Choose the (num_bands, rows_per_band) banding plan for a target
+    Jaccard ``threshold`` under a signature budget of ``num_perms``
+    slots — the standard S-curve optimization: candidate probability at
+    similarity s is P(s) = 1 - (1 - s^r)^b, and the plan minimizes
+    integral_0^t P(s) ds  +  fn_weight * integral_t^1 (1 - P(s)) ds
+    (expected false-positive area below the threshold plus weighted
+    false-negative area above it; Riemann sum at ds=0.001). Returns
+    {num_bands, rows_per_band, fp_area, fn_area, threshold_50} where
+    threshold_50 = (1/b)^(1/r) is the curve's midpoint.
+
+    Deterministic planner-side utility (no data pass) complementing the
+    measured lsh_sensitivity_curve query. At fn_weight=1 the balanced
+    optimum for t=0.5 / 128 perms is (25 bands x 5 rows); the engine's
+    default (42 x 3, curve midpoint 0.29) corresponds to a strongly
+    recall-weighted objective (fn_weight >= ~24) — the flagship
+    deliberately over-recalls and lets exact verification restore
+    precision. Both facts pinned by pytest."""
+    s = np.arange(0.0005, 1.0, 0.001)
+    best = None
+    for r in range(1, num_perms + 1):
+        b = num_perms // r
+        if b < 1:
+            break
+        p = 1.0 - (1.0 - s ** r) ** b
+        fp = float(p[s < threshold].sum() * 0.001)
+        fn = float((1.0 - p[s >= threshold]).sum() * 0.001)
+        cost = fp + fn_weight * fn
+        if best is None or cost < best[0]:
+            best = (cost, b, r, fp, fn)
+    _cost, b, r, fp, fn = best
+    return {"num_bands": b, "rows_per_band": r,
+            "fp_area": round(fp, 6), "fn_area": round(fn, 6),
+            "threshold_50": round((1.0 / b) ** (1.0 / r), 6)}

@@ -787,3 +787,32 @@ def longest_repeat_batch(batch: pa.Table, text_col: str = "text",
         id_col: ids,
         "max_repeat_len": pa.array(out),
     })
+
+
+def encoding_qa_batch(batch: pa.Table, text_col: str = "text",
+                      id_cols: tuple = ("doc_id",)) -> pa.Table:
+    """Crawl-hygiene encoding scan per document, fully vectorized RE2
+    (pc.count_substring_regex / pc.match_substring_regex — DuckDB's
+    regexp engine is RE2 too, so the SQL oracle runs the IDENTICAL
+    patterns):
+
+      n_replacement — U+FFFD replacement characters (decode damage);
+      n_mojibake    — classic UTF-8-read-as-Latin-1 artifacts
+                      ("Ã."/"â€."/"Â" lead sequences);
+      n_ctrl        — C0 control characters other than \\t \\n \\r
+                      (binary contamination);
+      is_ascii      — pure-ASCII document flag.
+    """
+    import pyarrow.compute as pc
+
+    texts = as_array(batch.column(text_col)).cast(pa.string())
+    cols = {c: batch.column(c) for c in id_cols}
+    cols["n_replacement"] = pc.count_substring_regex(
+        texts, "�").cast(pa.int64())
+    cols["n_mojibake"] = pc.count_substring_regex(
+        texts, "Ã.|â€.|Â").cast(pa.int64())
+    cols["n_ctrl"] = pc.count_substring_regex(
+        texts, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").cast(pa.int64())
+    cols["is_ascii"] = pc.match_substring_regex(
+        texts, "^[\\x00-\\x7f]*$")
+    return pa.table(cols)
