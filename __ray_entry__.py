@@ -2124,6 +2124,23 @@ def _q_partitioned_sink_roundtrip(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_varopt_sample_by_source(sf_dir: str):
+    """Grouped VarOpt-style weighted sample: k retained docs PER SOURCE
+    (weight = n_chars) — the per-domain corpus-subsampling form of
+    varopt_sample_docs. k sizes to the corpus so every group is in the
+    exact regime (SQL value-exact); bounded-k behavior and merge parity
+    are pinned by tests/test_varopt.py."""
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        varopt_sample_by,
+    )
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+    n = ds.count()
+    k = max(2048, 1 << (int(n) - 1).bit_length())
+    return varopt_sample_by(ds, "source", "doc_id", "n_chars", k=k,
+                            num_partitions=8)
+
+
 def _q_varopt_sample_docs(sf_dir: str):
     """VarOpt-style weighted bounded-k sample over documents, weight =
     n_chars (state/varopt.py: tau/heavy split, coordinated hash
@@ -12508,6 +12525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_rank_annotate": _q_kll_rank_annotate,
         "sample_docs_bottomk": _q_sample_docs_bottomk,
         "varopt_sample_docs": _q_varopt_sample_docs,
+        "varopt_sample_by_source": _q_varopt_sample_by_source,
         "partitioned_sink_roundtrip": _q_partitioned_sink_roundtrip,
         "kll_quantiles_nchars_exact": _q_kll_quantiles_nchars_exact,
         "kll_cdf_nchars_exact": _q_kll_cdf_nchars_exact,
@@ -13385,6 +13403,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "varopt_sample_by_source": """
+            SELECT source, CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS weight,
+                   CAST(n_chars AS DOUBLE) AS adjusted_weight,
+                   TRUE AS is_heavy
+            FROM documents
         """,
         "varopt_sample_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

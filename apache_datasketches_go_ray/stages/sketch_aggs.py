@@ -957,3 +957,76 @@ def varopt_sample_with_stats(ds, item_col: str, weight_col: str, k: int,
         "is_heavy": pa.array([r[3] for r in rows], type=pa.bool_()),
     })
     return tbl, merged
+
+
+def varopt_sample_by(ds, group_col: str, item_col: str, weight_col: str,
+                     k: int, seed: int | None = None,
+                     num_partitions: int = 16):
+    """Grouped VarOpt-style weighted sample: k retained rows PER GROUP
+    (per-source corpus subsampling with weights — the grouped form of
+    varopt_sample, same shape as the other grouped sketch families):
+    per-(block, group) partial sketches -> one group-keyed shuffle of
+    k-bounded serialized partials -> per-group merge. Returns rows
+    (group, item, weight, adjusted_weight, is_heavy); exact regime per
+    group (group size <= k) is SQL-oracle value-exact, and merge
+    parity at any partitioning follows from the sketch's coordinated
+    priorities (state/varopt.py)."""
+    from ..functions.murmur3 import DEFAULT_UPDATE_SEED
+    from ..state.varopt import VarOptSketch
+
+    sd = DEFAULT_UPDATE_SEED if seed is None else seed
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.and_(
+            pc.and_(pc.is_valid(batch.column(group_col)),
+                    pc.is_valid(batch.column(item_col))),
+            pc.is_valid(batch.column(weight_col))))
+        if len(batch) == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "sk": pa.array([], type=pa.large_binary())})
+        items = as_array(batch.column(item_col)).cast(pa.string()) \
+            .to_pylist()
+        w = as_array(batch.column(weight_col)).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order, starts, ends, keys = _key_runs(batch.column(group_col))
+        out_s = []
+        for s, e in zip(starts, ends):
+            sk = VarOptSketch(k, seed=sd)
+            idx = order[s:e]
+            sk.update_many([items[i] for i in idx], w[idx])
+            out_s.append(sk.to_bytes())
+        return pa.table({group_col: keys,
+                         "sk": pa.array(out_s, type=pa.large_binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cols = {group_col: [], item_col: [], "weight": [],
+                "adjusted_weight": [], "is_heavy": []}
+        if len(batch):
+            sks = as_array(batch.column("sk")).to_pylist()
+            for g, idx in _sorted_runs(as_array(batch.column(group_col))):
+                sk = VarOptSketch.from_bytes(sks[idx[0]], seed=sd)
+                for i in idx[1:]:
+                    sk.merge(VarOptSketch.from_bytes(sks[i], seed=sd))
+                for item, w, adj, heavy in sk.result():
+                    cols[group_col].append(g)
+                    cols[item_col].append(item)
+                    cols["weight"].append(w)
+                    cols["adjusted_weight"].append(adj)
+                    cols["is_heavy"].append(heavy)
+        return pa.table({
+            group_col: pa.array(cols[group_col], type=pa.string()),
+            item_col: pa.array(cols[item_col], type=pa.string()),
+            "weight": pa.array(cols["weight"], type=pa.float64()),
+            "adjusted_weight": pa.array(cols["adjusted_weight"],
+                                        type=pa.float64()),
+            "is_heavy": pa.array(cols["is_heavy"], type=pa.bool_()),
+        })
+
+    return (ds.select_columns([group_col, item_col, weight_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(num_partitions, keys=[group_col])
+            .map_batches(combine, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))

@@ -107,3 +107,34 @@ def test_distributed_stage_matches_local(ray_session):
                        out.column("adjusted_weight").to_pylist(),
                        out.column("is_heavy").to_pylist()))
         assert got == want
+
+
+def test_grouped_varopt_matches_per_group_local(ray_session):
+    import ray.data
+
+    from apache_datasketches_go_ray.stages.sketch_aggs import (
+        varopt_sample_by,
+    )
+
+    items, weights = _fixture(600, seed=13)
+    groups = [f"g{i % 5}" for i in range(600)]
+    tbl = pa.table({"src": pa.array(groups), "item": pa.array(items),
+                    "w": pa.array(weights, type=pa.float64())})
+    want = {}
+    for g in sorted(set(groups)):
+        sk = VarOptSketch(24)
+        sel = [i for i, gg in enumerate(groups) if gg == g]
+        sk.update_many([items[i] for i in sel],
+                       [weights[i] for i in sel])
+        want[g] = [(r[0], round(r[1], 9), round(r[2], 9), r[3])
+                   for r in sk.result()]
+    for nblocks in (2, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = varopt_sample_by(ds, "src", "item", "w", k=24,
+                               num_partitions=3)
+        got = {}
+        for r in out.take_all():
+            got.setdefault(r["src"], []).append(
+                (r["item"], round(r["weight"], 9),
+                 round(r["adjusted_weight"], 9), r["is_heavy"]))
+        assert got == want, nblocks
