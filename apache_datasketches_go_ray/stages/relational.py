@@ -989,11 +989,14 @@ def filter_above_group_quantile(ds, key: str, val_col: str,
                                 carry_cols: list[str] | None = None, *,
                                 num_partitions: int = 8):
     """Per-group quality gate: keep rows whose value >= the group's
-    exact discrete quantile (sorted[floor(q*(n-1))], DuckDB
-    quantile_disc convention) — 'top 25% of docs per domain' style
-    curation filtering. One keyed shuffle; threshold and filter happen
-    in the same in-block fold, so nothing is materialized and no
-    second pass over the data is needed."""
+    exact discrete quantile (sorted[ceil(q*n) - 1], the DuckDB
+    quantile_disc / ANSI percentile_disc convention — verified against
+    DuckDB empirically; floor(q*(n-1)) coincides only at sizes where
+    q*(n-1) is integral, which masked the difference at sf0.01's
+    25-doc sources until the sf0.1 sweep caught it) — 'top 25% of docs
+    per domain' style curation filtering. One keyed shuffle; threshold
+    and filter happen in the same in-block fold, so nothing is
+    materialized and no second pass over the data is needed."""
     carry = carry_cols or []
     cols = [key, val_col] + [c for c in carry
                              if c not in (key, val_col)]
@@ -1010,7 +1013,7 @@ def filter_above_group_quantile(ds, key: str, val_col: str,
         np.not_equal(sk[1:], sk[:-1], out=first[1:])
         starts = np.flatnonzero(first)
         lens = np.diff(np.append(starts, len(sk)))
-        thr_idx = starts + np.floor(q * (lens - 1)).astype(np.int64)
+        thr_idx = starts + np.ceil(q * lens).astype(np.int64) - 1
         thr = np.repeat(sv[thr_idx], lens)
         keep_sorted = sv >= thr
         keep = np.zeros(len(sk), dtype=bool)

@@ -88,7 +88,8 @@ def test_filter_above_group_quantile(ray_session, blocks):
     for gg in np.unique(g):
         m = g == gg
         sv = np.sort(v[m])
-        thr = sv[int(np.floor(0.75 * (m.sum() - 1)))]
+        # DuckDB quantile_disc / ANSI percentile_disc: ceil(q*n) - 1
+        thr = sv[int(np.ceil(0.75 * m.sum())) - 1]
         want |= set(ids[m][v[m] >= thr].tolist())
     assert got_ids == want
 
