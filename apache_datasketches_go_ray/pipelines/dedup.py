@@ -362,9 +362,36 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
             return batch.filter(pa.array(_isin("a") | _isin("b")))
 
         sigs_all = old_sigs.union(sigs_new.select_columns(_SIG_COLS))
+        # broadcast the increment's band-hash set: the corpus-side band
+        # explode then emits ONLY buckets the increment touches (a
+        # bucket with no new conv can only produce old-old pairs, which
+        # _touches_new drops anyway — so the prefilter is exact and the
+        # band shuffle volume tracks the increment's collisions, not
+        # the corpus)
+        def _uniq_bands(b: pa.Table) -> pa.Table:
+            from ..stages.arrow_util import as_array as _aa
+
+            if len(b) == 0:
+                return pa.table({"h": pa.array([], type=pa.uint64())})
+            flat = _aa(b.column("bands")).flatten().to_numpy(
+                zero_copy_only=False)
+            return pa.table({"h": pa.array(np.unique(flat),
+                                           type=pa.uint64())})
+
+        band_parts = [
+            blk.column("h").to_numpy(zero_copy_only=False)
+            for blk in sigs_new.select_columns(["bands"]).map_batches(
+                _uniq_bands, batch_format="pyarrow",
+                zero_copy_batch=True).iter_batches(
+                batch_size=None, batch_format="pyarrow")
+            if len(blk)]
+        new_bands_ref = ray.put(
+            np.unique(np.concatenate(band_parts)) if band_parts
+            else np.empty(0, dtype=np.uint64))
         pairs_new, fp = self._stage(
             "pairs", fp,
-            lambda: candidate_pairs(sigs_all, cfg, dedup=False)
+            lambda: candidate_pairs(sigs_all, cfg, dedup=False,
+                                    band_filter_ref=new_bands_ref)
             .map_batches(_touches_new, batch_format="pyarrow",
                          zero_copy_batch=True),
         )
@@ -393,10 +420,21 @@ class IncrementalDedupPipeline(CheckpointedPipeline):
                 lambda: turn_hash_dataset(new_transcripts_ds, cfg),
                 materialize=False,
             )
+            # same prefilter for the turn-collision branch: only turn
+            # hashes present in the increment can form a new pair
+            h_parts = [
+                blk.column("h").to_numpy(zero_copy_only=False)
+                for blk in new_hashes.select_columns(["h"]).iter_batches(
+                    batch_size=None, batch_format="pyarrow")
+                if len(blk)]
+            new_h_ref = ray.put(
+                np.unique(np.concatenate(h_parts)) if h_parts
+                else np.empty(0, dtype=np.uint64))
             turn_pairs_new, fp = self._stage(
                 "turn_pairs", fp,
                 lambda: pairs_from_hashes(
-                    old_hashes.union(new_hashes), cfg)
+                    old_hashes.union(new_hashes), cfg,
+                    hash_filter_ref=new_h_ref)
                 .map_batches(_touches_new, batch_format="pyarrow",
                              zero_copy_batch=True),
             )

@@ -36,29 +36,42 @@ from ..config import DedupConfig
 from ..functions.murmur3 import hash_strings
 
 
-def explode_bands(batch: pa.Table, bridge_ref=None) -> pa.Table:
+def explode_bands(batch: pa.Table, bridge_ref=None,
+                  band_filter_ref=None) -> pa.Table:
     """signature rows -> (band_hash, conv_id, sig_digest) rows.
 
     With a dense-id bridge (stages/ids.py) the exploded conv_id column
     is the u64 lexicographic rank — the band shuffle then moves 8-byte
     ints instead of id strings, and the in-block bucket scan skips the
-    per-block string dictionary/rank encode entirely."""
+    per-block string dictionary/rank encode entirely.
+
+    ``band_filter_ref`` (sorted u64 band-hash set, ray.put once): only
+    rows whose band hash is in the set are emitted — the incremental
+    pipeline passes the NEW batch's band hashes so the corpus-side
+    explode ships only buckets an increment actually touches (buckets
+    without a new conv could only yield old-old pairs, which the
+    increment drops anyway — so the filter is exact)."""
     from .arrow_util import as_array
 
     bands = as_array(batch.column("bands"))
     flat = bands.flatten().to_numpy(zero_copy_only=False)
     n_bands = len(flat) // max(len(batch), 1) if len(batch) else 0
-    rep = pa.array(np.repeat(np.arange(len(batch)), n_bands))
+    rep = np.repeat(np.arange(len(batch)), n_bands)
+    if band_filter_ref is not None:
+        keep = _in_sorted(flat, ray.get(band_filter_ref))
+        flat = flat[keep]
+        rep = rep[keep]
+    rep_pa = pa.array(rep)
     if bridge_ref is not None:
         from .ids import encode_ids
 
         cid = encode_ids(batch.column("conv_id"), bridge_ref)
-        conv_col = pa.array(np.repeat(cid, n_bands), type=pa.uint64())
+        conv_col = pa.array(cid[rep], type=pa.uint64())
     else:
-        conv_col = batch.column("conv_id").take(rep)
+        conv_col = batch.column("conv_id").take(rep_pa)
     return pa.table({"band_hash": pa.array(flat, type=pa.uint64()),
                      "conv_id": conv_col,
-                     "sig_digest": batch.column("sig_digest").take(rep)})
+                     "sig_digest": batch.column("sig_digest").take(rep_pa)})
 
 
 def detect_hot_bands(sig_ds, config: DedupConfig) -> np.ndarray:
@@ -131,7 +144,8 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
 
 
 def explode_bands_salted(batch: pa.Table, hot_ref,
-                         bridge_ref=None) -> pa.Table:
+                         bridge_ref=None,
+                         band_filter_ref=None) -> pa.Table:
     """explode_bands + salt column: rows of hot buckets are spread by
     murmur(conv_id) % hot_key_salt (encoded in the salt value passed via
     the broadcast tuple), others keep salt 0. The salt hash is ALWAYS
@@ -144,9 +158,20 @@ def explode_bands_salted(batch: pa.Table, hot_ref,
     # per-conv string hash BEFORE the explode: one murmur per conv,
     # repeated across its bands, instead of n_bands redundant hashes
     h_conv, _ = hash_strings(as_array(batch.column("conv_id")))
-    out = explode_bands(batch, bridge_ref=bridge_ref)
-    n_bands = len(out) // max(len(batch), 1) if len(batch) else 0
-    h = np.repeat(h_conv, n_bands)
+    out = explode_bands(batch, bridge_ref=bridge_ref,
+                        band_filter_ref=band_filter_ref)
+    if band_filter_ref is not None:
+        # recompute per-row conv hashes from the filtered row set: the
+        # explode dropped rows, so the n_bands repeat no longer aligns
+        h, _ = hash_strings(as_array(batch.column("conv_id")))
+        bands = as_array(batch.column("bands"))
+        flat = bands.flatten().to_numpy(zero_copy_only=False)
+        n_bands = len(flat) // max(len(batch), 1) if len(batch) else 0
+        keep = _in_sorted(flat, ray.get(band_filter_ref))
+        h = np.repeat(h, n_bands)[keep]
+    else:
+        n_bands = len(out) // max(len(batch), 1) if len(batch) else 0
+        h = np.repeat(h_conv, n_bands)
     bh = out.column("band_hash").to_numpy(zero_copy_only=False)
     salt = np.where(_in_sorted(bh, hot),
                     (h % np.uint64(n_salt)).astype(np.int32),
@@ -352,7 +377,7 @@ def dedup_pairs_block(batch: pa.Table) -> pa.Table:
 
 
 def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True,
-                    bridge_ref=None):
+                    bridge_ref=None, band_filter_ref=None):
     """signature table -> candidate pair table (a < b).
 
     ``dedup=True`` adds a hash shuffle on (a, b) that removes pairs
@@ -378,7 +403,8 @@ def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True,
         # no skew detected: plain band shuffle, zero salting overhead
         pairs = (
             sig_ds.map_batches(
-                functools.partial(explode_bands, bridge_ref=bridge_ref),
+                functools.partial(explode_bands, bridge_ref=bridge_ref,
+                                  band_filter_ref=band_filter_ref),
                 batch_format="pyarrow", zero_copy_batch=True)
             .repartition(P, keys=["band_hash"])
             .map_batches(
@@ -398,7 +424,8 @@ def candidate_pairs(sig_ds, config: DedupConfig, *, dedup: bool = True,
         mixed = (
             sig_ds.map_batches(
                 functools.partial(explode_bands_salted, hot_ref=hot_ref,
-                                  bridge_ref=bridge_ref),
+                                  bridge_ref=bridge_ref,
+                                  band_filter_ref=band_filter_ref),
                 batch_format="pyarrow", zero_copy_batch=True)
             .repartition(P, keys=["band_hash", "salt"])
             .map_batches(

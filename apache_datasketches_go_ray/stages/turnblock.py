@@ -185,11 +185,36 @@ def _encode_rows(batch: pa.Table, bridge_ref) -> pa.Table:
                      "h": batch.column("h")})
 
 
-def pairs_from_hashes(hash_ds, config: DedupConfig, bridge_ref=None):
+def _filter_hashes(batch: pa.Table, hash_filter_ref) -> pa.Table:
+    """Keep only rows whose turn hash is in the broadcast sorted set
+    (the increment's hashes): buckets without a new conv can only
+    yield old-old pairs, which an incremental run drops anyway."""
+    import ray as _ray
+
+    if len(batch) == 0:
+        return batch
+    hs = batch.column("h").to_numpy(zero_copy_only=False)
+    allowed = _ray.get(hash_filter_ref)
+    if len(allowed) == 0:
+        return batch.slice(0, 0)
+    idx = np.searchsorted(allowed, hs)
+    idx[idx >= len(allowed)] = 0
+    return batch.filter(pa.array(allowed[idx] == hs))
+
+
+def pairs_from_hashes(hash_ds, config: DedupConfig, bridge_ref=None,
+                      hash_filter_ref=None):
     """(conv_id, h) rows -> candidate pair dataset (a < b, not deduped —
     verify's first co-partition join dedups for free). With a dense-id
     bridge the conv column is encoded to u64 ranks BEFORE the keyed
-    shuffle (the checkpointable hash surface keeps strings)."""
+    shuffle (the checkpointable hash surface keeps strings);
+    ``hash_filter_ref`` restricts rows to an increment's turn-hash set
+    before the shuffle (exact — see _filter_hashes)."""
+    if hash_filter_ref is not None:
+        hash_ds = hash_ds.map_batches(
+            functools.partial(_filter_hashes,
+                              hash_filter_ref=hash_filter_ref),
+            batch_format="pyarrow", zero_copy_batch=True)
     if bridge_ref is not None:
         hash_ds = hash_ds.map_batches(
             functools.partial(_encode_rows, bridge_ref=bridge_ref),
