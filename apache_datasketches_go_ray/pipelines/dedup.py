@@ -7,6 +7,14 @@ Stages (each checkpointed as partitioned Parquet + a manifest entry):
   verify (broadcast semi-join + 2 hash joins) ->
   cluster (iterative hash-partitioned min-label exchange).
 
+Dense ids: a per-run broadcast bridge (stages/ids.py) maps conv_id
+strings to order-preserving u64 lexicographic ranks; every hot shuffle
+below (band rows, turn-hash rows, pair dedup, verify joins, union-find
+exchange) keys on the ranks while all checkpoints and returned surfaces
+keep string schemas — output is bit-identical either way (pinned by
+tests/test_dense_ids.py), and the bridge declines deterministically on
+oversized id columns or 64-bit hash collisions (string-path fallback).
+
 Resume: each stage's manifest entry records an input fingerprint
 (config + upstream fingerprint + row count); a re-run with an intact
 checkpoint directory skips every stage whose entry is complete and
